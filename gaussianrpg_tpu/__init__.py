@@ -1,0 +1,24 @@
+"""gaussianrpg_tpu — a TPU-native closed-loop driving simulator on dynamic 3D
+Gaussian Splatting (Street Gaussians), built on JAX / XLA / Pallas / pjit.
+
+Re-implements, TPU-first, the full capability surface of GaussianRPG
+(reference: /root/reference): a differentiable Gaussian-splatting renderer
+(Pallas kernels with a hand-derived backward), the Street Gaussians composite
+scene graph (static background + tracked dynamic actors + sky cubemap +
+appearance/pose correction), the Waymo data pipeline, the training stack
+(losses, densification, checkpointing), offline render/eval/export apps, and
+the closed-loop AEB simulator (render -> perception -> controller -> dynamics).
+
+Layer map (TPU-native; cf. reference SURVEY.md §1):
+  ops/       pure-JAX math + Pallas rasterization kernels (ref L0-L2)
+  models/    Gaussian parameter pytrees + composite scene graph   (ref L3)
+  render/    cameras + composite renderer                         (ref L3)
+  data/      Waymo/COLMAP/PLY ingest                              (ref L4)
+  train/     losses + train step + densification schedule         (ref L5)
+  parallel/  mesh sharding: tile/pixel + primitive sharding       (new, first-class)
+  sim/       closed-loop simulator: tape, dynamics, AEB, detector (ref L6-L7)
+  apps/      CLI entry points (train/render/metrics/make_ply/sim) (ref L5)
+  config/    hierarchical YAML config system                      (ref L8)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,231 @@
+"""Quaternion / SE(3) / rotation math, pure JAX.
+
+Semantics match the reference's torch utilities
+(`/root/reference/lib/utils/general_utils.py:103-278`) so that poses, covariance
+construction and slerp interpolate identically. All functions are jittable,
+vmappable, and operate on float32 arrays with leading batch dims.
+
+Quaternion convention: (w, x, y, z), not necessarily normalized unless stated.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quaternion_to_matrix(q: jax.Array) -> jax.Array:
+    """Unit quaternion [..., 4] (w,x,y,z) -> rotation matrix [..., 3, 3].
+
+    Matches `general_utils.quaternion_to_matrix` (and the CUDA rasterizer's
+    in-kernel R construction, `forward.cu:134-138`).
+    """
+    r, x, y, z = jnp.moveaxis(q, -1, 0)
+    two_s = 2.0 / jnp.sum(q * q, axis=-1)
+    m = jnp.stack(
+        [
+            1 - two_s * (y * y + z * z),
+            two_s * (x * y - z * r),
+            two_s * (x * z + y * r),
+            two_s * (x * y + z * r),
+            1 - two_s * (x * x + z * z),
+            two_s * (y * z - x * r),
+            two_s * (x * z - y * r),
+            two_s * (y * z + x * r),
+            1 - two_s * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def unnormalized_quaternion_to_matrix(q: jax.Array) -> jax.Array:
+    """Rotation matrix WITHOUT normalizing the quaternion first.
+
+    This is exactly the CUDA `computeCov3D` behavior (`forward.cu:127-138`):
+    the kernel uses the raw quaternion (the model normalizes beforehand).
+    R rows as in the standard (w,x,y,z) formula.
+    """
+    r, x, y, z = jnp.moveaxis(q, -1, 0)
+    m = jnp.stack(
+        [
+            1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
+            2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x),
+            2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return m.reshape(q.shape[:-1] + (3, 3))
+
+
+def matrix_to_quaternion(m: jax.Array) -> jax.Array:
+    """Rotation matrix [..., 3, 3] -> unit quaternion [..., 4] (w,x,y,z).
+
+    Branch-free variant of `general_utils.matrix_to_quaternion:159-218`
+    (selects the numerically best of the four candidate quaternions).
+    """
+    batch = m.shape[:-2]
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+
+    q_abs_sq = jnp.stack(
+        [
+            1.0 + m00 + m11 + m22,
+            1.0 + m00 - m11 - m22,
+            1.0 - m00 + m11 - m22,
+            1.0 - m00 - m11 + m22,
+        ],
+        axis=-1,
+    )
+    q_abs = jnp.sqrt(jnp.maximum(q_abs_sq, 0.0))
+
+    quat_by_rijk = jnp.stack(
+        [
+            jnp.stack([q_abs[..., 0] ** 2, m21 - m12, m02 - m20, m10 - m01], -1),
+            jnp.stack([m21 - m12, q_abs[..., 1] ** 2, m10 + m01, m02 + m20], -1),
+            jnp.stack([m02 - m20, m10 + m01, q_abs[..., 2] ** 2, m12 + m21], -1),
+            jnp.stack([m10 - m01, m20 + m02, m21 + m12, q_abs[..., 3] ** 2], -1),
+        ],
+        axis=-2,
+    )  # [..., 4, 4]
+    flr = jnp.asarray(0.1, dtype=m.dtype)
+    quat_candidates = quat_by_rijk / (2.0 * jnp.maximum(q_abs[..., None], flr))
+    best = jnp.argmax(q_abs, axis=-1)
+    q = jnp.take_along_axis(
+        quat_candidates, best[..., None, None].repeat(4, axis=-1), axis=-2
+    )[..., 0, :]
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quaternion_multiply(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Hamilton product of (w,x,y,z) quaternions; matches
+    `general_utils.quaternion_raw_multiply:220`."""
+    aw, ax, ay, az = jnp.moveaxis(a, -1, 0)
+    bw, bx, by, bz = jnp.moveaxis(b, -1, 0)
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quaternion_invert(q: jax.Array) -> jax.Array:
+    """Conjugate of a unit quaternion."""
+    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
+
+
+def quaternion_rotate(q: jax.Array, v: jax.Array) -> jax.Array:
+    """Rotate vectors v [..., 3] by unit quaternions q [..., 4]."""
+    return jnp.einsum("...ij,...j->...i", quaternion_to_matrix(q), v)
+
+
+def quaternion_slerp(q0: jax.Array, q1: jax.Array, t) -> jax.Array:
+    """Spherical linear interpolation, shortest arc, lerp fallback for nearly
+    parallel quaternions; matches `general_utils.quaternion_slerp:256`
+    semantics (used by ActorPose tracking interpolation).
+    """
+    t = jnp.asarray(t, dtype=q0.dtype)
+    d = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(d < 0.0, -q1, q1)
+    d = jnp.abs(d)
+    d = jnp.clip(d, -1.0, 1.0)
+    theta = jnp.arccos(d)
+    sin_theta = jnp.sin(theta)
+    near = sin_theta < 1e-6
+    w0 = jnp.where(near, 1.0 - t, jnp.sin((1.0 - t) * theta) / jnp.where(near, 1.0, sin_theta))
+    w1 = jnp.where(near, t, jnp.sin(t * theta) / jnp.where(near, 1.0, sin_theta))
+    out = w0 * q0 + w1 * q1
+    return out / jnp.linalg.norm(out, axis=-1, keepdims=True)
+
+
+def build_scaling_rotation(s: jax.Array, q: jax.Array) -> jax.Array:
+    """L = R @ diag(s): [..., 3, 3]; matches
+    `general_utils.build_scaling_rotation:278`."""
+    R = quaternion_to_matrix(q)
+    return R * s[..., None, :]
+
+
+def build_covariance(s: jax.Array, q: jax.Array, scale_modifier=1.0) -> jax.Array:
+    """World covariance Sigma = R S^2 R^T as symmetric packed 6-vector
+    [..., 6] in the order (xx, xy, xz, yy, yz, zz).
+
+    Equivalent to the CUDA `computeCov3D` (`forward.cu:118-152`) which
+    computes Sigma = (S R)^T (S R) in glm column-major, i.e. R S^2 R^T with R
+    built from the UNNORMALIZED quaternion (callers normalize upstream).
+    """
+    R = unnormalized_quaternion_to_matrix(q)
+    M = R * (scale_modifier * s)[..., None, :]  # R @ diag(s)
+    sigma = M @ jnp.swapaxes(M, -1, -2)
+    return jnp.stack(
+        [
+            sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
+            sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def strip_symmetric(sigma: jax.Array) -> jax.Array:
+    """[..., 3, 3] symmetric -> packed [..., 6] (xx, xy, xz, yy, yz, zz)."""
+    return jnp.stack(
+        [
+            sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
+            sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2],
+        ],
+        axis=-1,
+    )
+
+
+def unpack_sym6(cov6: jax.Array) -> jax.Array:
+    """Packed [..., 6] -> full symmetric [..., 3, 3]."""
+    xx, xy, xz, yy, yz, zz = jnp.moveaxis(cov6, -1, 0)
+    row0 = jnp.stack([xx, xy, xz], -1)
+    row1 = jnp.stack([xy, yy, yz], -1)
+    row2 = jnp.stack([xz, yz, zz], -1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def se3_compose(R1, t1, R2, t2):
+    """(R1,t1) . (R2,t2): apply (R2,t2) first. Returns (R, t)."""
+    return R1 @ R2, jnp.einsum("...ij,...j->...i", R1, t2) + t1
+
+
+def se3_inverse(R, t):
+    Rt = jnp.swapaxes(R, -1, -2)
+    return Rt, -jnp.einsum("...ij,...j->...i", Rt, t)
+
+
+def inverse_sigmoid(x: jax.Array) -> jax.Array:
+    """log(x / (1-x)); matches `general_utils.inverse_sigmoid:28`."""
+    return jnp.log(x / (1.0 - x))
+
+
+def exp_lr_schedule(lr_init, lr_final, max_steps, lr_delay_steps=0, lr_delay_mult=1.0):
+    """Log-lerp learning-rate schedule with optional delayed warmup.
+
+    Matches `general_utils.get_expon_lr_func:53-86`: returns f(step) with
+    log-linear interpolation between lr_init and lr_final over max_steps and
+    a sin-eased delay multiplier for the first lr_delay_steps.
+    """
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        t = jnp.clip(step / max_steps, 0.0, 1.0)
+        log_lerp = jnp.exp(
+            jnp.log(lr_init) * (1 - t) + jnp.log(lr_final) * t
+        )
+        if lr_delay_steps > 0:
+            delay_rate = lr_delay_mult + (1 - lr_delay_mult) * jnp.sin(
+                0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0)
+            )
+        else:
+            delay_rate = 1.0
+        lr = delay_rate * log_lerp
+        zero = (lr_init == 0.0) and (lr_final == 0.0)
+        return jnp.where(zero, 0.0, lr)
+
+    return schedule

@@ -1,0 +1,257 @@
+"""Reference-exact, pure-JAX Gaussian rasterizer ("the oracle").
+
+This is the CPU-testable ground truth for the Pallas kernels: a vectorized
+re-derivation of the CUDA rasterizer pipeline
+(`/root/reference/submodules/diff-gaussian-rasterization/cuda_rasterizer/`):
+
+  preprocess  -> `forward.cu:155-256`  (ops/projection.py)
+  binning     -> `rasterizer_impl.cu:70-138` (depth-major stable order +
+                 per-tile rect inclusion; reproduced here as masks)
+  blend       -> `forward.cu:340-467`  (closed-form cumprod formulation)
+  backward    -> `backward.cu`         (via JAX autodiff: the forward is
+                 written so that autodiff equals the CUDA hand-derived
+                 gradients — straight-through 0.99 alpha clamp, frozen skip
+                 masks, SH clamp gating)
+
+Ordering parity: CUDA sorts (tileID, depth-bits) with a stable radix sort over
+pairs emitted in Gaussian-id order, so the per-tile order is (depth asc, id
+asc). We sort once globally by (depth, id); restricted to any tile this gives
+the identical sequence.
+
+Blend parity notes (all from `forward.cu:410-454`):
+  * skip if power > 0, skip if alpha < 1/255,
+  * stop the pixel before a Gaussian that would drive T below 1e-4,
+  * alpha = min(0.99, opacity * exp(power)) — the CUDA backward ignores the
+    0.99 clamp (`backward.cu:618,638` propagate dL_dG = op * dL_dopa and
+    dL_dop = G * dL_dopa unconditionally), reproduced here with a
+    straight-through estimator,
+  * out_color = C + T_final * bg, out_alpha = sum(alpha*T), out_depth =
+    sum(depth*alpha*T).
+
+The `means2d_offset` input reproduces the reference's dummy screenspace
+tensor (`street_gaussian_renderer.py:157-164`): its gradient is dL/d(pixel
+mean) scaled by (0.5*W, 0.5*H) — the NDC-scale viewspace gradient the
+densification stats consume (`backward.cu:625-626` `ddelx_dx = 0.5*W`).
+
+Complexity is O(N * H * W) — fine for conformance scenes, not production;
+the Pallas path (ops/rasterize.py) is the fast one.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import TILE_X, TILE_Y, preprocess
+from .sh import sh_to_rgb_clamped
+
+
+class RasterOut(NamedTuple):
+    color: jax.Array      # [3, H, W]
+    depth: jax.Array      # [1, H, W] alpha-weighted
+    alpha: jax.Array      # [1, H, W] sum of alpha*T
+    semantic: jax.Array   # [S, H, W] (S may be 0)
+    radii: jax.Array      # [N] int32
+    means2d: jax.Array    # [N, 2] pixel-space means
+
+
+def _straight_through_min(x, cap):
+    """Value min(x, cap); gradient of identity (CUDA backward ignores the
+    0.99 alpha clamp)."""
+    return x + jax.lax.stop_gradient(jnp.minimum(x, cap) - x)
+
+
+def _blend_tile(
+    tile_xy,            # (tx, ty) int32 tile coords
+    means2d,            # [N, 2] depth-sorted
+    conics,             # [N, 3]
+    opacities,          # [N]
+    feats,              # [N, F] color(3) + depth(1) + semantics(S)
+    rect_min,           # [N, 2] int32
+    rect_max,           # [N, 2] int32
+    valid,              # [N] bool (visible)
+    bg_feat,            # [F] background for color channels, 0 elsewhere
+):
+    """Blend one 16x16 tile against the full depth-sorted list. Returns
+    [F+1, TILE_Y, TILE_X]: features then final weight(alpha)."""
+    tx, ty = tile_xy[0], tile_xy[1]
+    px = tx * TILE_X + jnp.arange(TILE_X, dtype=jnp.int32)
+    py = ty * TILE_Y + jnp.arange(TILE_Y, dtype=jnp.int32)
+    pxg, pyg = jnp.meshgrid(px, py, indexing="xy")
+    pix = jnp.stack(
+        [pxg.reshape(-1), pyg.reshape(-1)], axis=-1
+    ).astype(jnp.float32)  # [P=256, 2], row-major (y, x) like CUDA pix_id
+
+    covers = (
+        (rect_min[:, 0] <= tx) & (tx < rect_max[:, 0])
+        & (rect_min[:, 1] <= ty) & (ty < rect_max[:, 1])
+        & valid
+    )  # [N]
+
+    d = means2d[:, None, :] - pix[None, :, :]        # [N, P, 2]
+    dx, dy = d[..., 0], d[..., 1]
+    a, b, c = conics[:, 0:1], conics[:, 1:2], conics[:, 2:3]
+    power = -0.5 * (a * dx * dx + c * dy * dy) - b * dx * dy   # [N, P]
+    alpha_raw = opacities[:, None] * jnp.exp(power)
+    alpha = _straight_through_min(alpha_raw, 0.99)
+
+    # --- frozen masks (no gradient flow), matching the CUDA skip rules ---
+    a_sg = jax.lax.stop_gradient(jnp.minimum(alpha_raw, 0.99))
+    skip = jax.lax.stop_gradient(
+        (power > 0.0) | (alpha_raw < (1.0 / 255.0)) | (~covers[:, None])
+    )
+    a_eff = jnp.where(skip, 0.0, a_sg)
+    t_excl_sg = jnp.concatenate(
+        [jnp.ones_like(a_eff[:1]), jnp.cumprod(1.0 - a_eff, axis=0)[:-1]],
+        axis=0,
+    )
+    stop = (~skip) & (t_excl_sg * (1.0 - a_eff) < 1e-4)
+    stopped = jnp.cumsum(stop.astype(jnp.int32), axis=0) > 0
+    contrib = jax.lax.stop_gradient((~skip) & (~stopped))     # [N, P]
+
+    # --- differentiable blend over the frozen contributor set ---
+    a_used = jnp.where(contrib, alpha, 0.0)
+    t_incl = jnp.cumprod(1.0 - a_used, axis=0)
+    t_excl = jnp.concatenate([jnp.ones_like(t_incl[:1]), t_incl[:-1]], axis=0)
+    w = a_used * t_excl                                # [N, P]
+    out_feat = jnp.einsum("np,nf->fp", w, feats)       # [F, P]
+    weight = jnp.sum(w, axis=0)                        # [P]
+    t_final = t_incl[-1]                               # [P]
+
+    out_feat = out_feat + t_final[None, :] * bg_feat[:, None]
+    out = jnp.concatenate([out_feat, weight[None, :]], axis=0)  # [F+1, P]
+    return out.reshape(out.shape[0], TILE_Y, TILE_X)
+
+
+def rasterize_oracle(
+    means3d: jax.Array,
+    opacities: jax.Array,
+    *,
+    camera,
+    bg_color: jax.Array,
+    colors: jax.Array | None = None,
+    shs: jax.Array | None = None,
+    sh_degree: int = 0,
+    semantics: jax.Array | None = None,
+    scales: jax.Array | None = None,
+    rotations: jax.Array | None = None,
+    cov3d_precomp: jax.Array | None = None,
+    scale_modifier: float = 1.0,
+    means2d_offset: jax.Array | None = None,
+    tile_chunk: int = 4,
+) -> RasterOut:
+    """Render with the pure-JAX oracle. Mirrors the reference rasterizer API
+    (`diff_gaussian_rasterization/__init__.py:197-233`).
+
+    opacities: [N] post-sigmoid; colors [N,3] or shs [N,K,3]; semantics
+    [N,S] optional; means2d_offset [N,2] dummy zeros whose gradient is the
+    NDC-scale viewspace gradient (densification stats).
+    """
+    H, W = camera.height, camera.width
+    grid_x, grid_y = camera.grid
+    n = means3d.shape[0]
+
+    pre = preprocess(
+        means3d,
+        scales if scales is not None else jnp.ones((n, 3), means3d.dtype),
+        rotations if rotations is not None else
+        jnp.concatenate(
+            [jnp.ones((n, 1), means3d.dtype), jnp.zeros((n, 3), means3d.dtype)], -1
+        ),
+        camera.viewmatrix,
+        camera.projmatrix,
+        W,
+        H,
+        camera.tan_fovx,
+        camera.tan_fovy,
+        scale_modifier,
+        cov3d_precomp,
+    )
+
+    if colors is None:
+        assert shs is not None
+        dirs = means3d - camera.cam_center
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        colors, _ = sh_to_rgb_clamped(sh_degree, shs, dirs)
+
+    means2d = pre.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset * jnp.asarray(
+            [0.5 * W, 0.5 * H], means2d.dtype
+        )
+
+    visible = pre.radii > 0
+
+    # Global stable (depth, id) order == per-tile CUDA sort order.
+    sort_key = jnp.where(visible, pre.depths, jnp.inf)
+    order = jax.lax.stop_gradient(jnp.argsort(sort_key, stable=True))
+
+    feats = [colors, pre.depths[:, None]]
+    s_ch = 0
+    if semantics is not None and semantics.shape[-1] > 0:
+        feats.append(semantics)
+        s_ch = semantics.shape[-1]
+    feats = jnp.concatenate(feats, axis=-1)            # [N, 3+1+S]
+
+    g_means2d = jnp.take(means2d, order, axis=0)
+    g_conics = jnp.take(pre.conics, order, axis=0)
+    g_opac = jnp.take(opacities.reshape(-1), order, axis=0)
+    g_feats = jnp.take(feats, order, axis=0)
+    g_rect_min = jnp.take(pre.rect_min, order, axis=0)
+    g_rect_max = jnp.take(pre.rect_max, order, axis=0)
+    g_valid = jnp.take(visible, order, axis=0)
+
+    bg_feat = jnp.concatenate(
+        [bg_color.reshape(3), jnp.zeros((1 + s_ch,), bg_color.dtype)]
+    )
+
+    n_tiles = grid_x * grid_y
+    tiles = jnp.stack(
+        jnp.meshgrid(jnp.arange(grid_x), jnp.arange(grid_y), indexing="xy"),
+        axis=-1,
+    ).reshape(-1, 2)  # [T, 2] row-major over (ty, tx)
+    # pad tile list to a multiple of tile_chunk (extra tiles land off-image)
+    pad = (-n_tiles) % tile_chunk
+    if pad:
+        tiles = jnp.concatenate(
+            [tiles, jnp.full((pad, 2), jnp.int32(1 << 20))], axis=0
+        )
+
+    blend = functools.partial(
+        _blend_tile,
+        means2d=g_means2d,
+        conics=g_conics,
+        opacities=g_opac,
+        feats=g_feats,
+        rect_min=g_rect_min,
+        rect_max=g_rect_max,
+        valid=g_valid,
+        bg_feat=bg_feat,
+    )
+    blend = jax.checkpoint(blend)
+
+    out_tiles = jax.lax.map(
+        jax.vmap(blend), tiles.reshape(-1, tile_chunk, 2)
+    )  # [T/chunk, chunk, F+1, 16, 16]
+    f_tot = out_tiles.shape[2]
+    out_tiles = out_tiles.reshape(-1, f_tot, TILE_Y, TILE_X)[:n_tiles]
+    img = (
+        out_tiles.reshape(grid_y, grid_x, f_tot, TILE_Y, TILE_X)
+        .transpose(2, 0, 3, 1, 4)
+        .reshape(f_tot, grid_y * TILE_Y, grid_x * TILE_X)
+    )[:, :H, :W]
+
+    color = img[0:3]
+    depth = img[3:4]
+    semantic = img[4 : 4 + s_ch]
+    alpha = img[4 + s_ch : 5 + s_ch]
+    return RasterOut(
+        color=color,
+        depth=depth,
+        alpha=alpha,
+        semantic=semantic,
+        radii=pre.radii,
+        means2d=pre.means2d,
+    )

@@ -1,0 +1,208 @@
+"""Camera projection + EWA splatting math (per-Gaussian "preprocess").
+
+Pure-JAX, fully vectorized over primitives: this is the TPU-native equivalent
+of the CUDA `preprocessCUDA` kernel (`cuda_rasterizer/forward.cu:155-256`).
+It is elementwise per Gaussian, so XLA fuses it into a handful of VPU loops;
+no hand-written kernel is needed for this stage. Every constant and clamp
+matches the reference for allclose parity:
+
+  * near cull at view z <= 0.2             (`auxiliary.h:154`)
+  * homogeneous eps 1e-7                   (`forward.cu:199`)
+  * 1.3*tanfov frustum clamp in cov2D      (`forward.cu:82-87`)
+  * +0.3 screen-space low-pass             (`forward.cu:110-111`)
+  * eigenvalue radius ceil(3*sqrt(lmax)),
+    0.1 floor under the sqrt               (`forward.cu:229-232`)
+  * ndc2Pix(v, S) = ((v+1)*S - 1)/2        (`auxiliary.h:41-44`)
+  * 16x16 tile rect clamping               (`auxiliary.h:46-56`)
+
+Matrix conventions: `viewmatrix` and `projmatrix` are math-convention
+column-vector matrices (x_out = M @ [x, 1]); the reference passes transposed
+row-major buffers to CUDA which its strided access undoes, landing on the
+same math (see `auxiliary.h:58-77`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+TILE_X = 16  # BLOCK_X, `cuda_rasterizer/config.h:17`
+TILE_Y = 16  # BLOCK_Y
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian screen-space quantities (all [N, ...])."""
+
+    means2d: jax.Array      # [N, 2] pixel coords
+    depths: jax.Array       # [N] view-space z
+    conics: jax.Array       # [N, 3] inverse 2D covariance (a, b, c)
+    radii: jax.Array        # [N] int32 screen radius, 0 => culled
+    rect_min: jax.Array     # [N, 2] int32 tile rect (x, y) inclusive
+    rect_max: jax.Array     # [N, 2] int32 tile rect (x, y) exclusive
+    tiles_touched: jax.Array  # [N] int32 rect area
+    cov3d: jax.Array        # [N, 6] world covariance (packed sym)
+    cov2d: jax.Array        # [N, 3] screen covariance (a, b, c) after low-pass
+
+
+def transform_point_4x3(p: jax.Array, m: jax.Array) -> jax.Array:
+    """(M @ [p,1])[:3] for [..., 3] points and a 4x4 matrix."""
+    return p @ m[:3, :3].T + m[:3, 3]
+
+
+def transform_point_4x4(p: jax.Array, m: jax.Array) -> jax.Array:
+    """M @ [p,1] for [..., 3] points, returns [..., 4]."""
+    return p @ m[:, :3].T + m[:, 3]
+
+
+def ndc2pix(v: jax.Array, size) -> jax.Array:
+    """`auxiliary.h:41-44`."""
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def compute_cov2d(
+    mean3d: jax.Array,
+    cov3d: jax.Array,
+    viewmatrix: jax.Array,
+    focal_x,
+    focal_y,
+    tan_fovx,
+    tan_fovy,
+) -> jax.Array:
+    """EWA projection of the 3D covariance to screen space.
+
+    mean3d [..., 3], cov3d [..., 6] packed (xx,xy,xz,yy,yz,zz) ->
+    [..., 3] = (cov[0,0]+0.3, cov[0,1], cov[1,1]+0.3).
+    Matches `forward.cu:74-113`: cov2D = J W Sigma W^T J^T with the frustum
+    clamp applied to the view-space point before building J.
+    """
+    t = transform_point_4x3(mean3d, viewmatrix)
+    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    txtz = tx / tz
+    tytz = ty / tz
+    tx = jnp.clip(txtz, -limx, limx) * tz
+    ty = jnp.clip(tytz, -limy, limy) * tz
+
+    # J rows: [fx/tz, 0, -fx*tx/tz^2], [0, fy/tz, -fy*ty/tz^2]
+    inv_tz = 1.0 / tz
+    j00 = focal_x * inv_tz
+    j02 = -focal_x * tx * inv_tz * inv_tz
+    j11 = focal_y * inv_tz
+    j12 = -focal_y * ty * inv_tz * inv_tz
+
+    W = viewmatrix[:3, :3]  # world->camera rotation
+    # U = J @ W, rows u0, u1 (third row of J is zero)
+    u0 = j00[..., None] * W[0] + j02[..., None] * W[2]
+    u1 = j11[..., None] * W[1] + j12[..., None] * W[2]
+
+    # Sigma as full sym matrix contributions: cov2d_ab = u_a @ Sigma @ u_b
+    xx, xy, xz, yy, yz, zz = jnp.moveaxis(cov3d, -1, 0)
+
+    def quad(a, b):
+        return (
+            a[..., 0] * (xx * b[..., 0] + xy * b[..., 1] + xz * b[..., 2])
+            + a[..., 1] * (xy * b[..., 0] + yy * b[..., 1] + yz * b[..., 2])
+            + a[..., 2] * (xz * b[..., 0] + yz * b[..., 1] + zz * b[..., 2])
+        )
+
+    c00 = quad(u0, u0) + 0.3
+    c01 = quad(u0, u1)
+    c11 = quad(u1, u1) + 0.3
+    return jnp.stack([c00, c01, c11], axis=-1)
+
+
+def tile_rect(means2d: jax.Array, radii: jax.Array, grid_x: int, grid_y: int):
+    """Tile bounding rect per Gaussian; matches `auxiliary.h:46-56` (C
+    truncation == floor after the >=0 clamp)."""
+    r = radii.astype(means2d.dtype)
+    rect_min_x = jnp.clip(
+        jnp.floor((means2d[..., 0] - r) / TILE_X), 0, grid_x
+    ).astype(jnp.int32)
+    rect_min_y = jnp.clip(
+        jnp.floor((means2d[..., 1] - r) / TILE_Y), 0, grid_y
+    ).astype(jnp.int32)
+    rect_max_x = jnp.clip(
+        jnp.floor((means2d[..., 0] + r + TILE_X - 1) / TILE_X), 0, grid_x
+    ).astype(jnp.int32)
+    rect_max_y = jnp.clip(
+        jnp.floor((means2d[..., 1] + r + TILE_Y - 1) / TILE_Y), 0, grid_y
+    ).astype(jnp.int32)
+    rect_min = jnp.stack([rect_min_x, rect_min_y], axis=-1)
+    rect_max = jnp.stack([rect_max_x, rect_max_y], axis=-1)
+    return rect_min, rect_max
+
+
+def preprocess(
+    means3d: jax.Array,
+    scales: jax.Array,
+    rotations: jax.Array,
+    viewmatrix: jax.Array,
+    projmatrix: jax.Array,
+    image_width: int,
+    image_height: int,
+    tan_fovx: float,
+    tan_fovy: float,
+    scale_modifier: float = 1.0,
+    cov3d_precomp: jax.Array | None = None,
+) -> Preprocessed:
+    """Vectorized per-Gaussian preprocess; `forward.cu:155-256` equivalent.
+
+    Culled Gaussians get radii == 0 and tiles_touched == 0 (and must be
+    masked by consumers). Compute in f32.
+    """
+    from .math3d import build_covariance
+
+    grid_x = (image_width + TILE_X - 1) // TILE_X
+    grid_y = (image_height + TILE_Y - 1) // TILE_Y
+    focal_x = image_width / (2.0 * tan_fovx)
+    focal_y = image_height / (2.0 * tan_fovy)
+
+    p_view = transform_point_4x3(means3d, viewmatrix)
+    in_front = p_view[..., 2] > 0.2
+
+    p_hom = transform_point_4x4(means3d, projmatrix)
+    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    p_proj = p_hom[..., :3] * p_w[..., None]
+
+    if cov3d_precomp is not None:
+        cov3d = cov3d_precomp
+    else:
+        cov3d = build_covariance(scales, rotations, scale_modifier)
+
+    cov2d = compute_cov2d(
+        means3d, cov3d, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy
+    )
+    a, b, c = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
+    det = a * c - b * b
+    det_ok = det != 0.0
+    det_inv = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    conic = jnp.stack([c * det_inv, -b * det_inv, a * det_inv], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lam, 0.0)))
+
+    mean2d = jnp.stack(
+        [ndc2pix(p_proj[..., 0], image_width), ndc2pix(p_proj[..., 1], image_height)],
+        axis=-1,
+    )
+    rect_min, rect_max = tile_rect(mean2d, radius_f, grid_x, grid_y)
+    area = (rect_max[..., 0] - rect_min[..., 0]) * (rect_max[..., 1] - rect_min[..., 1])
+
+    visible = in_front & det_ok & (area > 0)
+    radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    tiles = jnp.where(visible, area, 0).astype(jnp.int32)
+
+    return Preprocessed(
+        means2d=mean2d,
+        depths=p_view[..., 2],
+        conics=conic,
+        radii=radii,
+        rect_min=rect_min,
+        rect_max=rect_max,
+        tiles_touched=tiles,
+        cov3d=cov3d,
+        cov2d=cov2d,
+    )

@@ -1,0 +1,131 @@
+"""Spherical-harmonics evaluation + 4D (time-conditioned) Fourier basis.
+
+Coefficient constants and evaluation order match both the reference python SH
+path (`/root/reference/lib/utils/sh_utils.py:58-118`) and the CUDA kernel's SH
+path (`cuda_rasterizer/forward.cu:20-71`, `auxiliary.h:22-39`) so rendered
+colors are bit-comparable. The clamp mask matches `forward.cu:67-70` and its
+gradient gating matches `backward.cu:31-34`.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = (
+    1.0925484305920792,
+    -1.0925484305920792,
+    0.31539156525252005,
+    -1.0925484305920792,
+    0.5462742152960396,
+)
+SH_C3 = (
+    -0.5900435899266435,
+    2.890611442640554,
+    -0.4570457994644658,
+    0.3731763325901154,
+    -0.4570457994644658,
+    1.445305721320277,
+    -0.5900435899266435,
+)
+
+
+def num_sh_coeffs(degree: int) -> int:
+    return (degree + 1) ** 2
+
+
+def eval_sh_basis(degree: int, dirs: jax.Array) -> jax.Array:
+    """Evaluate the real SH basis (deg 0..3) at unit directions.
+
+    dirs: [..., 3] -> basis [..., (degree+1)^2]. The basis weights are exactly
+    the per-coefficient factors of `forward.cu:30-59`, so
+    color = basis @ sh_coeffs (+0.5, clamp) matches the kernel.
+    """
+    x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+    out = [jnp.full(x.shape, SH_C0, dtype=dirs.dtype)]
+    if degree > 0:
+        out += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
+    if degree > 1:
+        xx, yy, zz = x * x, y * y, z * z
+        xy, yz, xz = x * y, y * z, x * z
+        out += [
+            SH_C2[0] * xy,
+            SH_C2[1] * yz,
+            SH_C2[2] * (2.0 * zz - xx - yy),
+            SH_C2[3] * xz,
+            SH_C2[4] * (xx - yy),
+        ]
+    if degree > 2:
+        xx, yy, zz = x * x, y * y, z * z
+        xy = x * y
+        out += [
+            SH_C3[0] * y * (3.0 * xx - yy),
+            SH_C3[1] * xy * z,
+            SH_C3[2] * y * (4.0 * zz - xx - yy),
+            SH_C3[3] * z * (2.0 * zz - 3.0 * xx - 3.0 * yy),
+            SH_C3[4] * x * (4.0 * zz - xx - yy),
+            SH_C3[5] * z * (xx - yy),
+            SH_C3[6] * x * (xx - 3.0 * yy),
+        ]
+    return jnp.stack(out, axis=-1)
+
+
+def eval_sh(degree: int, sh: jax.Array, dirs: jax.Array) -> jax.Array:
+    """sh: [..., K, 3] coefficients (K >= (degree+1)^2), dirs: [..., 3] unit.
+
+    Returns raw RGB (before +0.5 / clamp), matching
+    `sh_utils.eval_sh:58-112` with sh laid out channel-last.
+    """
+    basis = eval_sh_basis(degree, dirs)  # [..., B]
+    B = basis.shape[-1]
+    return jnp.einsum("...k,...kc->...c", basis, sh[..., :B, :])
+
+
+def sh_to_rgb_clamped(degree: int, sh: jax.Array, dirs: jax.Array):
+    """Kernel-exact SH -> color: result = eval + 0.5, clamped at 0 from below.
+
+    Returns (rgb, clamped_mask) where clamped_mask gates gradients exactly as
+    `backward.cu:31-34` (zero grad where the forward clamped).
+    """
+    raw = eval_sh(degree, sh, dirs) + 0.5
+    clamped = raw < 0.0
+    return jnp.maximum(raw, 0.0), clamped
+
+
+def rgb_to_sh(rgb: jax.Array) -> jax.Array:
+    """Matches `sh_utils.RGB2SH:115`."""
+    return (rgb - 0.5) / SH_C0
+
+
+def sh_to_rgb(sh: jax.Array) -> jax.Array:
+    """Matches `sh_utils.SH2RGB:118`."""
+    return sh * SH_C0 + 0.5
+
+
+def idft_basis(time, dim: int, dtype=jnp.float32) -> jax.Array:
+    """Inverse-DFT basis for 4D (time-conditioned) SH DC coefficients.
+
+    Matches `sh_utils.IDFT:121-130`: even indices k get cos(pi * t * k), odd
+    indices k get sin(pi * t * (k + 1)). time: scalar or [...]-shaped; returns
+    [..., dim].
+    """
+    t = jnp.asarray(time, dtype)[..., None]
+    k = jnp.arange(dim)
+    even = (k % 2) == 0
+    vals = jnp.where(
+        even,
+        jnp.cos(jnp.pi * t * k),
+        jnp.sin(jnp.pi * t * (k + 1)),
+    )
+    return vals.astype(dtype)
+
+
+def fourier_features_dc(features_dc: jax.Array, time, fourier_scale=1.0) -> jax.Array:
+    """Combine per-frequency DC SH coefficients at a normalized time.
+
+    features_dc: [N, F, 3] Fourier-stacked DC coefficients; returns [N, 1, 3].
+    Matches `gaussian_model_actor.get_features_fourier:73-82`.
+    """
+    basis = idft_basis(jnp.asarray(time) * fourier_scale, features_dc.shape[-2])
+    return jnp.sum(features_dc * basis[..., None], axis=-2, keepdims=True)

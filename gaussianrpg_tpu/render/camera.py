@@ -1,0 +1,183 @@
+"""Camera abstraction (TPU-native equivalent of
+`/root/reference/lib/utils/camera_utils.py:18-97`).
+
+A `Camera` is a jit-stable pytree: array fields (matrices, K) are leaves;
+image dims and fov tangents are static aux data so one compiled render
+executable serves every frame of a fixed-resolution sequence.
+
+Matrix conventions are math-standard column-vector form (x_cam = V @ x_world):
+the reference stores transposed matrices for its row-major CUDA access; we
+keep them untransposed and the kernels index accordingly.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+Z_NEAR = 0.001  # camera_utils.py:49
+Z_FAR = 1000.0  # camera_utils.py:48
+
+
+def get_world2view(R: np.ndarray, T: np.ndarray, translate=None, scale=1.0) -> np.ndarray:
+    """World->camera 4x4 from 3DGS-style (R, T): R is C2W rotation, T the W2C
+    translation. Matches `graphics_utils.getWorld2View2:38-49`."""
+    Rt = np.zeros((4, 4), dtype=np.float64)
+    Rt[:3, :3] = np.asarray(R).T
+    Rt[:3, 3] = np.asarray(T)
+    Rt[3, 3] = 1.0
+    if translate is not None or scale != 1.0:
+        translate = np.zeros(3) if translate is None else np.asarray(translate)
+        C2W = np.linalg.inv(Rt)
+        C2W[:3, 3] = (C2W[:3, 3] + translate) * scale
+        Rt = np.linalg.inv(C2W)
+    return Rt.astype(np.float32)
+
+
+def projection_matrix_from_K(K: np.ndarray, H: int, W: int,
+                             znear=Z_NEAR, zfar=Z_FAR) -> np.ndarray:
+    """OpenGL-style projection from a pinhole K; matches
+    `graphics_utils.getProjectionMatrixK:72-94` (including skew)."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    s = K[0, 1]
+    P = np.zeros((4, 4), dtype=np.float64)
+    P[0, 0] = 2 * fx / W
+    P[0, 1] = 2 * s / W
+    P[0, 2] = -1 + 2 * (cx / W)
+    P[1, 1] = 2 * fy / H
+    P[1, 2] = -1 + 2 * (cy / H)
+    P[2, 2] = (zfar + znear) / (zfar - znear)
+    P[2, 3] = -2 * zfar * znear / (zfar - znear)
+    P[3, 2] = 1.0
+    return P.astype(np.float32)
+
+
+def projection_matrix_from_fov(fovx: float, fovy: float,
+                               znear=Z_NEAR, zfar=Z_FAR) -> np.ndarray:
+    """Matches `graphics_utils.getProjectionMatrix:51-70`."""
+    tan_x = math.tan(fovx / 2)
+    tan_y = math.tan(fovy / 2)
+    P = np.zeros((4, 4), dtype=np.float64)
+    P[0, 0] = 1.0 / tan_x
+    P[1, 1] = 1.0 / tan_y
+    P[2, 2] = zfar / (zfar - znear)
+    P[2, 3] = -(zfar * znear) / (zfar - znear)
+    P[3, 2] = 1.0
+    return P.astype(np.float32)
+
+
+def focal2fov(focal: float, pixels: float) -> float:
+    return 2 * math.atan(pixels / (2 * focal))
+
+
+def fov2focal(fov: float, pixels: float) -> float:
+    return pixels / (2 * math.tan(fov / 2))
+
+
+@struct.dataclass
+class Camera:
+    """Render camera. Array fields are pytree leaves (device arrays under
+    jit); width/height/tan-fovs are static."""
+
+    viewmatrix: jax.Array      # [4,4] world->camera
+    projmatrix: jax.Array      # [4,4] full projection = P @ V
+    cam_center: jax.Array      # [3] camera position in world
+    K: jax.Array               # [3,3] intrinsics (possibly rescaled)
+    width: int = struct.field(pytree_node=False)
+    height: int = struct.field(pytree_node=False)
+    tan_fovx: float = struct.field(pytree_node=False)
+    tan_fovy: float = struct.field(pytree_node=False)
+    # Waymo metadata (identity defaults for synthetic cams)
+    ego_pose: jax.Array = None      # [4,4] vehicle->world at the frame
+    extrinsic: jax.Array = None     # [4,4] camera->vehicle
+    timestamp: jax.Array = None     # scalar normalized timestamp
+    frame: int = struct.field(pytree_node=False, default=0)
+    cam_id: int = struct.field(pytree_node=False, default=0)
+    meta: Any = struct.field(pytree_node=False, default=None)
+
+    @property
+    def focal_x(self) -> float:
+        return self.width / (2.0 * self.tan_fovx)
+
+    @property
+    def focal_y(self) -> float:
+        return self.height / (2.0 * self.tan_fovy)
+
+    @property
+    def grid(self):
+        from ..ops.projection import TILE_X, TILE_Y
+        return (
+            (self.width + TILE_X - 1) // TILE_X,
+            (self.height + TILE_Y - 1) // TILE_Y,
+        )
+
+
+def make_camera(
+    R: np.ndarray,
+    T: np.ndarray,
+    K: np.ndarray | None,
+    width: int,
+    height: int,
+    fovx: float | None = None,
+    fovy: float | None = None,
+    ego_pose: np.ndarray | None = None,
+    extrinsic: np.ndarray | None = None,
+    timestamp: float = 0.0,
+    frame: int = 0,
+    cam_id: int = 0,
+    meta: Any = None,
+) -> Camera:
+    """Build a Camera from 3DGS-style (R, T, K); mirrors
+    `camera_utils.Camera.__init__:19-67`."""
+    V = get_world2view(R, T)
+    if K is not None:
+        P = projection_matrix_from_K(np.asarray(K), height, width)
+        if fovx is None:
+            fovx = focal2fov(K[0, 0], width)
+        if fovy is None:
+            fovy = focal2fov(K[1, 1], height)
+    else:
+        assert fovx is not None and fovy is not None
+        P = projection_matrix_from_fov(fovx, fovy)
+        K = np.array(
+            [
+                [fov2focal(fovx, width), 0, width / 2],
+                [0, fov2focal(fovy, height), height / 2],
+                [0, 0, 1],
+            ],
+            dtype=np.float32,
+        )
+    full_proj = (P.astype(np.float64) @ V.astype(np.float64)).astype(np.float32)
+    cam_center = np.linalg.inv(V)[:3, 3].astype(np.float32)
+    ident = np.eye(4, dtype=np.float32)
+    return Camera(
+        viewmatrix=jnp.asarray(V),
+        projmatrix=jnp.asarray(full_proj),
+        cam_center=jnp.asarray(cam_center),
+        K=jnp.asarray(K, dtype=jnp.float32),
+        width=int(width),
+        height=int(height),
+        tan_fovx=float(math.tan(fovx / 2)),
+        tan_fovy=float(math.tan(fovy / 2)),
+        ego_pose=jnp.asarray(ident if ego_pose is None else ego_pose, jnp.float32),
+        extrinsic=jnp.asarray(ident if extrinsic is None else extrinsic, jnp.float32),
+        timestamp=jnp.asarray(timestamp, jnp.float32),
+        frame=int(frame),
+        cam_id=int(cam_id),
+        meta=meta,
+    )
+
+
+def camera_from_c2w(c2w: np.ndarray, K: np.ndarray, width: int, height: int,
+                    **kw) -> Camera:
+    """Camera from a camera->world pose; mirrors
+    `camera_utils.Camera.set_extrinsic:69-81`."""
+    w2c = np.linalg.inv(np.asarray(c2w, dtype=np.float64))
+    R = w2c[:3, :3].T
+    T = w2c[:3, 3]
+    return make_camera(R, T, K, width, height, **kw)

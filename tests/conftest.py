@@ -1,0 +1,71 @@
+"""Test config: force local CPU with 8 virtual devices so sharding/mesh tests
+run fast anywhere (the driver validates real multi-chip separately via
+__graft_entry__.dryrun_multichip).
+
+The ambient environment may register a remote TPU PJRT plugin (axon) through
+sitecustomize — which also proxies compilation over the network and would slow
+unit tests by orders of magnitude. sitecustomize imports jax before conftest
+runs, so we override the platform in-process (backends initialize lazily, so
+this sticks as long as no array op happened yet).
+"""
+import os
+
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_test_camera(width=64, height=48, fov_deg=60.0, seed=None):
+    """A simple camera looking down +z from the origin, or a randomized one."""
+    import math
+
+    from gaussianrpg_tpu.render.camera import make_camera
+
+    fovx = math.radians(fov_deg)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * height / width)
+    if seed is None:
+        R = np.eye(3)
+        T = np.zeros(3)
+    else:
+        rr = np.random.default_rng(seed)
+        # small random rotation + translation
+        w = 0.2 * rr.standard_normal(3)
+        th = np.linalg.norm(w)
+        k = w / (th + 1e-12)
+        K_ = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+        Rw = np.eye(3) + math.sin(th) * K_ + (1 - math.cos(th)) * (K_ @ K_)
+        R = Rw
+        T = 0.5 * rr.standard_normal(3)
+    return make_camera(R=R, T=T, K=None, width=width, height=height,
+                       fovx=fovx, fovy=fovy)
+
+
+def random_gaussians(n, rng, z_range=(1.0, 8.0), spread=3.0):
+    """Random scene in front of the canonical camera."""
+    means = np.stack([
+        rng.uniform(-spread, spread, n),
+        rng.uniform(-spread * 0.7, spread * 0.7, n),
+        rng.uniform(*z_range, n),
+    ], axis=-1).astype(np.float32)
+    scales = np.exp(rng.uniform(-3.5, -1.0, (n, 3))).astype(np.float32)
+    q = rng.standard_normal((n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    opac = rng.uniform(0.05, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    return means, scales, q, opac, colors

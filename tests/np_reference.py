@@ -1,0 +1,190 @@
+"""Scalar NumPy transliteration of the CUDA rasterizer forward — the "slow
+gold" oracle-of-the-oracle.
+
+Follows `cuda_rasterizer/forward.cu` + `rasterizer_impl.cu` control flow
+literally (per-Gaussian preprocess, per-tile depth-sorted lists, per-pixel
+front-to-back loop with skip/early-stop rules) so the vectorized JAX oracle
+can be validated without CUDA hardware. Slow: use only for tiny scenes.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+TILE = 16
+SH_C0 = 0.28209479177387814
+SH_C1 = 0.4886025119029199
+SH_C2 = [1.0925484305920792, -1.0925484305920792, 0.31539156525252005,
+         -1.0925484305920792, 0.5462742152960396]
+SH_C3 = [-0.5900435899266435, 2.890611442640554, -0.4570457994644658,
+         0.3731763325901154, -0.4570457994644658, 1.445305721320277,
+         -0.5900435899266435]
+
+
+def quat_to_rot(q):
+    r, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)],
+        [2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)],
+        [2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)],
+    ], dtype=np.float64)
+
+
+def eval_sh_color(deg, sh, dir):
+    x, y, z = dir
+    res = SH_C0 * sh[0]
+    if deg > 0:
+        res = res - SH_C1 * y * sh[1] + SH_C1 * z * sh[2] - SH_C1 * x * sh[3]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            res = (res + SH_C2[0] * xy * sh[4] + SH_C2[1] * yz * sh[5]
+                   + SH_C2[2] * (2 * zz - xx - yy) * sh[6]
+                   + SH_C2[3] * xz * sh[7] + SH_C2[4] * (xx - yy) * sh[8])
+            if deg > 2:
+                res = (res
+                       + SH_C3[0] * y * (3 * xx - yy) * sh[9]
+                       + SH_C3[1] * xy * z * sh[10]
+                       + SH_C3[2] * y * (4 * zz - xx - yy) * sh[11]
+                       + SH_C3[3] * z * (2 * zz - 3 * xx - 3 * yy) * sh[12]
+                       + SH_C3[4] * x * (4 * zz - xx - yy) * sh[13]
+                       + SH_C3[5] * z * (xx - yy) * sh[14]
+                       + SH_C3[6] * x * (xx - 3 * yy) * sh[15])
+    res = res + 0.5
+    return np.maximum(res, 0.0)
+
+
+def rasterize_np(
+    means3d, opacities, colors, viewmatrix, projmatrix, W, H,
+    tan_fovx, tan_fovy, bg, scales=None, rotations=None, cov3d_precomp=None,
+    shs=None, sh_degree=0, campos=None, semantics=None, scale_modifier=1.0,
+):
+    """Returns dict with color [3,H,W], depth, alpha, semantic, radii."""
+    n = means3d.shape[0]
+    fx = W / (2 * tan_fovx)
+    fy = H / (2 * tan_fovy)
+    grid_x = (W + TILE - 1) // TILE
+    grid_y = (H + TILE - 1) // TILE
+    V = np.asarray(viewmatrix, np.float64)
+    P = np.asarray(projmatrix, np.float64)
+
+    radii = np.zeros(n, np.int32)
+    means2d = np.zeros((n, 2))
+    depths = np.zeros(n)
+    conics = np.zeros((n, 3))
+    rect = np.zeros((n, 4), np.int32)
+    rgb = np.zeros((n, 3))
+
+    for i in range(n):
+        p = means3d[i]
+        p_view = V[:3, :3] @ p + V[:3, 3]
+        if p_view[2] <= 0.2:
+            continue
+        p_hom = P[:, :3] @ p + P[:, 3]
+        p_w = 1.0 / (p_hom[3] + 1e-7)
+        p_proj = p_hom[:3] * p_w
+
+        if cov3d_precomp is not None:
+            c6 = cov3d_precomp[i]
+            Sigma = np.array([
+                [c6[0], c6[1], c6[2]],
+                [c6[1], c6[3], c6[4]],
+                [c6[2], c6[4], c6[5]],
+            ])
+        else:
+            R = quat_to_rot(rotations[i])
+            S = np.diag(scale_modifier * np.asarray(scales[i], np.float64))
+            M = R @ S
+            Sigma = M @ M.T
+
+        # EWA: clamp view point, J, cov2d = J W Sigma W^T J^T + 0.3 I2
+        t = p_view.copy()
+        limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
+        txtz, tytz = t[0] / t[2], t[1] / t[2]
+        t[0] = min(limx, max(-limx, txtz)) * t[2]
+        t[1] = min(limy, max(-limy, tytz)) * t[2]
+        J = np.array([
+            [fx / t[2], 0, -fx * t[0] / (t[2] * t[2])],
+            [0, fy / t[2], -fy * t[1] / (t[2] * t[2])],
+            [0, 0, 0],
+        ])
+        Wm = V[:3, :3]
+        cov = J @ Wm @ Sigma @ Wm.T @ J.T
+        a, b, c = cov[0, 0] + 0.3, cov[0, 1], cov[1, 1] + 0.3
+        det = a * c - b * b
+        if det == 0.0:
+            continue
+        conic = np.array([c, -b, a]) / det
+        mid = 0.5 * (a + c)
+        lam = mid + math.sqrt(max(0.1, mid * mid - det))
+        radius = math.ceil(3.0 * math.sqrt(max(lam, 0.0)))
+        px = ((p_proj[0] + 1) * W - 1) * 0.5
+        py = ((p_proj[1] + 1) * H - 1) * 0.5
+        x0 = min(grid_x, max(0, int((px - radius) / TILE)))
+        y0 = min(grid_y, max(0, int((py - radius) / TILE)))
+        x1 = min(grid_x, max(0, int((px + radius + TILE - 1) / TILE)))
+        y1 = min(grid_y, max(0, int((py + radius + TILE - 1) / TILE)))
+        if (x1 - x0) * (y1 - y0) == 0:
+            continue
+        if shs is not None:
+            dirv = p - campos
+            dirv = dirv / np.linalg.norm(dirv)
+            rgb[i] = eval_sh_color(sh_degree, np.asarray(shs[i], np.float64), dirv)
+        else:
+            rgb[i] = colors[i]
+        radii[i] = radius
+        means2d[i] = (px, py)
+        depths[i] = p_view[2]
+        conics[i] = conic
+        rect[i] = (x0, y0, x1, y1)
+
+    s_ch = 0 if semantics is None else semantics.shape[1]
+    out_color = np.zeros((3, H, W))
+    out_depth = np.zeros((1, H, W))
+    out_alpha = np.zeros((1, H, W))
+    out_sem = np.zeros((s_ch, H, W))
+
+    # per-tile lists in (depth, id) order
+    order = sorted([i for i in range(n) if radii[i] > 0],
+                   key=lambda i: (depths[i], i))
+
+    for ty in range(grid_y):
+        for tx in range(grid_x):
+            lst = [i for i in order
+                   if rect[i][0] <= tx < rect[i][2]
+                   and rect[i][1] <= ty < rect[i][3]]
+            for yy in range(ty * TILE, min((ty + 1) * TILE, H)):
+                for xx in range(tx * TILE, min((tx + 1) * TILE, W)):
+                    T = 1.0
+                    C = np.zeros(3)
+                    D = 0.0
+                    wgt = 0.0
+                    Sv = np.zeros(s_ch)
+                    for i in lst:
+                        dx = means2d[i][0] - xx
+                        dy = means2d[i][1] - yy
+                        power = (-0.5 * (conics[i][0] * dx * dx
+                                         + conics[i][2] * dy * dy)
+                                 - conics[i][1] * dx * dy)
+                        if power > 0.0:
+                            continue
+                        alpha = min(0.99, opacities[i] * math.exp(power))
+                        if alpha < 1.0 / 255.0:
+                            continue
+                        test_T = T * (1 - alpha)
+                        if test_T < 1e-4:
+                            break
+                        C += rgb[i] * alpha * T
+                        if s_ch:
+                            Sv += semantics[i] * alpha * T
+                        wgt += alpha * T
+                        D += depths[i] * alpha * T
+                        T = test_T
+                    out_color[:, yy, xx] = C + T * np.asarray(bg)
+                    out_depth[0, yy, xx] = D
+                    out_alpha[0, yy, xx] = wgt
+                    if s_ch:
+                        out_sem[:, yy, xx] = Sv
+    return dict(color=out_color, depth=out_depth, alpha=out_alpha,
+                semantic=out_sem, radii=radii, means2d=means2d)

@@ -1,0 +1,109 @@
+"""Core math: quaternions, covariance build, slerp, schedules."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gaussianrpg_tpu.ops import math3d  # noqa: E402
+from gaussianrpg_tpu.ops import sh as sh_ops  # noqa: E402
+
+
+def test_quaternion_roundtrip(rng):
+    q = rng.standard_normal((32, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    R = math3d.quaternion_to_matrix(jnp.asarray(q))
+    q2 = math3d.matrix_to_quaternion(R)
+    # q and -q are the same rotation
+    dot = np.abs(np.sum(np.asarray(q2) * q, axis=-1))
+    np.testing.assert_allclose(dot, 1.0, atol=1e-5)
+
+
+def test_rotation_orthonormal(rng):
+    q = rng.standard_normal((16, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    R = np.asarray(math3d.quaternion_to_matrix(jnp.asarray(q)))
+    eye = np.einsum("nij,nkj->nik", R, R)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (16, 1, 1)), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(R), 1.0, atol=1e-5)
+
+
+def test_quaternion_multiply_matches_matrix(rng):
+    a = rng.standard_normal((8, 4)).astype(np.float32)
+    b = rng.standard_normal((8, 4)).astype(np.float32)
+    a /= np.linalg.norm(a, axis=-1, keepdims=True)
+    b /= np.linalg.norm(b, axis=-1, keepdims=True)
+    ab = math3d.quaternion_multiply(jnp.asarray(a), jnp.asarray(b))
+    Rab = np.asarray(math3d.quaternion_to_matrix(ab))
+    RaRb = np.asarray(math3d.quaternion_to_matrix(jnp.asarray(a))) @ \
+        np.asarray(math3d.quaternion_to_matrix(jnp.asarray(b)))
+    np.testing.assert_allclose(Rab, RaRb, atol=1e-5)
+
+
+def test_covariance_psd_and_eigs(rng):
+    s = np.exp(rng.uniform(-2, 0, (16, 3))).astype(np.float32)
+    q = rng.standard_normal((16, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    cov6 = math3d.build_covariance(jnp.asarray(s), jnp.asarray(q))
+    full = np.asarray(math3d.unpack_sym6(cov6))
+    eigs = np.sort(np.linalg.eigvalsh(full), axis=-1)
+    np.testing.assert_allclose(eigs, np.sort(s * s, axis=-1), rtol=1e-2,
+                               atol=1e-5)
+
+
+def test_slerp_endpoints_and_midpoint():
+    q0 = jnp.asarray([1.0, 0, 0, 0])
+    # 90 deg about z
+    q1 = jnp.asarray([np.cos(np.pi / 4), 0, 0, np.sin(np.pi / 4)], dtype=jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(math3d.quaternion_slerp(q0, q1, 0.0)), np.asarray(q0), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(math3d.quaternion_slerp(q0, q1, 1.0)), np.asarray(q1), atol=1e-6)
+    mid = math3d.quaternion_slerp(q0, q1, 0.5)
+    expect = np.array([np.cos(np.pi / 8), 0, 0, np.sin(np.pi / 8)])
+    np.testing.assert_allclose(np.asarray(mid), expect, atol=1e-6)
+
+
+def test_slerp_shortest_arc():
+    q0 = jnp.asarray([1.0, 0, 0, 0])
+    q1 = -jnp.asarray([np.cos(0.1), 0, 0, np.sin(0.1)], dtype=jnp.float32)
+    mid = math3d.quaternion_slerp(q0, q1, 0.5)
+    # should interpolate the 0.2-rad rotation, not the long way around
+    ang = 2 * np.arccos(min(1.0, abs(float(mid[0]))))
+    assert ang < 0.2
+
+
+def test_exp_lr_schedule():
+    f = math3d.exp_lr_schedule(1e-2, 1e-4, 100)
+    np.testing.assert_allclose(float(f(0)), 1e-2, rtol=1e-5)
+    np.testing.assert_allclose(float(f(100)), 1e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(f(50)), 1e-3, rtol=1e-5)
+    fd = math3d.exp_lr_schedule(1e-2, 1e-4, 100, lr_delay_steps=10,
+                                lr_delay_mult=0.1)
+    assert float(fd(0)) == pytest.approx(1e-3, rel=1e-4)
+
+
+def test_idft_basis_matches_reference_formula():
+    t = 0.37
+    dim = 5
+    basis = np.asarray(sh_ops.idft_basis(t, dim))
+    expect = np.zeros(dim)
+    for k in range(dim):
+        if k % 2 == 0:
+            expect[k] = np.cos(np.pi * t * k)
+        else:
+            expect[k] = np.sin(np.pi * t * (k + 1))
+    np.testing.assert_allclose(basis, expect, atol=1e-6)
+
+
+def test_sh_eval_matches_reference_kernel_formula(rng):
+    """sh_to_rgb_clamped vs the CUDA computeColorFromSH transliteration."""
+    dirs = rng.standard_normal((64, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    shc = rng.standard_normal((64, 16, 3)).astype(np.float32)
+    got, clamped = sh_ops.sh_to_rgb_clamped(3, jnp.asarray(shc), jnp.asarray(dirs))
+    got = np.asarray(got)
+    from .np_reference import eval_sh_color
+    for i in range(0, 64, 7):
+        expect = eval_sh_color(3, shc[i].astype(np.float64), dirs[i])
+        np.testing.assert_allclose(got[i], expect, rtol=1e-4, atol=1e-5)

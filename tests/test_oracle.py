@@ -1,0 +1,160 @@
+"""Oracle rasterizer vs the scalar NumPy gold transliteration of the CUDA
+pipeline, plus gradient sanity (finite differences)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gaussianrpg_tpu.ops.oracle import rasterize_oracle  # noqa: E402
+
+from .conftest import make_test_camera, random_gaussians  # noqa: E402
+from .np_reference import rasterize_np  # noqa: E402
+
+
+def _run_both(n=200, seed=0, W=64, H=48, with_sh=False, with_sem=False,
+              cam_seed=None, bg=(0.0, 0.0, 0.0)):
+    rng = np.random.default_rng(seed)
+    cam = make_test_camera(width=W, height=H, seed=cam_seed)
+    means, scales, q, opac, colors = random_gaussians(n, rng)
+    sem = rng.uniform(0, 1, (n, 5)).astype(np.float32) if with_sem else None
+    shs = None
+    deg = 0
+    if with_sh:
+        deg = 2
+        shs = (0.3 * rng.standard_normal((n, 16, 3))).astype(np.float32)
+        colors = None
+
+    out = rasterize_oracle(
+        jnp.asarray(means), jnp.asarray(opac),
+        camera=cam, bg_color=jnp.asarray(bg, jnp.float32),
+        colors=None if with_sh else jnp.asarray(colors),
+        shs=None if shs is None else jnp.asarray(shs),
+        sh_degree=deg,
+        semantics=None if sem is None else jnp.asarray(sem),
+        scales=jnp.asarray(scales), rotations=jnp.asarray(q),
+    )
+
+    ref = rasterize_np(
+        means, opac, colors, np.asarray(cam.viewmatrix),
+        np.asarray(cam.projmatrix), W, H, cam.tan_fovx, cam.tan_fovy,
+        np.asarray(bg), scales=scales, rotations=q,
+        shs=shs, sh_degree=deg, campos=np.asarray(cam.cam_center),
+        semantics=sem,
+    )
+    return out, ref
+
+
+@pytest.mark.parametrize("cam_seed", [None, 3])
+def test_forward_matches_gold(cam_seed):
+    out, ref = _run_both(n=300, seed=1, cam_seed=cam_seed)
+    np.testing.assert_array_equal(np.asarray(out.radii), ref["radii"])
+    np.testing.assert_allclose(np.asarray(out.color), ref["color"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.depth), ref["depth"],
+                               rtol=2e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.alpha), ref["alpha"],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_forward_sh_and_semantics():
+    out, ref = _run_both(n=200, seed=2, with_sh=True, with_sem=True,
+                         bg=(1.0, 1.0, 1.0))
+    np.testing.assert_allclose(np.asarray(out.color), ref["color"],
+                               rtol=3e-4, atol=3e-4)
+    np.testing.assert_allclose(np.asarray(out.semantic), ref["semantic"],
+                               rtol=3e-4, atol=3e-4)
+
+
+def test_opaque_early_termination():
+    """Dense opaque wall: early-stop path must agree with gold."""
+    rng = np.random.default_rng(5)
+    n = 400
+    cam = make_test_camera(width=32, height=32)
+    means = np.stack([
+        rng.uniform(-0.6, 0.6, n), rng.uniform(-0.6, 0.6, n),
+        rng.uniform(1.0, 3.0, n),
+    ], -1).astype(np.float32)
+    scales = np.full((n, 3), 0.25, np.float32)
+    q = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = np.full(n, 0.97, np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    out = rasterize_oracle(
+        jnp.asarray(means), jnp.asarray(opac), camera=cam,
+        bg_color=jnp.zeros(3), colors=jnp.asarray(colors),
+        scales=jnp.asarray(scales), rotations=jnp.asarray(q),
+    )
+    ref = rasterize_np(
+        means, opac, colors, np.asarray(cam.viewmatrix),
+        np.asarray(cam.projmatrix), 32, 32, cam.tan_fovx, cam.tan_fovy,
+        np.zeros(3), scales=scales, rotations=q,
+    )
+    np.testing.assert_allclose(np.asarray(out.color), ref["color"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out.alpha), ref["alpha"],
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_gradients_finite_difference():
+    """Loss gradients w.r.t. every input vs central differences."""
+    rng = np.random.default_rng(7)
+    n = 40
+    cam = make_test_camera(width=24, height=16)
+    means, scales, q, opac, colors = random_gaussians(n, rng, z_range=(2.0, 5.0))
+    target = rng.uniform(0, 1, (3, 16, 24)).astype(np.float32)
+
+    def loss(means_, opac_, colors_, scales_, q_):
+        out = rasterize_oracle(
+            means_, opac_, camera=cam, bg_color=jnp.zeros(3),
+            colors=colors_, scales=scales_, rotations=q_,
+        )
+        return jnp.sum((out.color - target) ** 2) + 0.3 * jnp.sum(out.depth)
+
+    args = tuple(map(jnp.asarray, (means, opac, colors, scales, q)))
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
+
+    f = lambda *a: float(loss(*a))
+    eps = 1e-3
+    for ai, name in [(0, "means"), (1, "opac"), (2, "colors"),
+                     (3, "scales"), (4, "rot")]:
+        g = np.asarray(grads[ai])
+        arr = np.asarray(args[ai]).copy()
+        flat = arr.reshape(-1)
+        # probe a handful of coordinates with large analytic gradient
+        idxs = np.argsort(-np.abs(g.reshape(-1)))[:5]
+        for idx in idxs:
+            if abs(g.reshape(-1)[idx]) < 1e-4:
+                continue
+            fp = flat.copy(); fp[idx] += eps
+            fm = flat.copy(); fm[idx] -= eps
+            a_p = [np.asarray(x) for x in args]
+            a_m = [np.asarray(x) for x in args]
+            a_p[ai] = fp.reshape(arr.shape)
+            a_m[ai] = fm.reshape(arr.shape)
+            fd = (f(*map(jnp.asarray, a_p)) - f(*map(jnp.asarray, a_m))) / (2 * eps)
+            an = g.reshape(-1)[idx]
+            assert abs(fd - an) <= 2e-2 * max(1.0, abs(an)), (
+                f"{name}[{idx}]: fd={fd} analytic={an}")
+
+
+def test_viewspace_gradient_hook():
+    """means2d_offset gradient = NDC-scale viewspace gradient (0.5*W scale)."""
+    rng = np.random.default_rng(9)
+    n = 30
+    W, H = 24, 16
+    cam = make_test_camera(width=W, height=H)
+    means, scales, q, opac, colors = random_gaussians(n, rng, z_range=(2.0, 5.0))
+    args = tuple(map(jnp.asarray, (means, opac, colors, scales, q)))
+
+    def loss_with_offset(off):
+        out = rasterize_oracle(
+            args[0], args[1], camera=cam, bg_color=jnp.zeros(3),
+            colors=args[2], scales=args[3], rotations=args[4],
+            means2d_offset=off,
+        )
+        return jnp.sum(out.color ** 2)
+
+    g_off = jax.grad(loss_with_offset)(jnp.zeros((n, 2)))
+    assert np.isfinite(np.asarray(g_off)).all()
+    assert np.abs(np.asarray(g_off)).max() > 0.0
