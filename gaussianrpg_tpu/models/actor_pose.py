@@ -1,0 +1,131 @@
+"""Continuous-time tracked-object poses with learnable residuals.
+
+TPU-native port of `/root/reference/lib/models/actor_pose.py:8-179`:
+tracklet tensor [num_frames, max_obj, (track_id, xyz, quat)] with learnable
+translation residuals and yaw-angle rotation residuals, interpolated to
+arbitrary camera timestamps (lerp for translation, quaternion slerp for
+rotation). The per-object (frame, column) lookup tables are precomputed on
+the host (`obj_info[...]['track_idx']` analog) so the interpolation itself
+is pure, jit-stable JAX.
+
+For validation frames with pose optimization on, the reference interpolates
+between the two nearest TRAIN-camera timestamps (`actor_pose.py:124-136`);
+those two timestamps are host-precomputed per camera and passed in camera
+meta as `val_interp_ts`.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.math3d import quaternion_multiply, quaternion_slerp
+
+
+@struct.dataclass
+class ActorPose:
+    # static tracklet data
+    input_trans: jax.Array   # [F, O, 3]
+    input_rots: jax.Array    # [F, O, 4]
+    timestamps: jax.Array    # [F]
+    col_of: jax.Array        # [n_obj, F] i32 column index per frame (-1 none)
+    # learnable residuals (zero when opt_track is False)
+    opt_trans: jax.Array     # [F, O, 3]
+    opt_rots: jax.Array      # [F, O, 1] yaw residual
+    opt_track: bool = struct.field(pytree_node=False, default=False)
+
+
+def build_actor_pose(tracklets: np.ndarray, tracklet_timestamps,
+                     track_ids: list[int], opt_track: bool) -> ActorPose:
+    """tracklets [F, O, 8] rows (track_id, x, y, z, qw, qx, qy, qz);
+    track_ids lists the object ids in model order."""
+    tracklets = np.asarray(tracklets, np.float32)
+    f, o = tracklets.shape[:2]
+    ids = tracklets[..., 0]
+    col_of = np.full((len(track_ids), f), -1, np.int32)
+    for oi, tid in enumerate(track_ids):
+        for fi in range(f):
+            cols = np.where(ids[fi] == tid)[0]
+            if len(cols):
+                col_of[oi, fi] = cols[0]
+    return ActorPose(
+        input_trans=jnp.asarray(tracklets[..., 1:4]),
+        input_rots=jnp.asarray(tracklets[..., 4:8]),
+        timestamps=jnp.asarray(np.asarray(tracklet_timestamps, np.float32)),
+        col_of=jnp.asarray(col_of),
+        opt_trans=jnp.zeros((f, o, 3), jnp.float32),
+        opt_rots=jnp.zeros((f, o, 1), jnp.float32),
+        opt_track=opt_track,
+    )
+
+
+def _two_nearest(pose: ActorPose, obj_idx, timestamp):
+    """Indices of the two tracklet frames nearest in time where the object
+    exists (`find_closest_indices:83-90`)."""
+    cols = pose.col_of[obj_idx]                       # [F]
+    valid = cols >= 0
+    dt = jnp.where(valid, jnp.abs(pose.timestamps - timestamp), jnp.inf)
+    i1 = jnp.argmin(dt)
+    dt2 = dt.at[i1].set(jnp.inf)
+    i2 = jnp.argmin(dt2)
+    return i1, i2
+
+
+def _pose_at(pose: ActorPose, obj_idx, timestamp):
+    """(translation [3], rotation quat [4]) of one object at a tracklet-
+    interpolated timestamp (`get_tracking_{translation,rotation}_`)."""
+    i1, i2 = _two_nearest(pose, obj_idx, timestamp)
+    c1 = jnp.maximum(pose.col_of[obj_idx, i1], 0)
+    c2 = jnp.maximum(pose.col_of[obj_idx, i2], 0)
+    t1 = pose.timestamps[i1]
+    t2 = pose.timestamps[i2]
+
+    trans1 = pose.input_trans[i1, c1]
+    trans2 = pose.input_trans[i2, c2]
+    rots1 = pose.input_rots[i1, c1]
+    rots2 = pose.input_rots[i2, c2]
+    if pose.opt_track:
+        trans1 = trans1 + pose.opt_trans[i1, c1]
+        trans2 = trans2 + pose.opt_trans[i2, c2]
+
+        def yaw_quat(theta):
+            z = jnp.zeros_like(theta)
+            return jnp.concatenate(
+                [jnp.cos(theta), z, z, jnp.sin(theta)], axis=-1)
+
+        rots1 = quaternion_multiply(rots1, yaw_quat(pose.opt_rots[i1, c1]))
+        rots2 = quaternion_multiply(rots2, yaw_quat(pose.opt_rots[i2, c2]))
+
+    denom = jnp.where(t2 == t1, 1.0, t2 - t1)
+    r = (timestamp - t1) / denom
+    trans = trans1 * (1.0 - r) + trans2 * r
+    rots = quaternion_slerp(rots1, rots2, r)
+    return trans, rots
+
+
+def object_poses(pose: ActorPose, timestamp,
+                 val_interp_ts: jax.Array | None = None):
+    """Poses of ALL objects at a camera timestamp.
+
+    Returns (trans [n_obj, 3], rots [n_obj, 4]). `val_interp_ts` [2], if
+    given (opt_track validation path), makes the pose an interpolation of
+    the poses at the two nearest train timestamps (`actor_pose.py:124-136`).
+    """
+    n_obj = pose.col_of.shape[0]
+    idxs = jnp.arange(n_obj)
+
+    def at(ts):
+        return jax.vmap(lambda o: _pose_at(pose, o, ts))(idxs)
+
+    if val_interp_ts is None or not pose.opt_track:
+        return at(timestamp)
+
+    ts1, ts2 = val_interp_ts[0], val_interp_ts[1]
+    trans1, rots1 = at(ts1)
+    trans2, rots2 = at(ts2)
+    denom = jnp.where(ts2 == ts1, 1.0, ts2 - ts1)
+    r = (timestamp - ts1) / denom
+    trans = trans1 * (1.0 - r) + trans2 * r
+    rots = jax.vmap(lambda a, b: quaternion_slerp(a, b, r))(rots1, rots2)
+    return trans, rots

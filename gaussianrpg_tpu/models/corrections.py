@@ -1,0 +1,90 @@
+"""Appearance (color) and camera-pose correction models.
+
+TPU-native ports of `/root/reference/lib/models/color_correction.py:7-141`
+and `/root/reference/lib/models/camera_pose.py:7-122`: learnable per-image /
+per-sensor 3x4 affine color transforms (separate main and sky matrices) and
+learnable per-image / per-frame SE(3) corrections applied to background
+Gaussians. Parameters are flat arrays indexed by camera id — jit-stable.
+(The reference's optional MLP color mode is not ported yet; the matrix mode
+is what every shipped config uses.)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops.math3d import quaternion_multiply, quaternion_to_matrix
+
+
+@struct.dataclass
+class ColorCorrection:
+    affine: jax.Array      # [num, 3, 4]
+    affine_sky: jax.Array  # [num, 3, 4]
+    mode: str = struct.field(pytree_node=False, default="image")
+
+    def correction_id(self, camera):
+        return camera.meta.get("image_id", 0) if self.mode == "image" \
+            else camera.cam_id
+
+
+def init_color_correction(num: int, mode: str = "image") -> ColorCorrection:
+    eye = jnp.tile(jnp.eye(4, dtype=jnp.float32)[:3][None], (num, 1, 1))
+    return ColorCorrection(affine=eye, affine_sky=eye, mode=mode)
+
+
+def apply_color_correction(cc: ColorCorrection, idx, image: jax.Array,
+                           use_sky: bool = False) -> jax.Array:
+    """image [3, H, W] -> corrected; `color_correction.py:131-135`."""
+    m = (cc.affine_sky if use_sky else cc.affine)[idx]
+    return jnp.einsum("ij,jhw->ihw", m[:, :3], image) \
+        + m[:, 3][:, None, None]
+
+
+def color_correction_reg_loss(cc: ColorCorrection, idx) -> jax.Array:
+    """`color_correction.py:137-141`."""
+    eye = jnp.eye(4, dtype=jnp.float32)[:3]
+    return (jnp.abs(cc.affine[idx] - eye).mean()
+            + jnp.abs(cc.affine_sky[idx] - eye).mean()) / 2.0 * 2.0
+
+
+@struct.dataclass
+class PoseCorrection:
+    trans: jax.Array  # [num, 3]
+    rots: jax.Array   # [num, 4] (unnormalized quats, init identity)
+    mode: str = struct.field(pytree_node=False, default="image")
+
+    def correction_id(self, camera):
+        return camera.meta.get("image_id", 0) if self.mode == "image" \
+            else camera.frame
+
+
+def init_pose_correction(num: int, mode: str = "image") -> PoseCorrection:
+    rots = jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32)[None],
+                    (num, 1))
+    return PoseCorrection(trans=jnp.zeros((num, 3)), rots=rots, mode=mode)
+
+
+def correct_gaussian_xyz(pc: PoseCorrection, idx, xyz: jax.Array
+                         ) -> jax.Array:
+    """`camera_pose.py:89-104`: xyz' = R q xyz + t."""
+    q = pc.rots[idx]
+    q = q / jnp.linalg.norm(q)
+    rot = quaternion_to_matrix(q)
+    return xyz @ rot.T + pc.trans[idx]
+
+
+def correct_gaussian_rotation(pc: PoseCorrection, idx, rotation: jax.Array
+                              ) -> jax.Array:
+    """`camera_pose.py:106-114`."""
+    q = pc.rots[idx]
+    q = q / jnp.linalg.norm(q)
+    return quaternion_multiply(q[None, :], rotation)
+
+
+def pose_correction_reg_loss(pc: PoseCorrection) -> jax.Array:
+    """`camera_pose.py:116-122`."""
+    loss_t = jnp.abs(pc.trans).mean()
+    rn = pc.rots / jnp.linalg.norm(pc.rots, axis=-1, keepdims=True)
+    ident = jnp.asarray([1.0, 0, 0, 0], jnp.float32)
+    return loss_t + jnp.abs(rn - ident).mean()

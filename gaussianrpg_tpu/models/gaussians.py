@@ -1,0 +1,367 @@
+"""Gaussian sub-model parameters as capacity-padded pytrees + adaptive
+density control as pure functions.
+
+TPU-native re-design of the reference `GaussianModel`
+(`/root/reference/lib/models/gaussian_model.py:17-564`). Key differences
+forced by XLA's static shapes:
+
+  * Arrays are CAPACITY-padded: `n_active` live Gaussians occupy the first
+    slots (an explicit `active_mask` is derived, never stored). Densify/
+    clone/split/prune permute within the fixed capacity, so one compiled
+    train step serves every densification interval; the host grows capacity
+    (recompile) only when an interval would overflow — the analog of the
+    CUDA resize-closure buffers.
+  * The optimizer is a hand-rolled Adam (eps 1e-15, matching
+    `training_setup:304`) whose moment pytrees mirror the param pytree, so
+    the reference's "optimizer surgery" (`cat/prune/reset_optimizer:
+    344-408`) becomes the same gather/scatter applied to params and moments
+    alike.
+  * Activations match `setup_functions:207-222`: exp scaling, sigmoid
+    opacity, normalized quaternions, logits-or-softmax semantics.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.math3d import inverse_sigmoid
+from ..ops.sh import rgb_to_sh
+
+
+@struct.dataclass
+class GaussianParams:
+    """Raw (pre-activation) parameters of one sub-model; all arrays are
+    capacity-padded along N."""
+
+    xyz: jax.Array            # [N, 3]
+    features_dc: jax.Array    # [N, F, 3] (F = 1 or fourier_dim for actors)
+    features_rest: jax.Array  # [N, K-1, 3]
+    scaling: jax.Array        # [N, 3] log-scale
+    rotation: jax.Array       # [N, 4] unnormalized quaternion
+    opacity: jax.Array        # [N, 1] logit
+    semantic: jax.Array       # [N, C]
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+
+@struct.dataclass
+class GaussianAux:
+    """Per-Gaussian training statistics (mirrors `gaussian_model.py:46-48,
+    286-289`)."""
+
+    n_active: jax.Array           # [] i32
+    xyz_gradient_accum: jax.Array  # [N, 2]: norm-grad, abs-grad (AbsGS)
+    denom: jax.Array              # [N, 1]
+    max_radii2d: jax.Array        # [N]
+
+
+@struct.dataclass
+class AdamState:
+    mu: Any   # pytree like params
+    nu: Any
+    count: jax.Array
+
+
+def active_mask(params: GaussianParams, aux: GaussianAux) -> jax.Array:
+    return jnp.arange(params.capacity) < aux.n_active
+
+
+def get_scaling(p: GaussianParams) -> jax.Array:
+    return jnp.exp(p.scaling)
+
+
+def get_rotation(p: GaussianParams) -> jax.Array:
+    return p.rotation / jnp.linalg.norm(p.rotation, axis=-1, keepdims=True)
+
+
+def get_opacity(p: GaussianParams) -> jax.Array:
+    return jax.nn.sigmoid(p.opacity)
+
+
+def get_features(p: GaussianParams) -> jax.Array:
+    """[N, K, 3] SH coefficients (DC first); `get_features:237-240`."""
+    return jnp.concatenate([p.features_dc, p.features_rest], axis=1)
+
+
+def get_semantic(p: GaussianParams, mode: str = "logits") -> jax.Array:
+    if mode == "probabilities":
+        return jax.nn.softmax(p.semantic, axis=-1)
+    return p.semantic
+
+
+def init_from_points(
+    points: np.ndarray,
+    colors: np.ndarray,
+    capacity: int,
+    sh_degree: int,
+    fourier_dim: int = 1,
+    num_classes: int = 0,
+    init_opacity: float = 0.1,
+    scales: np.ndarray | None = None,
+) -> tuple[GaussianParams, GaussianAux]:
+    """Initialize from a point cloud; mirrors `create_from_pcd:54-78`
+    (mean 3-NN distance scale init happens in ops/knn.py; pass `scales` to
+    override)."""
+    from ..ops.knn import mean_knn_dist_sq
+
+    n = points.shape[0]
+    assert n <= capacity, f"capacity {capacity} < points {n}"
+    k = (sh_degree + 1) ** 2
+
+    if scales is None:
+        d2 = np.maximum(np.asarray(mean_knn_dist_sq(jnp.asarray(
+            points, dtype=jnp.float32))), 1e-7)
+        scales = np.log(np.sqrt(d2))[:, None].repeat(3, axis=1)
+
+    def pad(x, shape_tail, fill=0.0):
+        out = np.full((capacity,) + shape_tail, fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    f_dc = np.zeros((n, fourier_dim, 3), np.float32)
+    f_dc[:, 0, :] = rgb_to_sh(np.asarray(colors, np.float32))
+    rots = np.zeros((n, 4), np.float32)
+    rots[:, 0] = 1.0
+
+    params = GaussianParams(
+        xyz=pad(np.asarray(points, np.float32), (3,)),
+        features_dc=pad(f_dc, (fourier_dim, 3)),
+        features_rest=pad(np.zeros((n, k - 1, 3), np.float32), (k - 1, 3)),
+        scaling=pad(scales.astype(np.float32), (3,), fill=-20.0),
+        rotation=pad(rots, (4,), fill=0.0).at[:, 0].set(1.0),
+        opacity=pad(
+            inverse_sigmoid(jnp.full((n, 1), init_opacity)), (1,),
+            fill=-20.0),
+        semantic=pad(np.zeros((n, max(num_classes, 1)), np.float32),
+                     (max(num_classes, 1),)),
+    )
+    aux = GaussianAux(
+        n_active=jnp.asarray(n, jnp.int32),
+        xyz_gradient_accum=jnp.zeros((capacity, 2)),
+        denom=jnp.zeros((capacity, 1)),
+        max_radii2d=jnp.zeros((capacity,)),
+    )
+    return params, aux
+
+
+# ---------------------------------------------------------------------------
+# Adam with per-group learning rates (the reference's per-param-group Adam,
+# `training_setup:286-314`)
+# ---------------------------------------------------------------------------
+
+ADAM_EPS = 1e-15  # gaussian_model.py:304
+
+
+def adam_init(params) -> AdamState:
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return AdamState(mu=zeros, nu=jax.tree.map(jnp.zeros_like, params),
+                     count=jnp.zeros((), jnp.int32))
+
+
+def adam_update(params, grads, state: AdamState, lrs,
+                b1=0.9, b2=0.999, eps=ADAM_EPS):
+    """One Adam step. `lrs` is a pytree of scalars matching `params`
+    top-level fields (per-group LR, possibly schedule-driven)."""
+    count = state.count + 1
+    c = count.astype(jnp.float32)
+    bc1 = 1.0 - b1 ** c
+    bc2 = 1.0 - b2 ** c
+
+    mu = jax.tree.map(lambda m, g: b1 * m + (1 - b1) * g, state.mu, grads)
+    nu = jax.tree.map(lambda v, g: b2 * v + (1 - b2) * g * g,
+                      state.nu, grads)
+
+    def upd(p, m, v, lr):
+        mhat = m / bc1
+        vhat = v / bc2
+        return p - lr * mhat / (jnp.sqrt(vhat) + eps)
+
+    new_params = jax.tree.map(upd, params, mu, nu, lrs)
+    return new_params, AdamState(mu=mu, nu=nu, count=count)
+
+
+# ---------------------------------------------------------------------------
+# Adaptive density control (pure-function port of
+# `densify_and_clone:494`, `densify_and_split:453`, `densify_and_prune:522`,
+# `reset_opacity:410` with fixed-capacity slot management)
+# ---------------------------------------------------------------------------
+
+
+def _tree_at_set(params: GaussianParams, idx, values: GaussianParams):
+    return jax.tree.map(
+        lambda p, v: p.at[idx].set(v, mode="drop"), params, values)
+
+
+def _tree_gather(params: GaussianParams, idx):
+    return jax.tree.map(lambda p: jnp.take(p, idx, axis=0), params)
+
+
+@struct.dataclass
+class DensifyConfig:
+    grad_threshold: float = 0.0002       # optim.densify_grad_threshold
+    use_abs_grad: bool = struct.field(pytree_node=False, default=False)
+    min_opacity: float = 0.005
+    percent_dense: float = 0.01
+    percent_big_ws: float = 0.1
+    extent: float = 20.0                 # scene_radius for bkgd
+    prune_big_points: bool = struct.field(pytree_node=False, default=False)
+    split_n: int = struct.field(pytree_node=False, default=2)
+
+
+def densify_and_prune(
+    params: GaussianParams,
+    aux: GaussianAux,
+    adam: AdamState,
+    key: jax.Array,
+    cfg: DensifyConfig,
+    sphere_center: jax.Array | None = None,
+    sphere_radius: jax.Array | None = None,
+):
+    """One densification round within fixed capacity.
+
+    Order matches the reference: clone -> split -> prune, then stats reset.
+    New points fill inactive slots; if capacity would overflow, the
+    lowest-priority new points are dropped (callers watch `n_active`
+    saturation and re-run with a larger capacity).
+
+    Implementation: build a keep/emit decision per slot, compact via
+    argsort on keep-rank (stable), and scatter cloned/split entries after
+    the survivors. Adam moments follow the same permutation (zeros for new
+    entries — `cat_optimizer:396-397`).
+    """
+    from ..ops.math3d import quaternion_to_matrix
+
+    cap = params.capacity
+    act = active_mask(params, aux)
+    grads_accum = jnp.where(
+        cfg.use_abs_grad, aux.xyz_gradient_accum[:, 1], aux.xyz_gradient_accum[:, 0])
+    denom = jnp.maximum(aux.denom[:, 0], 1e-12)
+    grads = jnp.where(aux.denom[:, 0] > 0, grads_accum / denom, 0.0)
+    grads = jnp.where(act, grads, 0.0)
+
+    scaling = jnp.exp(params.scaling)
+    max_scale = jnp.max(scaling, axis=-1)
+    opacity = jax.nn.sigmoid(params.opacity[:, 0])
+
+    hi_grad = grads >= cfg.grad_threshold
+    small = max_scale <= cfg.percent_dense * cfg.extent
+    clone_mask = act & hi_grad & small
+    split_mask = act & hi_grad & (~small)
+
+    # prune: low opacity, optionally big world-space points
+    prune = opacity < cfg.min_opacity
+    if cfg.prune_big_points:
+        big_ws = max_scale > cfg.extent * cfg.percent_big_ws
+        if sphere_center is not None:
+            dist = jnp.linalg.norm(params.xyz - sphere_center, axis=-1)
+            big_ws = big_ws & (dist <= 2.0 * sphere_radius)
+        prune = prune | big_ws
+    # split sources are pruned after splitting (densify_and_split:491-492)
+    keep = act & (~prune) & (~split_mask)
+
+    # --- compact survivors to the front ---
+    keep_rank = jnp.argsort(~keep, stable=True)           # keepers first
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    params_k = _tree_gather(params, keep_rank)
+    adam_mu_k = _tree_gather(adam.mu, keep_rank)
+    adam_nu_k = _tree_gather(adam.nu, keep_rank)
+
+    # --- emit clones (copies) and splits (N sampled replacements) ---
+    # budget slots after survivors; clones first, then split children
+    # (reference order: clone extends, split extends, then prune removes)
+    def emit(mask, maker, base_offset, params_k, mu_k, nu_k):
+        order = jnp.argsort(~mask, stable=True)
+        count = jnp.sum(mask.astype(jnp.int32))
+        src = _tree_gather(params, order)
+        new = maker(src, order)
+        slot = base_offset + jnp.arange(cap)
+        slot = jnp.where(jnp.arange(cap) < count, slot, cap)  # drop others
+        params_k = _tree_at_set(params_k, slot, new)
+        zeros = jax.tree.map(jnp.zeros_like, new)
+        mu_k = _tree_at_set(mu_k, slot, zeros)
+        nu_k = _tree_at_set(nu_k, slot, zeros)
+        return params_k, mu_k, nu_k, count
+
+    def make_clone(src, order):
+        return src
+
+    params_k, adam_mu_k, adam_nu_k, n_clone = emit(
+        clone_mask, make_clone, n_keep, params_k, adam_mu_k, adam_nu_k)
+
+    n_after_clone = n_keep + n_clone
+    keys = jax.random.split(key, cfg.split_n)
+    n_split = jnp.sum(split_mask.astype(jnp.int32))
+    for i in range(cfg.split_n):
+        def make_split(src, order, k=keys[i]):
+            stds = jnp.exp(src.scaling)
+            samples = stds * jax.random.normal(k, src.xyz.shape)
+            rots = quaternion_to_matrix(
+                src.rotation
+                / jnp.linalg.norm(src.rotation, axis=-1, keepdims=True))
+            new_xyz = src.xyz + jnp.einsum("nij,nj->ni", rots, samples)
+            new_scaling = jnp.log(stds / (0.8 * cfg.split_n))
+            return src.replace(xyz=new_xyz, scaling=new_scaling)
+
+        params_k, adam_mu_k, adam_nu_k, _ = emit(
+            split_mask, make_split, n_after_clone + i * n_split,
+            params_k, adam_mu_k, adam_nu_k)
+
+    n_new = jnp.minimum(n_after_clone + cfg.split_n * n_split, cap)
+
+    # deactivate slots beyond n_new (zero opacity so they never render)
+    idx = jnp.arange(cap)
+    dead = idx >= n_new
+    params_k = params_k.replace(
+        opacity=jnp.where(dead[:, None], -20.0, params_k.opacity),
+        scaling=jnp.where(dead[:, None], -20.0, params_k.scaling),
+    )
+
+    aux_new = GaussianAux(
+        n_active=n_new.astype(jnp.int32),
+        xyz_gradient_accum=jnp.zeros_like(aux.xyz_gradient_accum),
+        denom=jnp.zeros_like(aux.denom),
+        max_radii2d=jnp.zeros_like(aux.max_radii2d),
+    )
+    adam_new = AdamState(mu=adam_mu_k, nu=adam_nu_k, count=adam.count)
+    stats = dict(n_keep=n_keep, n_clone=n_clone, n_split=n_split,
+                 n_active=n_new)
+    return params_k, aux_new, adam_new, stats
+
+
+def reset_opacity(params: GaussianParams, adam: AdamState,
+                  max_opacity: float = 0.01):
+    """Clamp opacity to <= max_opacity and zero its Adam moments
+    (`reset_opacity:410-414` + `reset_optimizer:344-361`)."""
+    new_op = inverse_sigmoid(
+        jnp.minimum(jax.nn.sigmoid(params.opacity), max_opacity))
+    params = params.replace(opacity=new_op)
+    mu = adam.mu.replace(opacity=jnp.zeros_like(adam.mu.opacity))
+    nu = adam.nu.replace(opacity=jnp.zeros_like(adam.nu.opacity))
+    return params, AdamState(mu=mu, nu=nu, count=adam.count)
+
+
+def add_densification_stats(aux: GaussianAux, viewspace_grad: jax.Array,
+                            abs_grad: jax.Array, radii: jax.Array,
+                            visible: jax.Array) -> GaussianAux:
+    """Accumulate per-iteration stats (`add_densification_stats:555-561`,
+    `set_max_radii2D:555-565` fan-in).
+
+    viewspace_grad: [N, 2] NDC-scale screen gradient; abs_grad: [N] AbsGS
+    stat; radii: [N] screen radii; visible: [N] bool (radii > 0).
+    """
+    norm = jnp.linalg.norm(viewspace_grad, axis=-1)
+    vis = visible.astype(jnp.float32)
+    return aux.replace(
+        xyz_gradient_accum=aux.xyz_gradient_accum
+        + jnp.stack([norm * vis, abs_grad * vis], axis=-1),
+        denom=aux.denom + vis[:, None],
+        max_radii2d=jnp.maximum(
+            aux.max_radii2d, jnp.where(visible, radii.astype(jnp.float32),
+                                       0.0)),
+    )

@@ -1,0 +1,267 @@
+"""Composite Street Gaussians scene graph: static background + tracked
+dynamic actors + sky + appearance/pose corrections, flattened per camera
+into single rasterizer-ready arrays.
+
+TPU-native re-design of
+`/root/reference/lib/models/street_gaussian_model.py:29-609`. The reference
+rebuilds python lists per frame (`parse_camera:219-293`) with
+data-dependent concatenation sizes; here every sub-model owns a fixed
+capacity and actors are STACKED into one [O, A_cap, ...] pytree, so the
+flattened scene has a single static length
+
+    N_total = B_cap + O * A_cap
+
+for every frame — one compiled render/train executable serves the whole
+sequence. Actors not alive at the camera timestamp (and inactive slots) are
+masked out instead of dropped. Per-sub-model index ranges for densification
+stats are therefore static slices, replacing `graph_gaussian_range`.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.math3d import (matrix_to_quaternion, quaternion_multiply,
+                          quaternion_to_matrix)
+from ..ops.sh import sh_to_rgb_clamped
+from . import gaussians as G
+from .actor_pose import ActorPose, object_poses
+from .corrections import (ColorCorrection, PoseCorrection,
+                          correct_gaussian_rotation, correct_gaussian_xyz)
+from .sky import SkyCubeMap
+
+# quaternion of diag(-1, 1, -1): 180-degree rotation about +y (the
+# symmetry flip, street_gaussian_model.py:57-61)
+FLIP_QUAT = np.array([0.0, 0.0, 1.0, 0.0], np.float32)
+FLIP_AXIS = 1
+
+
+@struct.dataclass
+class SceneMeta:
+    """Static per-scene metadata (aux data, not traced)."""
+
+    num_actors: int = struct.field(pytree_node=False)
+    bkgd_sh_degree: int = struct.field(pytree_node=False)
+    obj_sh_degree: int = struct.field(pytree_node=False)
+    fourier_dim: int = struct.field(pytree_node=False)
+    fourier_scale: float = struct.field(pytree_node=False, default=1.0)
+    num_classes: int = struct.field(pytree_node=False, default=0)
+    semantic_mode: str = struct.field(pytree_node=False, default="logits")
+    flip_prob: float = struct.field(pytree_node=False, default=0.0)
+    use_color_correction: bool = struct.field(pytree_node=False,
+                                              default=False)
+    use_pose_correction: bool = struct.field(pytree_node=False,
+                                             default=False)
+    include_sky: bool = struct.field(pytree_node=False, default=False)
+
+
+@struct.dataclass
+class SceneArrays:
+    """Traced per-scene constants."""
+
+    # per-actor metadata [O, ...]
+    actor_start_ts: jax.Array       # [O]
+    actor_end_ts: jax.Array         # [O]
+    actor_start_frame: jax.Array    # [O]
+    actor_end_frame: jax.Array      # [O]
+    actor_bbox: jax.Array           # [O, 3] full extents (l, w, h)
+    actor_deformable: jax.Array     # [O] bool
+    actor_class: jax.Array          # [O] i32 global semantic label
+    scene_center: jax.Array         # [3]
+    scene_radius: jax.Array         # []
+    sphere_center: jax.Array        # [3]
+    sphere_radius: jax.Array        # []
+
+
+@struct.dataclass
+class SceneModels:
+    """All learnable state of the composite scene."""
+
+    background: G.GaussianParams            # [B_cap, ...]
+    bkgd_aux: G.GaussianAux
+    actors: G.GaussianParams                # stacked [O, A_cap, ...]
+    actors_aux: G.GaussianAux               # stacked [O, ...]
+    actor_pose: Optional[ActorPose]
+    sky: Optional[SkyCubeMap]
+    color_correction: Optional[ColorCorrection]
+    pose_correction: Optional[PoseCorrection]
+
+
+def total_capacity(models: SceneModels) -> int:
+    b = models.background.capacity
+    if models.actors is None or models.actors.xyz.shape[0] == 0:
+        return b
+    o, a = models.actors.xyz.shape[:2]
+    return b + o * a
+
+
+@struct.dataclass
+class ComposedScene:
+    """Flattened rasterizer inputs for one camera."""
+
+    means3d: jax.Array    # [N, 3]
+    colors: jax.Array     # [N, 3] (SH already evaluated per sub-model)
+    opacity: jax.Array    # [N]
+    scales: jax.Array     # [N, 3]
+    rotations: jax.Array  # [N, 4] normalized
+    semantics: Optional[jax.Array]  # [N, C] or None
+    mask: jax.Array       # [N] bool: active AND alive at this camera
+
+
+def _actor_alive(arrays: SceneArrays, timestamp) -> jax.Array:
+    return (timestamp >= arrays.actor_start_ts) & (
+        timestamp <= arrays.actor_end_ts)
+
+
+def compose(
+    models: SceneModels,
+    meta: SceneMeta,
+    arrays: SceneArrays,
+    camera,
+    active_sh_degree: int,
+    flip_key: jax.Array | None = None,
+    include_background: bool = True,
+    include_objects: bool = True,
+    train_mode: bool = False,
+) -> ComposedScene:
+    """Flatten all visible sub-models into single arrays; the TPU analog of
+    `parse_camera:219-293` + the concatenated property getters
+    (`get_xyz:341`, `get_rotation:313`, `get_colors:386`, ...)."""
+    parts: Dict[str, list] = {k: [] for k in
+                              ("xyz", "color", "op", "scale", "rot", "sem",
+                               "mask")}
+    cam_center = camera.cam_center
+
+    # ---------------- background ----------------
+    if include_background:
+        bk = models.background
+        bk_act = G.active_mask(bk, models.bkgd_aux)
+        xyz = bk.xyz
+        rot = G.get_rotation(bk)
+        if meta.use_pose_correction and models.pose_correction is not None:
+            pid = models.pose_correction.correction_id(camera)
+            xyz = correct_gaussian_xyz(models.pose_correction, pid, xyz)
+            rot = correct_gaussian_rotation(models.pose_correction, pid, rot)
+            rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
+        dirs = xyz - cam_center
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        color, _ = sh_to_rgb_clamped(
+            active_sh_degree, G.get_features(bk), dirs)
+        parts["xyz"].append(xyz)
+        parts["color"].append(color)
+        parts["op"].append(G.get_opacity(bk)[:, 0])
+        parts["scale"].append(G.get_scaling(bk))
+        parts["rot"].append(rot)
+        parts["mask"].append(bk_act)
+        if meta.num_classes:
+            parts["sem"].append(G.get_semantic(bk, meta.semantic_mode))
+
+    # ---------------- actors ----------------
+    if include_objects and meta.num_actors > 0:
+        ac = models.actors                       # [O, A, ...]
+        o_cnt, a_cap = ac.xyz.shape[:2]
+        alive = _actor_alive(arrays, camera.timestamp)      # [O]
+        act_mask = (jnp.arange(a_cap)[None, :]
+                    < models.actors_aux.n_active[:, None])  # [O, A]
+
+        # tracked pose at the camera timestamp, composed with ego pose
+        val_ts = None
+        if camera.meta is not None and camera.meta.get("val_interp_ts"):
+            val_ts = jnp.asarray(camera.meta["val_interp_ts"], jnp.float32)
+        trans, rots = object_poses(models.actor_pose, camera.timestamp,
+                                   val_ts)       # [O,3], [O,4]
+        ego = camera.ego_pose
+        ego_q = matrix_to_quaternion(ego[:3, :3])
+        rots = quaternion_multiply(ego_q[None], rots)
+        trans = trans @ ego[:3, :3].T + ego[:3, 3]
+
+        # local params with optional symmetry flip
+        xyz_l = ac.xyz                           # [O, A, 3]
+        rot_l = ac.rotation / jnp.linalg.norm(
+            ac.rotation, axis=-1, keepdims=True)
+        if train_mode and meta.flip_prob > 0 and flip_key is not None:
+            flip = (jax.random.uniform(flip_key, (o_cnt, a_cap))
+                    < meta.flip_prob)
+            flip = flip & (~arrays.actor_deformable[:, None])
+            xyz_l = xyz_l.at[..., FLIP_AXIS].multiply(
+                jnp.where(flip, -1.0, 1.0))
+            rot_l = jnp.where(
+                flip[..., None],
+                quaternion_multiply(
+                    jnp.asarray(FLIP_QUAT)[None, None], rot_l),
+                rot_l)
+
+        # local -> world
+        rmat = quaternion_to_matrix(rots)        # [O, 3, 3]
+        xyz_w = jnp.einsum("oij,oaj->oai", rmat, xyz_l) + trans[:, None, :]
+        rot_w = quaternion_multiply(
+            jnp.broadcast_to(rots[:, None, :], rot_l.shape), rot_l)
+        rot_w = rot_w / jnp.maximum(
+            jnp.linalg.norm(rot_w, axis=-1, keepdims=True), 1e-12)
+
+        # time-conditioned SH (4D Fourier DC), per-frame normalized time
+        denom = jnp.maximum(
+            arrays.actor_end_frame - arrays.actor_start_frame, 1)
+        tnorm = (camera.frame - arrays.actor_start_frame) / denom  # [O]
+        from ..ops.sh import idft_basis
+        basis = idft_basis(tnorm * meta.fourier_scale, meta.fourier_dim)
+        f_dc = jnp.sum(ac.features_dc * basis[:, None, :, None],
+                       axis=2, keepdims=False)[:, :, None, :]   # [O,A,1,3]
+        feats = jnp.concatenate([f_dc, ac.features_rest], axis=2)
+
+        dirs = xyz_w - cam_center
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        obj_deg = min(active_sh_degree, meta.obj_sh_degree)
+        color, _ = sh_to_rgb_clamped(obj_deg, feats, dirs)
+
+        mask = act_mask & alive[:, None]
+
+        flat = lambda x: x.reshape((o_cnt * a_cap,) + x.shape[2:])
+        parts["xyz"].append(flat(xyz_w))
+        parts["color"].append(flat(color))
+        parts["op"].append(flat(G.get_opacity(ac)[..., 0]))
+        parts["scale"].append(flat(G.get_scaling(ac)))
+        parts["rot"].append(flat(rot_w))
+        parts["mask"].append(flat(mask))
+        if meta.num_classes:
+            # one-hot into the global class (gaussian_model_actor.py:64-71)
+            logits = ac.semantic[..., 0]
+            if meta.semantic_mode == "probabilities":
+                logits = jax.nn.sigmoid(logits)
+            sem = (jax.nn.one_hot(arrays.actor_class, meta.num_classes)
+                   [:, None, :] * logits[..., None])
+            parts["sem"].append(flat(sem))
+
+    cat = lambda xs: jnp.concatenate(xs, axis=0)
+    return ComposedScene(
+        means3d=cat(parts["xyz"]),
+        colors=cat(parts["color"]),
+        opacity=cat(parts["op"]),
+        scales=cat(parts["scale"]),
+        rotations=cat(parts["rot"]),
+        semantics=cat(parts["sem"]) if parts["sem"] else None,
+        mask=cat(parts["mask"]),
+    )
+
+
+def submodel_slices(models: SceneModels, include_background=True):
+    """Static (name, start, size) ranges of the flattened arrays, the
+    jit-stable replacement for `graph_gaussian_range` (used to scatter
+    densification stats back per sub-model)."""
+    out = []
+    ofs = 0
+    if include_background:
+        b = models.background.capacity
+        out.append(("background", 0, b))
+        ofs = b
+    if models.actors is not None and models.actors.xyz.shape[0]:
+        o_cnt, a_cap = models.actors.xyz.shape[:2]
+        for o in range(o_cnt):
+            out.append((f"obj_{o}", ofs + o * a_cap, a_cap))
+    return out

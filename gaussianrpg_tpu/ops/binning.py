@@ -1,0 +1,183 @@
+"""Tile binning for the TPU rasterizer: depth sort + flat per-tile pair
+lists at the CUDA rasterizer's native 16x16-tile granularity.
+
+TPU-native replacement for the CUDA duplicate/radix-sort/ranges stage
+(`cuda_rasterizer/rasterizer_impl.cu:70-138,278-321`). The CUDA design
+(dynamic pair count + global 64-bit radix sort + device->host readback) maps
+poorly to XLA's static shapes; this keeps the *ordering and work contract*
+identical while using static capacities:
+
+  1. One global stable argsort by (view depth, id) — restricted to any tile
+     this equals CUDA's per-tile (depth-bits, emission-order) radix order.
+  2. Pair expansion: each visible Gaussian emits one pair per 16x16 tile its
+     rect covers (`tiles_touched`, exactly `duplicateWithKeys`). The dynamic
+     total is handled with a static pair capacity + segment-marker cummax
+     expansion (no data-dependent shapes, no host sync).
+  3. One stable 32-bit sort by tile id groups pairs per tile while
+     preserving depth order — the analog of the CUDA radix sort over
+     (tileID | depth-bits) keys.
+  4. Per-tile ranges are aligned up to the blend kernel's 128-pair chunk so
+     every chunk is a clean Pallas block; chunk->tile metadata arrays drive
+     the kernel's scalar-prefetch index maps. Tiles with zero pairs get no
+     chunks — the caller composites background for them outside the kernel.
+
+Static capacity replaces the CUDA `num_rendered` device->host sync; an
+overflow flag is returned so callers can re-run with a larger capacity
+(shape change = recompile — the XLA analog of the CUDA resize-closure
+buffers, `rasterizer_impl.cu:155-193`).
+
+Everything here is O(N + P) vector work plus one O(P log P) sort and two
+O(P) scatters with unique indices.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import TILE_X, TILE_Y, Preprocessed
+
+G_CHUNK = 128  # pairs per blend-kernel chunk (must match pallas_blend)
+
+
+class PairLists(NamedTuple):
+    """Flat, tile-grouped, depth-ordered Gaussian pair lists + chunk
+    metadata for the blend kernel's scalar-prefetch grid."""
+
+    pair_src: jax.Array      # [P_pad] i32 index into the depth-sorted arrays
+                             # (G_CHUNK-aligned per tile; padding slots = -1)
+    pair_valid: jax.Array    # [P_pad] bool
+    tile_nonempty: jax.Array  # [n_tiles] bool (tiles with >= 1 pair)
+    chunk_tile: jax.Array    # [MAX_CHUNKS] i32 fine tile of each chunk
+    chunk_first: jax.Array   # [MAX_CHUNKS] i32 1 = first chunk of its tile
+    chunk_last: jax.Array    # [MAX_CHUNKS] i32 1 = last chunk of its tile
+    chunk_block_in: jax.Array   # [MAX_CHUNKS] i32 input block id (tail-safe)
+    chunk_block_out: jax.Array  # [MAX_CHUNKS] i32 output block id
+    raw_total: jax.Array     # [] i32 true pair count (before padding)
+    padded_total: jax.Array  # [] i32 padded pair count
+    n_tiles_x: int
+    n_tiles_y: int
+    capacity: int            # P_pad
+
+    @property
+    def overflowed(self):
+        return (self.raw_total > self.capacity) | (
+            self.padded_total > self.capacity)
+
+
+def depth_order(pre: Preprocessed) -> jax.Array:
+    """Stable (depth, id) order with culled Gaussians at the end."""
+    visible = pre.radii > 0
+    key = jnp.where(visible, pre.depths, jnp.inf)
+    return jnp.argsort(key, stable=True)
+
+
+def tile_grid_dims(width: int, height: int) -> tuple[int, int]:
+    return (
+        (width + TILE_X - 1) // TILE_X,
+        (height + TILE_Y - 1) // TILE_Y,
+    )
+
+
+def build_pair_lists(
+    rect_min: jax.Array,   # [N, 2] fine-tile rect (depth-sorted order)
+    rect_max: jax.Array,   # [N, 2]
+    visible: jax.Array,    # [N] bool (depth-sorted order)
+    width: int,
+    height: int,
+    capacity: int,         # P_pad: static padded-pair capacity (mult of 128)
+) -> PairLists:
+    """Expand depth-sorted Gaussians into tile-grouped pair lists.
+
+    All inputs must already be depth-sorted so per-tile pair order is
+    depth-ascending (the blend order contract)."""
+    assert capacity % G_CHUNK == 0
+    n = rect_min.shape[0]
+    ntx, nty = tile_grid_dims(width, height)
+    n_tiles = ntx * nty
+    p_max = capacity
+    max_chunks = capacity // G_CHUNK
+
+    x0 = rect_min[:, 0]
+    y0 = rect_min[:, 1]
+    rw = jnp.maximum(rect_max[:, 0] - x0, 0)
+    rh = jnp.maximum(rect_max[:, 1] - y0, 0)
+    area = jnp.where(visible, rw * rh, 0).astype(jnp.int32)
+
+    offs = jnp.cumsum(area) - area                    # exclusive prefix
+    raw_total = offs[-1] + area[-1]
+
+    # --- segment-marker expansion: pair p -> source gaussian g(p) ---
+    scat_idx = jnp.where(area > 0, offs, p_max)
+    marker = jnp.zeros((p_max,), jnp.int32).at[scat_idx].max(
+        jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop")
+    pair_g = jax.lax.cummax(marker) - 1               # [P_max] source index
+    pair_idx = jnp.arange(p_max, dtype=jnp.int32)
+    pair_ok = (pair_idx < raw_total) & (pair_g >= 0)
+    pair_g = jnp.maximum(pair_g, 0)
+
+    # decode covered tile from within-gaussian pair rank k (row-major over
+    # the rect, exactly duplicateWithKeys' loop order — irrelevant for
+    # correctness since pairs regroup by tile, but keeps counts identical)
+    k = pair_idx - jnp.take(offs, pair_g)
+    g_x0 = jnp.take(x0, pair_g)
+    g_y0 = jnp.take(y0, pair_g)
+    g_rw = jnp.maximum(jnp.take(rw, pair_g), 1)
+    tile = (g_y0 + k // g_rw) * ntx + (g_x0 + k % g_rw)
+    tile = jnp.where(pair_ok, tile, n_tiles).astype(jnp.int32)
+
+    # --- group by tile, keeping depth order (stable sort, 32-bit keys) ---
+    tile_sorted, src_sorted = jax.lax.sort_key_val(tile, pair_g,
+                                                   is_stable=True)
+
+    # per-tile ranges + chunk-aligned placement
+    starts = jnp.searchsorted(tile_sorted,
+                              jnp.arange(n_tiles + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]                 # [n_tiles]
+    pcounts = ((counts + G_CHUNK - 1) // G_CHUNK) * G_CHUNK
+    pstarts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts)]).astype(jnp.int32)
+    padded_total = pstarts[-1]
+
+    in_range = tile_sorted < n_tiles
+    safe_tile = jnp.minimum(tile_sorted, n_tiles - 1)
+    dst = jnp.take(pstarts, safe_tile) + (pair_idx - jnp.take(starts,
+                                                             safe_tile))
+    dst = jnp.where(in_range, dst, capacity)
+    pair_src = jnp.full((capacity,), -1, jnp.int32).at[dst].set(
+        src_sorted, mode="drop")
+    pair_valid = pair_src >= 0
+
+    # --- chunk metadata for the scalar-prefetch grid ---
+    cidx = jnp.arange(max_chunks, dtype=jnp.int32)
+    elem = cidx * G_CHUNK
+    ct = jnp.clip(
+        jnp.searchsorted(pstarts, elem, side="right").astype(jnp.int32) - 1,
+        0, n_tiles - 1)
+    cvalid = elem < padded_total
+    chunk_tile = jnp.where(cvalid, ct, n_tiles - 1)
+    chunk_first = (cvalid & (elem == jnp.take(pstarts, ct))).astype(jnp.int32)
+    chunk_last = (
+        cvalid & (elem + G_CHUNK == jnp.take(pstarts, ct + 1))
+    ).astype(jnp.int32)
+    chunk_block_in = jnp.where(cvalid, cidx, 0)
+    # tail chunks write zeros to their own (otherwise-unwritten) grad block
+    chunk_block_out = cidx
+
+    return PairLists(
+        pair_src=pair_src,
+        pair_valid=pair_valid,
+        tile_nonempty=counts > 0,
+        chunk_tile=chunk_tile,
+        chunk_first=chunk_first,
+        chunk_last=chunk_last,
+        chunk_block_in=chunk_block_in,
+        chunk_block_out=chunk_block_out,
+        raw_total=raw_total,
+        padded_total=padded_total,
+        n_tiles_x=ntx,
+        n_tiles_y=nty,
+        capacity=capacity,
+    )

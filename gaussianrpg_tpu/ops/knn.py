@@ -1,0 +1,67 @@
+"""Mean 3-nearest-neighbor squared distance for Gaussian scale init.
+
+TPU-native equivalent of simple-knn's `distCUDA2`
+(`/root/reference/submodules/simple-knn/simple_knn.cu:45-213`): Morton-code
+sort + windowed neighbor search. The CUDA version searches 1024-point Morton
+boxes with box-distance rejection; here we take the K nearest among a +/-W
+window in Morton order — an approximation in the same spirit (both rely on
+Morton locality), only used to seed initial log-scales
+(`gaussian_model.py:63-64`), where small error is immaterial.
+
+Pure JAX (runs anywhere); O(N * W) after an O(N log N) sort.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _expand_bits(v: jax.Array) -> jax.Array:
+    """Spread 10 bits to every 3rd bit (Morton prep); matches
+    `simple_knn.cu:45-53` (prepMorton)."""
+    v = (v * 0x00010001) & 0xFF0000FF
+    v = (v * 0x00000101) & 0x0F00F00F
+    v = (v * 0x00000011) & 0xC30C30C3
+    v = (v * 0x00000005) & 0x49249249
+    return v
+
+
+def morton_codes(points: jax.Array) -> jax.Array:
+    """30-bit Morton codes from points normalized to the bbox
+    (`simple_knn.cu:56-70` coord2Morton)."""
+    mn = jnp.min(points, axis=0)
+    mx = jnp.max(points, axis=0)
+    rel = (points - mn) / jnp.maximum(mx - mn, 1e-12)
+    q = jnp.clip((rel * 1023.0).astype(jnp.uint32), 0, 1023)
+    x = _expand_bits(q[:, 0])
+    y = _expand_bits(q[:, 1])
+    z = _expand_bits(q[:, 2])
+    return (x | (y << 1) | (z << 2)).astype(jnp.uint32)
+
+
+def mean_knn_dist_sq(points: jax.Array, k: int = 3, window: int = 16
+                     ) -> jax.Array:
+    """[N, 3] -> [N] mean squared distance to the (approximate) k nearest
+    neighbors."""
+    n = points.shape[0]
+    codes = morton_codes(points)
+    order = jnp.argsort(codes)
+    pts = jnp.take(points, order, axis=0)
+
+    # neighbor offsets -W..-1, 1..W in morton order
+    offsets = jnp.concatenate([
+        jnp.arange(-window, 0), jnp.arange(1, window + 1)])
+    idx = jnp.arange(n)[:, None] + offsets[None, :]
+    valid = (idx >= 0) & (idx < n)
+    idx = jnp.clip(idx, 0, n - 1)
+    nbrs = pts[idx]                                  # [N, 2W, 3]
+    d2 = jnp.sum((nbrs - pts[:, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(valid, d2, jnp.inf)
+    knn_d2, _ = jax.lax.top_k(-d2, k)
+    knn_d2 = -knn_d2
+    mean = jnp.mean(jnp.where(jnp.isfinite(knn_d2), knn_d2, 0.0), axis=-1)
+
+    # undo the sort
+    inv = jnp.zeros((n,), jnp.int32).at[order].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return jnp.take(mean, inv, axis=0)

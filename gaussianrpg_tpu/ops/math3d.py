@@ -159,11 +159,14 @@ def build_covariance(s: jax.Array, q: jax.Array, scale_modifier=1.0) -> jax.Arra
     """
     R = unnormalized_quaternion_to_matrix(q)
     M = R * (scale_modifier * s)[..., None, :]  # R @ diag(s)
-    sigma = M @ jnp.swapaxes(M, -1, -2)
+    # Sigma = M M^T expanded elementwise (a batched 3x3 matmul would hit
+    # the MXU's default bf16 operand rounding and break allclose parity)
+    m0, m1, m2 = M[..., 0, :], M[..., 1, :], M[..., 2, :]
+    dot3 = lambda a, b: jnp.sum(a * b, axis=-1)
     return jnp.stack(
         [
-            sigma[..., 0, 0], sigma[..., 0, 1], sigma[..., 0, 2],
-            sigma[..., 1, 1], sigma[..., 1, 2], sigma[..., 2, 2],
+            dot3(m0, m0), dot3(m0, m1), dot3(m0, m2),
+            dot3(m1, m1), dot3(m1, m2), dot3(m2, m2),
         ],
         axis=-1,
     )

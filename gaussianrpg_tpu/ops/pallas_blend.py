@@ -1,0 +1,479 @@
+"""Pallas TPU blend kernels: front-to-back alpha compositing + hand-derived
+backward, as a `jax.custom_vjp` over flat tile-grouped Gaussian pair lists.
+
+TPU-native re-design of the CUDA tile kernels
+(`cuda_rasterizer/forward.cu:340-467`, `backward.cu:415-641`). Key mapping:
+
+  CUDA                                  TPU (here)
+  ------------------------------------  -----------------------------------
+  1 thread-block per 16x16 tile,        grid step = one 128-pair chunk of
+  1 thread per pixel                    one 16x16 tile; 256 pixels live on
+                                        sublanes, the 128 chunk Gaussians
+                                        on lanes -> full (256,128) VPU tiles
+  shared-mem staging of 256 Gaussians   Pallas auto-DMAs each (NF, 128)
+  per round                             chunk block via scalar-prefetch
+                                        index maps (double-buffered)
+  sequential per-thread T recurrence    lane-parallel cumulative product
+                                        via log2-step rolls (Hillis-Steele)
+  early-out on T < 1e-4                 the stop bound T*(1-a) is monotone
+                                        non-increasing along the depth
+                                        order, so no scan is needed for the
+                                        stop mask; fully-done tiles skip
+                                        whole chunks via pl.when
+  atomicAdd gradient scatter            per-chunk gradient blocks written
+                                        once; cross-Gaussian aggregation via
+                                        XLA scatter-add of the
+                                        (differentiable) pair gather outside
+                                        this custom_vjp
+
+Parity contract (against `forward.cu:410-454` / ops/oracle.py):
+  * skip if power > 0 or alpha_raw < 1/255,
+  * alpha = min(0.99, op*exp(power)); backward ignores the 0.99 clamp,
+  * per-pixel stop when T*(1-alpha) < 1e-4 (that Gaussian excluded),
+  * out_color = C + T_final*bg; out_alpha = sum(alpha*T); depth/semantics
+    alpha-weighted. Padding slots are all-zero -> alpha_raw = 0 -> skipped.
+
+Backward math (re-derivation of `backward.cu:415-641` in prefix-sum form):
+with T_i the transmittance before Gaussian i, e_i = sum_ch c_ch,i * g_ch
+the cotangent-folded feature, and P_i the inclusive prefix of w_i * e_i,
+the CUDA back-to-front recurrences are equivalent to
+    dL/dalpha_i = e_i*T_i - (TotE - P_i)/(1-alpha_i)
+                  - T_final/(1-alpha_i) * (bg . g_rgb)
+where TotE = sum_ch Tot_ch * g_ch folds the per-channel totals, recovered
+from the saved forward outputs (Tot_rgb = out_color - T_final*bg, T_final =
+1 - out_alpha — the same identity `backward.cu:468` uses). This lets the
+backward stream FRONT-to-back with the same chunk grid as the forward
+instead of CUDA's reversed traversal, with ONE cumulative sum per chunk.
+
+The `absgrad_sink` input is a zeros array whose cotangent is defined as
+sum_pixels |dL/dmean2d| in NDC scale — the AbsGS densification statistic the
+CUDA kernel accumulates in dL_dmean2D.z (`backward.cu:627-628`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .projection import TILE_X, TILE_Y
+
+G_CHUNK = 128            # pairs per chunk (== binning.G_CHUNK)
+N_PIX = TILE_X * TILE_Y  # 256 pixels per tile
+
+# gdata field rows
+F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_DEPTH, F_RADIUS = range(11)
+NF_BASE = 11
+F_SEM = NF_BASE  # semantics rows start here
+# gradient rows: same layout for 0..9; the radius slot carries abs-grad
+GF_ABS = F_RADIUS
+NG_BASE = 11
+
+
+def _round8(x):
+    return (x + 7) // 8 * 8
+
+
+def _pixel_coords(tile_x, tile_y):
+    """Pixel centers of tile (tile_x, tile_y) as (N_PIX, 1) f32, flattened
+    p = y*16 + x (CUDA pix_id order)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
+    px = (p % TILE_X + tile_x * TILE_X).astype(jnp.float32)
+    py = (p // TILE_X + tile_y * TILE_Y).astype(jnp.float32)
+    return px, py
+
+
+def _lane_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (N_PIX, G_CHUNK), 1)
+
+
+def _lane_cumprod(x):
+    """Inclusive cumulative product along the 128-lane Gaussian axis via
+    log2-step rolls (exact f32; reassociated like any parallel scan)."""
+    lane = _lane_iota()
+    y = x
+    s = 1
+    while s < G_CHUNK:
+        y = y * jnp.where(lane >= s, pltpu.roll(y, s, axis=1), 1.0)
+        s *= 2
+    return y
+
+
+def _lane_cumsum(x):
+    """Inclusive cumulative sum along the 128-lane Gaussian axis."""
+    lane = _lane_iota()
+    y = x
+    s = 1
+    while s < G_CHUNK:
+        y = y + jnp.where(lane >= s, pltpu.roll(y, s, axis=1), 0.0)
+        s *= 2
+    return y
+
+
+def _shift_one(x, fill):
+    """Shift lanes right by one (exclusive-scan alignment)."""
+    lane = _lane_iota()
+    return jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), fill)
+
+
+def _dot_t(a, b):
+    """a [P, G] x b [C, G] -> [P, C] (contract on G). HIGHEST precision:
+    the TPU default rounds f32 operands to bf16 on the MXU."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _dot_cg(a, b):
+    """a [P, C] x b [C, G] -> [P, G] (contract on C), HIGHEST precision."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _chunk_rows(gdata_ref):
+    row = lambda f: gdata_ref[f:f + 1, :]
+    return dict(mx=row(F_MX), my=row(F_MY), ca=row(F_CA), cb=row(F_CB),
+                cc=row(F_CC), op=row(F_OP))
+
+
+def _alpha_terms(t, px, py):
+    """(N_PIX, G) pixel-gaussian quantities; `forward.cu:417-428`."""
+    dx = t["mx"] - px
+    dy = t["my"] - py
+    power = -0.5 * (t["ca"] * dx * dx + t["cc"] * dy * dy) \
+        - t["cb"] * dx * dy
+    g = jnp.exp(power)
+    alpha_raw = t["op"] * g
+    alpha = jnp.minimum(alpha_raw, 0.99)
+    return dict(dx=dx, dy=dy, power=power, g=g, alpha_raw=alpha_raw,
+                alpha=alpha)
+
+
+def _blend_core(a, t_run, done):
+    """Masks + transmittances for one chunk; `forward.cu:420-436`.
+
+    Monotonicity: T_i*(1-alpha_i) is non-increasing along the chunk, so the
+    "stopped at or before i" predicate is simply `t_excl*one_m < 1e-4` —
+    no scan needed.
+    """
+    skip = (a["power"] > 0.0) | (a["alpha_raw"] < (1.0 / 255.0))
+    one_m = jnp.where(skip, 1.0, 1.0 - a["alpha"])        # (N_PIX, G)
+    om_incl = _lane_cumprod(one_m)
+    t_excl = t_run * _shift_one(om_incl, 1.0)             # excl. own factor
+    alive = (t_excl * one_m) >= 1e-4
+    contrib = (~skip) & alive & (~done)
+    w = jnp.where(contrib, a["alpha"] * t_excl, 0.0)
+    # product over contributors via log-sum (Mosaic has no reduce_prod);
+    # om_used >= 0.01 so the log is tame
+    log_om = jnp.where(contrib, jnp.log(one_m), 0.0)
+    t_run_new = t_run * jnp.exp(jnp.sum(log_om, axis=1, keepdims=True))
+    stop_any = jnp.sum(((~skip) & (~alive)).astype(jnp.float32), axis=1,
+                       keepdims=True) > 0.0
+    done_new = done | stop_any
+    return contrib, one_m, t_excl, w, done_new, t_run_new
+
+
+def _feat_rows(gdata_ref, s_ch):
+    """Features [C_f, G]: r, g, b, depth, 1(weight), semantics..."""
+    cd = gdata_ref[F_R:F_DEPTH + 1, :]                   # (4, G)
+    ones = jnp.ones((1, G_CHUNK), jnp.float32)
+    if s_ch:
+        sem = gdata_ref[F_SEM:F_SEM + s_ch, :]           # (S, G)
+        return jnp.concatenate([cd, ones, sem], axis=0)
+    return jnp.concatenate([cd, ones], axis=0)
+
+
+def _make_fwd_kernel(ntx, s_ch):
+    c_feat = 5 + s_ch  # r,g,b,depth,weight,sem...
+
+    def kernel(ct_ref, cf_ref, cl_ref, _cbi_ref, _cbo_ref, bg_ref,
+               gdata_ref, out_ref, t_run_s, done_s, acc_s):
+        c = pl.program_id(0)
+        tile = ct_ref[c]
+        tile_x = tile % ntx
+        tile_y = tile // ntx
+
+        @pl.when(cf_ref[c] == 1)
+        def _():
+            t_run_s[...] = jnp.ones((N_PIX, 1), jnp.float32)
+            done_s[...] = jnp.zeros((N_PIX, 1), jnp.float32)
+            acc_s[...] = jnp.zeros((N_PIX, c_feat), jnp.float32)
+
+        n_done = jnp.sum(done_s[...])
+
+        @pl.when(n_done < N_PIX)
+        def _():
+            px, py = _pixel_coords(tile_x, tile_y)
+            t = _chunk_rows(gdata_ref)
+            a = _alpha_terms(t, px, py)
+            t_run = t_run_s[...]
+            done = done_s[...] > 0.0
+            contrib, _, _, w, done_new, t_run_new = \
+                _blend_core(a, t_run, done)
+            feats = _feat_rows(gdata_ref, s_ch)
+            acc_s[...] += _dot_t(w, feats)                # (N_PIX, C_f)
+            t_run_s[...] = t_run_new
+            done_s[...] = done_new.astype(jnp.float32)
+
+        @pl.when(cl_ref[c] == 1)
+        def _():
+            acc = acc_s[...]
+            t_fin = t_run_s[...]
+            rgb = jnp.concatenate(
+                [acc[:, 0:1] + t_fin * bg_ref[0],
+                 acc[:, 1:2] + t_fin * bg_ref[1],
+                 acc[:, 2:3] + t_fin * bg_ref[2]], axis=1)
+            planes = jnp.concatenate(
+                [rgb, acc[:, 3:5]]
+                + ([acc[:, 5:5 + s_ch]] if s_ch else []),
+                axis=1,
+            )                                             # (N_PIX, NFO)
+            # tile-major output layout [NFO, tile, N_PIX]; image reassembly
+            # happens outside (Mosaic cannot split the 256-pixel lane dim)
+            out_ref[0, :, :] = planes.T
+
+    return kernel
+
+
+def _make_bwd_kernel(ntx, s_ch, width, height, ng_rows):
+    c_feat = 5 + s_ch
+    half_w = 0.5 * width
+    half_h = 0.5 * height
+
+    def kernel(ct_ref, cf_ref, _cl_ref, _cbi_ref, _cbo_ref, bg_ref,
+               gdata_ref, out_ref, dout_ref, grad_ref,
+               t_run_s, done_s, pref_s, gmat_s):
+        c = pl.program_id(0)
+        tile = ct_ref[c]
+        tile_x = tile % ntx
+        tile_y = tile // ntx
+        bg0, bg1, bg2 = bg_ref[0], bg_ref[1], bg_ref[2]
+
+        @pl.when(cf_ref[c] == 1)
+        def _():
+            t_run_s[...] = jnp.ones((N_PIX, 1), jnp.float32)
+            done_s[...] = jnp.zeros((N_PIX, 1), jnp.float32)
+            pref_s[...] = jnp.zeros((N_PIX, 1), jnp.float32)
+
+        gmat_s[...] = jnp.zeros((ng_rows, G_CHUNK), jnp.float32)
+        n_done = jnp.sum(done_s[...])
+
+        @pl.when(n_done < N_PIX)
+        def _():
+            # saved forward outputs and cotangents -> (N_PIX, NFO)
+            outs = out_ref[0, :, :].T
+            g_pix = dout_ref[0, :, :].T
+            t_final = 1.0 - outs[:, 4:5]
+            tot = jnp.concatenate(
+                [outs[:, 0:1] - t_final * bg0,
+                 outs[:, 1:2] - t_final * bg1,
+                 outs[:, 2:3] - t_final * bg2,
+                 outs[:, 3:5]]
+                + ([outs[:, 5:5 + s_ch]] if s_ch else []),
+                axis=1,
+            )                                             # (N_PIX, C_f)
+            tot_e = jnp.sum(tot * g_pix, axis=1, keepdims=True)
+            bg_dot = (g_pix[:, 0:1] * bg0 + g_pix[:, 1:2] * bg1
+                      + g_pix[:, 2:3] * bg2)              # (N_PIX, 1)
+
+            px, py = _pixel_coords(tile_x, tile_y)
+            t = _chunk_rows(gdata_ref)
+            a = _alpha_terms(t, px, py)
+            t_run = t_run_s[...]
+            done = done_s[...] > 0.0
+            contrib, one_m, t_excl, w, done_new, t_run_new = \
+                _blend_core(a, t_run, done)
+            feats = _feat_rows(gdata_ref, s_ch)           # (C_f, G)
+
+            # cotangent-folded feature e and its weighted prefix
+            e = _dot_cg(g_pix, feats)                     # (N_PIX, G)
+            we = w * e
+            p_incl = pref_s[...] + _lane_cumsum(we)
+            inv_om = 1.0 / one_m
+            dl_da = e * t_excl - (tot_e - p_incl) * inv_om \
+                - (t_final * inv_om) * bg_dot
+            dl_da = jnp.where(contrib, dl_da, 0.0)
+
+            dl_dg = t["op"] * dl_da                       # (N_PIX, G)
+            gxp = dl_dg * a["g"] * (
+                -(t["ca"] * a["dx"] + t["cb"] * a["dy"]))
+            gyp = dl_dg * a["g"] * (
+                -(t["cc"] * a["dy"] + t["cb"] * a["dx"]))
+
+            def red(x):
+                return jnp.sum(x, axis=0, keepdims=True)
+
+            rows = [
+                red(gxp),                                   # F_MX
+                red(gyp),                                   # F_MY
+                red(-0.5 * a["dx"] * a["dx"] * a["g"] * dl_dg),
+                red(-a["dx"] * a["dy"] * a["g"] * dl_dg),
+                red(-0.5 * a["dy"] * a["dy"] * a["g"] * dl_dg),
+                red(a["g"] * dl_da),                        # F_OP
+                red(w * g_pix[:, 0:1]),                     # F_R
+                red(w * g_pix[:, 1:2]),                     # F_G
+                red(w * g_pix[:, 2:3]),                     # F_B
+                red(w * g_pix[:, 3:4]),                     # F_DEPTH
+                red(half_w * jnp.abs(gxp)
+                    + half_h * jnp.abs(gyp)),               # GF_ABS
+            ]
+            for s in range(s_ch):
+                rows.append(red(w * g_pix[:, 5 + s:6 + s]))
+            for _ in range(ng_rows - len(rows)):
+                rows.append(jnp.zeros((1, G_CHUNK), jnp.float32))
+            gmat_s[...] = jnp.concatenate(rows, axis=0)
+
+            t_run_s[...] = t_run_new
+            done_s[...] = done_new.astype(jnp.float32)
+            pref_s[...] = p_incl[:, G_CHUNK - 1:G_CHUNK]
+
+        grad_ref[...] = gmat_s[...]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _blend_fns(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
+    """Build (forward, backward) pallas_call wrappers for a static config."""
+    nfo = 5 + s_ch
+    ng_rows = _round8(NG_BASE + s_ch)
+    n_tiles = ntx * nty
+    max_chunks = capacity // G_CHUNK
+    c_feat = 5 + s_ch
+
+    fwd_kernel = _make_fwd_kernel(ntx, s_ch)
+    bwd_kernel = _make_bwd_kernel(ntx, s_ch, width, height, ng_rows)
+
+    # scalar-prefetch order: ct, cf, cl, cbi, cbo, bg
+    gdata_spec = pl.BlockSpec(
+        (nf_rows, G_CHUNK),
+        lambda c, ct, cf, cl, cbi, cbo, bg: (0, cbi[c]))
+    # tile-leading layout: Mosaic requires the last two block dims to divide
+    # (8, 128) or equal the full array dims, so the revisited tile axis must
+    # be the leading dim
+    tile_spec = pl.BlockSpec(
+        (1, nfo, N_PIX),
+        lambda c, ct, cf, cl, cbi, cbo, bg: (ct[c], 0, 0))
+
+    fwd_call = pl.pallas_call(
+        fwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(max_chunks,),
+            in_specs=[gdata_spec],
+            out_specs=tile_spec,
+            scratch_shapes=[
+                pltpu.VMEM((N_PIX, 1), jnp.float32),       # t_run
+                pltpu.VMEM((N_PIX, 1), jnp.float32),       # done
+                pltpu.VMEM((N_PIX, c_feat), jnp.float32),  # acc
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, nfo, N_PIX), jnp.float32),
+        interpret=bool(interpret),
+    )
+
+    bwd_call = pl.pallas_call(
+        bwd_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(max_chunks,),
+            in_specs=[gdata_spec, tile_spec, tile_spec],
+            out_specs=pl.BlockSpec(
+                (ng_rows, G_CHUNK),
+                lambda c, ct, cf, cl, cbi, cbo, bg: (0, cbo[c])),
+            scratch_shapes=[
+                pltpu.VMEM((N_PIX, 1), jnp.float32),       # t_run
+                pltpu.VMEM((N_PIX, 1), jnp.float32),       # done
+                pltpu.VMEM((N_PIX, 1), jnp.float32),       # pref_e
+                pltpu.VMEM((ng_rows, G_CHUNK), jnp.float32),  # gmat
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((ng_rows, capacity), jnp.float32),
+        interpret=bool(interpret),
+    )
+    return fwd_call, bwd_call
+
+
+@functools.lru_cache(maxsize=32)
+def _make_blend(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
+    """custom_vjp blend for one static config.
+
+    primal: (gdata [NF, P_pad], chunk meta (5 x [MAX_CHUNKS] i32), bg [3],
+    absgrad_sink [P_pad]) -> planes [n_tiles, NFO, 256] (tile-major; empty
+    tiles contain garbage — mask them outside via tile_nonempty).
+    """
+    fwd_call, bwd_call = _blend_fns(ntx, nty, s_ch, capacity, nf_rows,
+                                    width, height, interpret)
+
+    @jax.custom_vjp
+    def blend(gdata, ct, cf, cl, cbi, cbo, bg, absgrad_sink):
+        return fwd_call(ct, cf, cl, cbi, cbo, bg, gdata)
+
+    def blend_fwd(gdata, ct, cf, cl, cbi, cbo, bg, absgrad_sink):
+        out = fwd_call(ct, cf, cl, cbi, cbo, bg, gdata)
+        return out, (gdata, ct, cf, cl, cbi, cbo, bg, out)
+
+    def blend_bwd(res, dout):
+        gdata, ct, cf, cl, cbi, cbo, bg, out = res
+        grads = bwd_call(ct, cf, cl, cbi, cbo, bg, gdata, out, dout)
+        # rows 0..9 (means2d/conic/op/color/depth) map 1:1 to gdata rows;
+        # the radius row (10) carries the abs-grad stat -> absgrad_sink
+        d_gdata = jnp.zeros_like(gdata)
+        d_gdata = d_gdata.at[0:F_RADIUS, :].set(grads[0:F_RADIUS, :])
+        if s_ch:
+            d_gdata = d_gdata.at[F_SEM:F_SEM + s_ch, :].set(
+                grads[NG_BASE:NG_BASE + s_ch, :])
+        d_abs = grads[GF_ABS, :]
+        return (d_gdata, None, None, None, None, None, None, d_abs)
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
+
+
+def planes_to_image(planes: jax.Array, ntx: int, nty: int,
+                    height: int, width: int) -> jax.Array:
+    """Reassemble tile-major [ntx*nty, NFO, 256] into image planes
+    [NFO, height, width] (pure XLA; differentiable, so the blend cotangent
+    arrives pre-tiled)."""
+    nfo = planes.shape[1]
+    x = planes.reshape(nty, ntx, nfo, TILE_Y, TILE_X)
+    x = x.transpose(2, 0, 3, 1, 4)
+    x = x.reshape(nfo, nty * TILE_Y, ntx * TILE_X)
+    return x[:, :height, :width]
+
+
+def blend_pairs(
+    gdata: jax.Array,         # [nf_rows, P_pad] f32 (rows per F_* layout)
+    lists,                    # binning.PairLists
+    bg: jax.Array,            # [3] f32
+    absgrad_sink: jax.Array,  # [P_pad] f32 zeros (cotangent = AbsGS stats)
+    *,
+    width: int,
+    height: int,
+    s_ch: int = 0,
+    interpret: bool = False,
+) -> jax.Array:
+    """Blend entry point: returns image planes [5 + S, height, width]
+    (rgb, depth, alpha, semantics...)."""
+    capacity = gdata.shape[-1]
+    nf_rows = gdata.shape[-2]
+    assert capacity % G_CHUNK == 0, "capacity must be a multiple of 128"
+    assert nf_rows >= NF_BASE + s_ch
+    fn = _make_blend(lists.n_tiles_x, lists.n_tiles_y, s_ch, capacity,
+                     nf_rows, width, height, interpret)
+    planes = fn(gdata, lists.chunk_tile, lists.chunk_first, lists.chunk_last,
+                lists.chunk_block_in, lists.chunk_block_out, bg,
+                absgrad_sink)
+    # tiles with no pairs never get a chunk: composite pure background
+    nfo = planes.shape[1]
+    bg_plane = jnp.concatenate(
+        [bg.reshape(3), jnp.zeros((nfo - 3,), planes.dtype)])
+    planes = jnp.where(lists.tile_nonempty[:, None, None], planes,
+                       bg_plane[None, :, None])
+    return planes_to_image(planes, lists.n_tiles_x, lists.n_tiles_y,
+                           height, width)

@@ -46,13 +46,36 @@ class Preprocessed(NamedTuple):
 
 
 def transform_point_4x3(p: jax.Array, m: jax.Array) -> jax.Array:
-    """(M @ [p,1])[:3] for [..., 3] points and a 4x4 matrix."""
-    return p @ m[:3, :3].T + m[:3, 3]
+    """(M @ [p,1])[:3] for [..., 3] points and a 4x4 matrix.
+
+    Written as explicit elementwise math, NOT a matmul: XLA's default TPU
+    matmul rounds f32 operands to bf16 on the MXU, which destroys allclose
+    parity (and these tiny contractions are faster on the VPU anyway).
+    """
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    return jnp.stack(
+        [
+            m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + m[0, 3],
+            m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + m[1, 3],
+            m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3],
+        ],
+        axis=-1,
+    )
 
 
 def transform_point_4x4(p: jax.Array, m: jax.Array) -> jax.Array:
-    """M @ [p,1] for [..., 3] points, returns [..., 4]."""
-    return p @ m[:, :3].T + m[:, 3]
+    """M @ [p,1] for [..., 3] points, returns [..., 4] (elementwise; see
+    transform_point_4x3)."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    return jnp.stack(
+        [
+            m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + m[0, 3],
+            m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + m[1, 3],
+            m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3],
+            m[3, 0] * x + m[3, 1] * y + m[3, 2] * z + m[3, 3],
+        ],
+        axis=-1,
+    )
 
 
 def ndc2pix(v: jax.Array, size) -> jax.Array:

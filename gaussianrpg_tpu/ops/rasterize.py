@@ -1,0 +1,192 @@
+"""Public differentiable rasterizer API (TPU-native).
+
+This is the JAX equivalent of the reference's rasterizer module boundary
+(`diff_gaussian_rasterization/__init__.py:181-260` + `rasterize_points.cu`):
+one call renders color/depth/alpha/semantic planes from Gaussian primitives
+and is differentiable w.r.t. every float input.
+
+Pipeline (all under jit; no host round-trips):
+    preprocess (pure JAX, ops/projection.py)    ~ forward.cu:155-256
+    SH -> color (pure JAX, ops/sh.py)           ~ forward.cu:20-71
+    stable (depth, id) argsort                  ~ radix sort, impl.cu:303-311
+    coarse-tile binning (ops/binning.py)        ~ duplicateWithKeys + ranges
+    gather per-tile SoA lists (XLA gather)      ~ shared-mem staging
+    Pallas blend custom_vjp (ops/pallas_blend)  ~ renderCUDA fwd+bwd
+
+The backward composes automatically: the Pallas blend has a hand-derived
+VJP; gather/sort/preprocess/SH backprop via JAX autodiff (their CUDA
+counterparts `backward.cu:144-412` are elementwise math that autodiff
+reproduces exactly — clamp masks included — because the forward matches
+op-for-op).
+
+Gradient hooks mirroring the reference training loop contract:
+  * `means2d_offset` — zeros [N, 2]; its cotangent is the NDC-scale
+    viewspace gradient (the reference's dummy screenspace tensor,
+    `street_gaussian_renderer.py:157-164`).
+  * `absgrad_sink` — zeros [N]; its cotangent is the AbsGS statistic
+    sum_pixels |dL/dmean2d| (reference: dL_dmean2D.z, backward.cu:627).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import binning
+from .oracle import RasterOut, rasterize_oracle
+from .pallas_blend import NF_BASE, blend_pairs
+from .projection import preprocess
+from .sh import sh_to_rgb_clamped
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def rasterize(
+    means3d: jax.Array,
+    opacities: jax.Array,
+    *,
+    camera,
+    bg_color: jax.Array,
+    colors: jax.Array | None = None,
+    shs: jax.Array | None = None,
+    sh_degree: int = 0,
+    semantics: jax.Array | None = None,
+    scales: jax.Array | None = None,
+    rotations: jax.Array | None = None,
+    cov3d_precomp: jax.Array | None = None,
+    scale_modifier: float = 1.0,
+    means2d_offset: jax.Array | None = None,
+    absgrad_sink: jax.Array | None = None,
+    active_mask: jax.Array | None = None,
+    capacity: int = 1 << 19,
+    backend: str = "pallas",
+    interpret: bool = False,
+) -> RasterOut:
+    """Render Gaussians through the TPU pipeline.
+
+    means3d [N,3]; opacities [N] or [N,1] (post-sigmoid); colors [N,3] or
+    shs [N,K,3]; semantics [N,S] optional; scales [N,3]+rotations [N,4]
+    (normalized) or cov3d_precomp [N,6]. `capacity` is the static padded
+    (Gaussian x coarse-tile) pair capacity — the analog of the CUDA
+    binning buffer size; grow + recompile on overflow.
+    """
+    if backend == "oracle":
+        return rasterize_oracle(
+            means3d, opacities, camera=camera, bg_color=bg_color,
+            colors=colors, shs=shs, sh_degree=sh_degree, semantics=semantics,
+            scales=scales, rotations=rotations, cov3d_precomp=cov3d_precomp,
+            scale_modifier=scale_modifier, means2d_offset=means2d_offset,
+        )
+
+    H, W = camera.height, camera.width
+    n = means3d.shape[0]
+    opacities = opacities.reshape(-1)
+
+    pre = preprocess(
+        means3d,
+        scales if scales is not None else jnp.ones((n, 3), means3d.dtype),
+        rotations if rotations is not None else
+        jnp.concatenate(
+            [jnp.ones((n, 1), means3d.dtype),
+             jnp.zeros((n, 3), means3d.dtype)], -1),
+        camera.viewmatrix,
+        camera.projmatrix,
+        W, H,
+        camera.tan_fovx,
+        camera.tan_fovy,
+        scale_modifier,
+        cov3d_precomp,
+    )
+
+    if colors is None:
+        assert shs is not None
+        dirs = means3d - camera.cam_center
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        colors, _ = sh_to_rgb_clamped(sh_degree, shs, dirs)
+
+    means2d = pre.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset * jnp.asarray(
+            [0.5 * W, 0.5 * H], means2d.dtype)
+
+    radii = pre.radii
+    if active_mask is not None:
+        # capacity-padding / scene-graph aliveness mask (models layer)
+        radii = jnp.where(active_mask, radii, 0)
+        pre = pre._replace(radii=radii)
+    visible = radii > 0
+    order = jax.lax.stop_gradient(binning.depth_order(pre))
+
+    s_ch = 0
+    sem_list = []
+    if semantics is not None and semantics.shape[-1] > 0:
+        s_ch = semantics.shape[-1]
+        sem_list = [semantics.T]  # [S, N]
+
+    # [NF, N] stacked field rows (see pallas_blend F_* layout)
+    fields = jnp.concatenate(
+        [
+            means2d.T,                                  # mx, my
+            pre.conics.T,                               # ca, cb, cc
+            opacities[None, :],                         # op
+            colors.T,                                   # r, g, b
+            pre.depths[None, :],                        # depth
+            pre.radii.astype(jnp.float32)[None, :],     # radius
+        ]
+        + sem_list,
+        axis=0,
+    )
+    nf_rows = _round_up(NF_BASE + s_ch, 8)
+    if fields.shape[0] < nf_rows:
+        fields = jnp.concatenate(
+            [fields, jnp.zeros((nf_rows - fields.shape[0], n),
+                               fields.dtype)], axis=0)
+
+    fields_sorted = jnp.take(fields, order, axis=1)     # [NF, N]
+    rect_min_s = jnp.take(pre.rect_min, order, axis=0)
+    rect_max_s = jnp.take(pre.rect_max, order, axis=0)
+    visible_s = jnp.take(visible, order, axis=0)
+
+    lists = binning.build_pair_lists(
+        rect_min_s, rect_max_s, visible_s, W, H, capacity)
+
+    # gather the flat pair data [NF, P_pad]; padding slots zeroed (their
+    # radius row 0 makes the kernel's cover mask skip them)
+    src = jax.lax.stop_gradient(jnp.maximum(lists.pair_src, 0))
+    valid = jax.lax.stop_gradient(
+        lists.pair_valid.astype(fields.dtype))[None, :]
+    gdata = jnp.take(fields_sorted, src, axis=1) * valid
+
+    if absgrad_sink is None:
+        absgrad_sink = jnp.zeros((n,), means3d.dtype)
+    # route the per-gaussian sink through sort+pair-gather so its cotangent
+    # (the per-pair abs stats) aggregates back per Gaussian automatically
+    sink_sorted = jnp.take(absgrad_sink, order, axis=0)
+    sink_pairs = jnp.take(sink_sorted, src, axis=0) * valid[0]
+
+    planes = blend_pairs(
+        gdata,
+        lists,
+        bg_color.reshape(3),
+        sink_pairs,
+        width=W,
+        height=H,
+        s_ch=s_ch,
+        interpret=interpret,
+    )
+    color = planes[0:3]
+    depth = planes[3:4]
+    alpha = planes[4:5]
+    semantic = planes[5:5 + s_ch]
+    return RasterOut(
+        color=color,
+        depth=depth,
+        alpha=alpha,
+        semantic=semantic,
+        radii=pre.radii,
+        means2d=pre.means2d,
+    )

@@ -1,0 +1,118 @@
+"""Composite scene renderer: scene graph -> rasterizer -> sky -> color
+correction.
+
+TPU-native port of
+`/root/reference/lib/models/street_gaussian_renderer.py:7-274` (`render` +
+`render_kernel`) and its Lite variant (`:276-507`). One function, fully
+jittable; the "lite" path is just `train_mode=False` with no gradient
+hooks.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..models import gaussians as G
+from ..models.corrections import apply_color_correction
+from ..models.scene_graph import (ComposedScene, SceneArrays, SceneMeta,
+                                  SceneModels, compose)
+from ..models.sky import render_sky
+from ..ops.rasterize import rasterize
+
+
+class RenderResult(NamedTuple):
+    rgb: jax.Array                 # [3, H, W]
+    acc: jax.Array                 # [1, H, W]
+    depth: jax.Array               # [1, H, W]
+    semantic: Optional[jax.Array]  # [S, H, W] or None
+    radii: jax.Array               # [N_total]
+    visibility: jax.Array          # [N_total] bool
+    viewspace_grad_sink: Any       # pytree of hook arrays (train only)
+
+
+@struct.dataclass
+class RenderOptions:
+    scaling_modifier: float = struct.field(pytree_node=False, default=1.0)
+    white_background: bool = struct.field(pytree_node=False, default=False)
+    capacity: int = struct.field(pytree_node=False, default=1 << 19)
+    interpret: bool = struct.field(pytree_node=False, default=False)
+    backend: str = struct.field(pytree_node=False, default="pallas")
+    clamp_output: bool = struct.field(pytree_node=False, default=True)
+
+
+def render_scene(
+    models: SceneModels,
+    meta: SceneMeta,
+    arrays: SceneArrays,
+    camera,
+    *,
+    active_sh_degree: int,
+    options: RenderOptions = RenderOptions(),
+    include_background: bool = True,
+    include_objects: bool = True,
+    train_mode: bool = False,
+    rng_key: jax.Array | None = None,
+    means2d_offset: jax.Array | None = None,
+    absgrad_sink: jax.Array | None = None,
+) -> RenderResult:
+    """Render one camera; mirrors `StreetGaussianRenderer.render:87-117`.
+
+    For training, pass zeros `means2d_offset` [N_total, 2] and
+    `absgrad_sink` [N_total]; their gradients are the densification stats.
+    """
+    flip_key = sky_key = None
+    if rng_key is not None:
+        flip_key, sky_key = jax.random.split(rng_key)
+
+    scene = compose(models, meta, arrays, camera, active_sh_degree,
+                    flip_key=flip_key,
+                    include_background=include_background,
+                    include_objects=include_objects,
+                    train_mode=train_mode)
+
+    bg = jnp.ones(3) if options.white_background else jnp.zeros(3)
+    out = rasterize(
+        scene.means3d,
+        scene.opacity,
+        camera=camera,
+        bg_color=bg,
+        colors=scene.colors,
+        scales=scene.scales,
+        rotations=scene.rotations,
+        semantics=scene.semantics,
+        scale_modifier=options.scaling_modifier,
+        means2d_offset=means2d_offset,
+        absgrad_sink=absgrad_sink,
+        active_mask=scene.mask,
+        capacity=options.capacity,
+        backend=options.backend,
+        interpret=options.interpret,
+    )
+
+    rgb = out.color
+    acc = out.alpha
+    if meta.include_sky and models.sky is not None:
+        sky_rgb = render_sky(models.sky, camera,
+                             sky_key if train_mode else None)
+        rgb = rgb + sky_rgb * (1.0 - jax.lax.stop_gradient(acc))
+
+    if meta.use_color_correction and models.color_correction is not None:
+        cid = models.color_correction.correction_id(camera)
+        rgb = apply_color_correction(models.color_correction, cid, rgb)
+
+    if options.clamp_output and not train_mode:
+        rgb = jnp.clip(rgb, 0.0, 1.0)
+
+    sem = out.semantic if (scene.semantics is not None) else None
+    return RenderResult(
+        rgb=rgb,
+        acc=acc,
+        depth=out.depth,
+        semantic=sem,
+        radii=out.radii,
+        visibility=out.radii > 0,
+        viewspace_grad_sink=None,
+    )
