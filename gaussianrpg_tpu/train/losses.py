@@ -1,0 +1,74 @@
+"""Training losses: masked L1/L2, PSNR, windowed SSIM.
+
+Port of `/root/reference/lib/utils/loss_utils.py:21-125`: the SSIM is the
+standard 11x11 Gaussian-window formulation (sigma 1.5, k1 0.01, k2 0.03)
+implemented with depthwise convolutions so XLA maps it onto the MXU.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def l1_loss(pred: jax.Array, gt: jax.Array,
+            mask: jax.Array | None = None) -> jax.Array:
+    d = jnp.abs(pred - gt)
+    if mask is None:
+        return d.mean()
+    m = jnp.broadcast_to(mask, d.shape)
+    return jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def l2_loss(pred: jax.Array, gt: jax.Array,
+            mask: jax.Array | None = None) -> jax.Array:
+    d = (pred - gt) ** 2
+    if mask is None:
+        return d.mean()
+    m = jnp.broadcast_to(mask, d.shape)
+    return jnp.sum(d * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def psnr(pred: jax.Array, gt: jax.Array,
+         mask: jax.Array | None = None) -> jax.Array:
+    mse = l2_loss(pred, gt, mask)
+    return 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> jax.Array:
+    x = jnp.arange(size, dtype=jnp.float32) - size // 2
+    g = jnp.exp(-(x ** 2) / (2 * sigma ** 2))
+    g = g / g.sum()
+    return jnp.outer(g, g)
+
+
+def _filter2d(img: jax.Array, window: jax.Array) -> jax.Array:
+    """Depthwise 2D conv with same padding; img [C, H, W]."""
+    c = img.shape[0]
+    kernel = jnp.broadcast_to(window[None, None], (c, 1) + window.shape)
+    return jax.lax.conv_general_dilated(
+        img[None], kernel,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]
+
+
+def ssim(pred: jax.Array, gt: jax.Array, window_size: int = 11
+         ) -> jax.Array:
+    """Mean SSIM over [C, H, W] images in [0, 1]; `loss_utils.ssim:91-125`."""
+    w = _gaussian_window(window_size)
+    mu1 = _filter2d(pred, w)
+    mu2 = _filter2d(gt, w)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu12 = mu1 * mu2
+    sigma1_sq = _filter2d(pred * pred, w) - mu1_sq
+    sigma2_sq = _filter2d(gt * gt, w) - mu2_sq
+    sigma12 = _filter2d(pred * gt, w) - mu12
+    c1 = 0.01 ** 2
+    c2 = 0.03 ** 2
+    ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    return ssim_map.mean()

@@ -1,0 +1,317 @@
+"""Training stack: jitted train step + host-side densification schedule.
+
+TPU-native port of `/root/reference/train.py:24-315`. The per-iteration
+work (render forward+backward, all losses `train.py:116-225`, Adam updates,
+densification-stat accumulation) compiles into ONE XLA executable; only the
+interval events (densify/prune every `densification_interval`, opacity
+resets, SH-degree upgrades, checkpoints) run host-side between steps, as
+pure-function pytree updates — mirroring the reference's loop structure
+without its per-step Python/C++ boundary crossings.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..models import gaussians as G
+from ..models.corrections import (color_correction_reg_loss,
+                                  pose_correction_reg_loss)
+from ..models.scene_graph import SceneArrays, SceneMeta, SceneModels
+from ..ops.math3d import exp_lr_schedule
+from ..render.renderer import RenderOptions, render_scene
+from . import losses as L
+
+
+@struct.dataclass
+class OptimConfig:
+    """Learning rates / loss weights; defaults mirror
+    `lib/config/config.py` + `configs/example/*.yaml`."""
+
+    position_lr_init: float = 1.6e-4
+    position_lr_final: float = 1.6e-6
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = struct.field(pytree_node=False,
+                                              default=30000)
+    feature_lr: float = 2.5e-3
+    opacity_lr: float = 0.05
+    scaling_lr: float = 5e-3
+    rotation_lr: float = 1e-3
+    semantic_lr: float = 1e-3
+    track_position_lr: float = 5e-4
+    track_rotation_lr: float = 1e-4
+    sky_lr: float = 1e-2
+    color_correction_lr: float = 5e-4
+    pose_correction_lr: float = 5e-6
+    spatial_lr_scale: float = 1.0
+
+    lambda_l1: float = 1.0
+    lambda_dssim: float = 0.2
+    lambda_sky: float = 0.0
+    lambda_semantic: float = 0.0
+    lambda_depth_lidar: float = 0.0
+    lambda_color_correction: float = 0.0
+    lambda_pose_correction: float = 0.0
+    lambda_scale_flatten: float = 0.0
+    lambda_opacity_sparse: float = 0.0
+
+    densify_from_iter: int = struct.field(pytree_node=False, default=500)
+    densify_until_iter: int = struct.field(pytree_node=False, default=15000)
+    densification_interval: int = struct.field(pytree_node=False,
+                                               default=100)
+    opacity_reset_interval: int = struct.field(pytree_node=False,
+                                               default=3000)
+    densify_grad_threshold: float = 2e-4
+    densify_grad_abs_bkgd: bool = struct.field(pytree_node=False,
+                                               default=False)
+    min_opacity: float = 0.005
+    percent_dense: float = 0.01
+    percent_big_ws: float = 0.1
+
+
+class Batch(NamedTuple):
+    """One training view (device arrays)."""
+
+    gt_image: jax.Array                 # [3, H, W]
+    mask: Optional[jax.Array] = None    # [1, H, W] bool
+    sky_mask: Optional[jax.Array] = None
+    lidar_depth: Optional[jax.Array] = None
+    gt_semantic: Optional[jax.Array] = None  # [1, H, W] i32, -1 = ignore
+
+
+@struct.dataclass
+class TrainState:
+    models: SceneModels
+    adam: G.AdamState            # over the full learnable pytree
+    step: jax.Array
+
+
+def _learnables(models: SceneModels):
+    """The trainable sub-pytree of SceneModels (aux/static excluded)."""
+    out = dict(background=models.background, actors=models.actors)
+    if models.actor_pose is not None and models.actor_pose.opt_track:
+        out["actor_pose"] = dict(opt_trans=models.actor_pose.opt_trans,
+                                 opt_rots=models.actor_pose.opt_rots)
+    if models.sky is not None:
+        out["sky"] = models.sky.cube_map
+    if models.color_correction is not None:
+        out["color_correction"] = dict(
+            affine=models.color_correction.affine,
+            affine_sky=models.color_correction.affine_sky)
+    if models.pose_correction is not None:
+        out["pose_correction"] = dict(
+            trans=models.pose_correction.trans,
+            rots=models.pose_correction.rots)
+    return out
+
+
+def _with_learnables(models: SceneModels, lrn) -> SceneModels:
+    models = models.replace(background=lrn["background"],
+                            actors=lrn["actors"])
+    if "actor_pose" in lrn:
+        models = models.replace(actor_pose=models.actor_pose.replace(
+            opt_trans=lrn["actor_pose"]["opt_trans"],
+            opt_rots=lrn["actor_pose"]["opt_rots"]))
+    if "sky" in lrn:
+        models = models.replace(sky=models.sky.replace(
+            cube_map=lrn["sky"]))
+    if "color_correction" in lrn:
+        models = models.replace(
+            color_correction=models.color_correction.replace(
+                affine=lrn["color_correction"]["affine"],
+                affine_sky=lrn["color_correction"]["affine_sky"]))
+    if "pose_correction" in lrn:
+        models = models.replace(
+            pose_correction=models.pose_correction.replace(
+                trans=lrn["pose_correction"]["trans"],
+                rots=lrn["pose_correction"]["rots"]))
+    return models
+
+
+def _lr_tree(lrn, cfg: OptimConfig, step):
+    """Per-leaf learning rates (the reference's per-group Adam LRs with the
+    log-lerp xyz schedule, `gaussian_model.py:292-310,320-325`)."""
+    xyz_lr = exp_lr_schedule(
+        cfg.position_lr_init * cfg.spatial_lr_scale,
+        cfg.position_lr_final * cfg.spatial_lr_scale,
+        cfg.position_lr_max_steps,
+        lr_delay_mult=cfg.position_lr_delay_mult,
+        lr_delay_steps=0)(step)
+
+    def gauss_lrs(g: G.GaussianParams):
+        return G.GaussianParams(
+            xyz=xyz_lr,
+            features_dc=cfg.feature_lr,
+            features_rest=cfg.feature_lr / 20.0,
+            scaling=cfg.scaling_lr,
+            rotation=cfg.rotation_lr,
+            opacity=cfg.opacity_lr,
+            semantic=cfg.semantic_lr,
+        )
+
+    out = dict(background=gauss_lrs(lrn["background"]),
+               actors=gauss_lrs(lrn["actors"]))
+    if "actor_pose" in lrn:
+        out["actor_pose"] = dict(opt_trans=cfg.track_position_lr,
+                                 opt_rots=cfg.track_rotation_lr)
+    if "sky" in lrn:
+        out["sky"] = cfg.sky_lr
+    if "color_correction" in lrn:
+        out["color_correction"] = dict(affine=cfg.color_correction_lr,
+                                       affine_sky=cfg.color_correction_lr)
+    if "pose_correction" in lrn:
+        out["pose_correction"] = dict(trans=cfg.pose_correction_lr,
+                                      rots=cfg.pose_correction_lr)
+    return out
+
+
+def compute_losses(result, batch: Batch, models, meta, cfg: OptimConfig,
+                   visibility, scene_opacity):
+    """Assemble the training loss; mirrors `train.py:116-225`."""
+    scalars = {}
+    mask = batch.mask
+    l1 = L.l1_loss(result.rgb, batch.gt_image, mask)
+    dssim = 1.0 - L.ssim(result.rgb, batch.gt_image)
+    loss = (1.0 - cfg.lambda_dssim) * cfg.lambda_l1 * l1 \
+        + cfg.lambda_dssim * dssim
+    scalars["l1"] = l1
+    scalars["dssim"] = dssim
+
+    if cfg.lambda_sky > 0 and batch.sky_mask is not None:
+        acc = jnp.clip(result.acc, 1e-6, 1 - 1e-6)
+        sky_loss = jnp.where(batch.sky_mask, -jnp.log(1 - acc),
+                             -jnp.log(acc)).mean()
+        loss = loss + cfg.lambda_sky * sky_loss
+        scalars["sky"] = sky_loss
+
+    if cfg.lambda_semantic > 0 and batch.gt_semantic is not None \
+            and result.semantic is not None:
+        logits = result.semantic.transpose(1, 2, 0)      # [H, W, S]
+        tgt = batch.gt_semantic[0]                       # [H, W]
+        valid = tgt >= 0
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        ce = -jnp.take_along_axis(
+            logp, jnp.maximum(tgt, 0)[..., None], axis=-1)[..., 0]
+        sem_loss = jnp.sum(ce * valid) / jnp.maximum(valid.sum(), 1)
+        loss = loss + cfg.lambda_semantic * sem_loss
+        scalars["semantic"] = sem_loss
+
+    if cfg.lambda_depth_lidar > 0 and batch.lidar_depth is not None:
+        dmask = (batch.lidar_depth > 0)
+        if mask is not None:
+            dmask = dmask & mask
+        expected = result.depth / (result.acc + 1e-10)
+        err = jnp.abs(expected - batch.lidar_depth)
+        # 95%-trimmed mean (train.py:171): soft approximation — drop the
+        # top-5% by clamping at the 95th percentile of masked errors
+        errm = jnp.where(dmask, err, 0.0)
+        q95 = jnp.percentile(jnp.where(dmask, err, jnp.nan), 95)
+        q95 = jnp.nan_to_num(q95, nan=jnp.inf)
+        trimmed = jnp.where(dmask & (err <= q95), err, 0.0)
+        cnt = jnp.maximum(jnp.sum(dmask & (err <= q95)), 1)
+        d_loss = jnp.sum(trimmed) / cnt
+        loss = loss + cfg.lambda_depth_lidar * d_loss
+        scalars["lidar_depth"] = d_loss
+
+    if cfg.lambda_color_correction > 0 and \
+            models.color_correction is not None:
+        cc = color_correction_reg_loss(models.color_correction, 0)
+        loss = loss + cfg.lambda_color_correction * cc
+        scalars["cc_reg"] = cc
+
+    if cfg.lambda_pose_correction > 0 and models.pose_correction is not None:
+        pc = pose_correction_reg_loss(models.pose_correction)
+        loss = loss + cfg.lambda_pose_correction * pc
+        scalars["pc_reg"] = pc
+
+    if cfg.lambda_scale_flatten > 0:
+        s = jnp.sort(jnp.exp(models.background.scaling), axis=1)
+        s1 = jnp.clip(s[:, 0], 0, 30)
+        s2 = jnp.clip(s[:, 1], 1e-5, 30)
+        s3 = jnp.clip(s[:, 2], 1e-5, 30)
+        flat = jnp.abs(s1).mean() + jnp.abs(s2 / s3 + s3 / s2 - 2.0).mean()
+        loss = loss + cfg.lambda_scale_flatten * flat
+        scalars["scale_flatten"] = flat
+
+    if cfg.lambda_opacity_sparse > 0:
+        op = jnp.clip(scene_opacity, 1e-6, 1 - 1e-6)
+        ent = -(op * jnp.log(op) + (1 - op) * jnp.log(1 - op))
+        vis = visibility.astype(jnp.float32)
+        sparse = jnp.sum(ent * vis) / jnp.maximum(vis.sum(), 1)
+        loss = loss + cfg.lambda_opacity_sparse * sparse
+        scalars["opacity_sparse"] = sparse
+
+    scalars["total"] = loss
+    return loss, scalars
+
+
+def make_train_step(meta: SceneMeta, arrays: SceneArrays,
+                    cfg: OptimConfig, options: RenderOptions,
+                    n_total: int):
+    """Build the jitted train step for a given (static) scene config.
+
+    active_sh_degree is a static argument — the reference bumps it every
+    1000 iters (`oneupSHdegree`), costing at most max_sh_degree recompiles.
+    """
+
+    @functools.partial(jax.jit, static_argnames=("active_sh_degree",))
+    def train_step(state: TrainState, camera, batch: Batch, key: jax.Array,
+                   active_sh_degree: int):
+        lrn = _learnables(state.models)
+
+        def loss_fn(lrn, off, sink):
+            models = _with_learnables(state.models, lrn)
+            res = render_scene(
+                models, meta, arrays, camera,
+                active_sh_degree=active_sh_degree,
+                options=options, train_mode=True, rng_key=key,
+                means2d_offset=off, absgrad_sink=sink)
+            from ..models.scene_graph import compose
+            scene_op = jax.lax.stop_gradient(jax.nn.sigmoid(jnp.concatenate(
+                [models.background.opacity[:, 0],
+                 models.actors.opacity[..., 0].reshape(-1)])))
+            loss, scalars = compute_losses(
+                res, batch, models, meta, cfg, res.visibility, scene_op)
+            return loss, (scalars, res)
+
+        off0 = jnp.zeros((n_total, 2))
+        sink0 = jnp.zeros((n_total,))
+        (loss, (scalars, res)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(lrn, off0, sink0)
+        g_lrn, g_off, g_sink = grads
+
+        lrs = _lr_tree(lrn, cfg, state.step)
+        new_lrn, new_adam = G.adam_update(lrn, g_lrn, state.adam, lrs)
+        models = _with_learnables(state.models, new_lrn)
+
+        # densification stats (background slice + per-actor slices)
+        bcap = state.models.background.capacity
+        vis = res.visibility
+        bk_aux = G.add_densification_stats(
+            state.models.bkgd_aux, g_off[:bcap], g_sink[:bcap],
+            res.radii[:bcap], vis[:bcap])
+        models = models.replace(bkgd_aux=bk_aux)
+        if meta.num_actors > 0:
+            o_cnt, a_cap = state.models.actors.xyz.shape[:2]
+            sl = lambda x: x[bcap:bcap + o_cnt * a_cap].reshape(
+                (o_cnt, a_cap) + x.shape[1:])
+            ac_aux = jax.vmap(G.add_densification_stats)(
+                state.models.actors_aux, sl(g_off), sl(g_sink),
+                sl(res.radii), sl(vis))
+            models = models.replace(actors_aux=ac_aux)
+
+        new_state = TrainState(models=models, adam=new_adam,
+                               step=state.step + 1)
+        return new_state, loss, scalars, res
+
+    return train_step
+
+
+def init_train_state(models: SceneModels) -> TrainState:
+    return TrainState(models=models,
+                      adam=G.adam_init(_learnables(models)),
+                      step=jnp.zeros((), jnp.int32))

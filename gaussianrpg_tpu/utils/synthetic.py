@@ -1,0 +1,147 @@
+"""Synthetic scene builders for tests, benchmarks, and the multi-chip
+dry-run — a stand-in for Waymo scenes with the same structure (background +
+tracked actors + sky), analogous in role to the reference's synthetic kernel
+check (`script/test_gaussian_rasterization.py`)."""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import gaussians as G
+from ..models.actor_pose import build_actor_pose
+from ..models.corrections import init_color_correction, init_pose_correction
+from ..models.scene_graph import SceneArrays, SceneMeta, SceneModels
+from ..models.sky import init_sky_cubemap
+from ..render.camera import make_camera
+
+
+def make_scene(
+    n_background: int = 2000,
+    bkgd_capacity: int = 4096,
+    n_actors: int = 2,
+    actor_capacity: int = 512,
+    n_frames: int = 10,
+    sh_degree: int = 1,
+    fourier_dim: int = 2,
+    num_classes: int = 0,
+    include_sky: bool = False,
+    use_color_correction: bool = False,
+    use_pose_correction: bool = False,
+    opt_track: bool = True,
+    num_images: int = 10,
+    seed: int = 0,
+):
+    """A street-like synthetic scene: ground+walls background, box actors
+    driving forward over n_frames (timestamps 0..1)."""
+    rng = np.random.default_rng(seed)
+
+    # background: ground plane + scattered blobs ahead of the camera
+    ground = np.stack([
+        rng.uniform(-20, 20, n_background // 2),
+        rng.uniform(1.4, 1.6, n_background // 2),
+        rng.uniform(2, 60, n_background // 2),
+    ], -1)
+    blobs = np.stack([
+        rng.uniform(-15, 15, n_background - n_background // 2),
+        rng.uniform(-5, 1.5, n_background - n_background // 2),
+        rng.uniform(2, 60, n_background - n_background // 2),
+    ], -1)
+    bk_pts = np.concatenate([ground, blobs]).astype(np.float32)
+    bk_col = rng.uniform(0.1, 0.9, (n_background, 3)).astype(np.float32)
+    bkgd, bkgd_aux = G.init_from_points(
+        bk_pts, bk_col, bkgd_capacity, sh_degree, fourier_dim=1,
+        num_classes=num_classes)
+
+    # actors: random point clouds in a car-sized bbox
+    actor_params = []
+    actor_auxes = []
+    bboxes = []
+    for a in range(n_actors):
+        bbox = np.array([4.0, 1.8, 1.6], np.float32)
+        pts = rng.uniform(-0.5, 0.5, (actor_capacity // 2, 3)) * bbox
+        col = rng.uniform(0.2, 0.95, (pts.shape[0], 3))
+        p, aux = G.init_from_points(
+            pts.astype(np.float32), col.astype(np.float32), actor_capacity,
+            sh_degree, fourier_dim=fourier_dim, num_classes=1)
+        actor_params.append(p)
+        actor_auxes.append(aux)
+        bboxes.append(bbox)
+    if n_actors:
+        import jax
+        actors = jax.tree.map(lambda *xs: jnp.stack(xs), *actor_params)
+        actors_aux = jax.tree.map(lambda *xs: jnp.stack(xs), *actor_auxes)
+    else:
+        actors = actors_aux = None
+
+    # tracklets: actors drive forward (+z) at different lanes/speeds
+    tstamps = np.linspace(0.0, 1.0, n_frames).astype(np.float32)
+    tracklets = np.zeros((n_frames, max(n_actors, 1), 8), np.float32)
+    for a in range(n_actors):
+        lane = (-3.0 if a % 2 == 0 else 3.0)
+        for f in range(n_frames):
+            z = 8.0 + 2.0 * a + (20.0 + 5 * a) * tstamps[f]
+            tracklets[f, a] = [a, lane, 0.5, z, 1, 0, 0, 0]
+    pose = build_actor_pose(tracklets, tstamps, list(range(n_actors)),
+                            opt_track=opt_track) if n_actors else None
+
+    meta = SceneMeta(
+        num_actors=n_actors,
+        bkgd_sh_degree=sh_degree,
+        obj_sh_degree=sh_degree,
+        fourier_dim=fourier_dim,
+        num_classes=num_classes,
+        include_sky=include_sky,
+        use_color_correction=use_color_correction,
+        use_pose_correction=use_pose_correction,
+    )
+    arrays = SceneArrays(
+        actor_start_ts=jnp.zeros(max(n_actors, 1)),
+        actor_end_ts=jnp.ones(max(n_actors, 1)),
+        actor_start_frame=jnp.zeros(max(n_actors, 1)),
+        actor_end_frame=jnp.full(max(n_actors, 1), float(n_frames - 1)),
+        actor_bbox=jnp.asarray(np.stack(bboxes) if bboxes else
+                               np.zeros((1, 3), np.float32)),
+        actor_deformable=jnp.zeros(max(n_actors, 1), bool),
+        actor_class=jnp.zeros(max(n_actors, 1), jnp.int32),
+        scene_center=jnp.zeros(3),
+        scene_radius=jnp.asarray(30.0),
+        sphere_center=jnp.zeros(3),
+        sphere_radius=jnp.asarray(30.0),
+    )
+    models = SceneModels(
+        background=bkgd,
+        bkgd_aux=bkgd_aux,
+        actors=actors,
+        actors_aux=actors_aux,
+        actor_pose=pose,
+        sky=init_sky_cubemap(64) if include_sky else None,
+        color_correction=init_color_correction(num_images)
+        if use_color_correction else None,
+        pose_correction=init_pose_correction(num_images)
+        if use_pose_correction else None,
+    )
+    return models, meta, arrays
+
+
+def make_cameras(n_frames: int = 10, width: int = 128, height: int = 96,
+                 fov_deg: float = 60.0):
+    """Forward-facing cameras at timestamps 0..1 moving along +z."""
+    cams = []
+    fovx = math.radians(fov_deg)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * height / width)
+    ts = np.linspace(0.0, 1.0, n_frames)
+    for f in range(n_frames):
+        # camera at z = 4*t, looking down +z: world->cam translation -z_cam
+        c2w = np.eye(4)
+        c2w[2, 3] = 4.0 * ts[f]
+        w2c = np.linalg.inv(c2w)
+        cams.append(make_camera(
+            R=w2c[:3, :3].T, T=w2c[:3, 3], K=None,
+            width=width, height=height, fovx=fovx, fovy=fovy,
+            ego_pose=c2w.astype(np.float32),
+            timestamp=float(ts[f]), frame=f,
+            meta={"image_id": f},
+        ))
+    return cams
