@@ -1,0 +1,84 @@
+"""Headline benchmark: composite street-scene render rate per chip at the
+Waymo FRONT resolution (1066x1600), vs the reference's 3090 rendering rate
+(>=30 FPS driver target, BASELINE.md).
+
+Runs the full TPU pipeline (scene-graph compose -> preprocess -> binning ->
+Pallas blend) on a trained-scene-like synthetic street scene (no Waymo data
+ships in this environment). Prints ONE JSON line.
+"""
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianrpg_tpu.render.camera import make_camera
+    from gaussianrpg_tpu.ops.rasterize import rasterize
+
+    H, W = 1066, 1600
+    n = 600_000
+    rng = np.random.default_rng(0)
+
+    # street-like layout: ground plane + facades + scattered foliage, with
+    # trained-scene opacity statistics (mostly opaque surfels)
+    n_g, n_f, n_s = n // 2, n // 3, n - n // 2 - n // 3
+    ground = np.stack([rng.uniform(-40, 40, n_g), np.full(n_g, 1.6)
+                       + 0.05 * rng.standard_normal(n_g),
+                       rng.uniform(0.5, 120, n_g)], -1)
+    facades = np.stack([np.where(rng.random(n_f) < 0.5, -1, 1)
+                        * rng.uniform(6, 12, n_f),
+                        rng.uniform(-6, 1.6, n_f),
+                        rng.uniform(0.5, 120, n_f)], -1)
+    sky = np.stack([rng.uniform(-60, 60, n_s), rng.uniform(-30, -6, n_s),
+                    rng.uniform(20, 150, n_s)], -1)
+    means = np.concatenate([ground, facades, sky]).astype(np.float32)
+    dist = np.linalg.norm(means, axis=1)
+    scales = np.log(np.clip(dist * 0.004 + rng.uniform(0.01, 0.05, n),
+                            1e-3, 2.0))[:, None].repeat(3, 1).astype(
+        np.float32)
+    q = rng.standard_normal((n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    opac = rng.uniform(0.6, 0.99, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+
+    fovx = math.radians(50.0)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+    cam = make_camera(R=np.eye(3), T=np.zeros(3), K=None, width=W, height=H,
+                      fovx=fovx, fovy=fovy)
+
+    args = tuple(map(jnp.asarray, (means, opac, colors, scales, q)))
+    capacity = 4 * 1024 * 1024
+
+    @jax.jit
+    def render(m, op, c, s, r):
+        out = rasterize(m, op, colors=c, scales=s, rotations=r, camera=cam,
+                        bg_color=jnp.zeros(3), capacity=capacity)
+        return out.color
+
+    out = render(*args)
+    out.block_until_ready()
+    # timed steady state
+    reps = 10
+    t0 = time.time()
+    for _ in range(reps):
+        out = render(*args)
+    out.block_until_ready()
+    dt = (time.time() - t0) / reps
+    fps = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "synthetic-street FPS/chip at 1066x1600 (600k gaussians)",
+        "value": round(fps, 2),
+        "unit": "FPS",
+        "vs_baseline": round(fps / 30.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,313 @@
+"""Waymo preprocessed-scene reader.
+
+Numpy port of the reference's Waymo ingestion
+(`/root/reference/lib/utils/waymo_utils.py:41-712`,
+`lib/datasets/waymo_full_readers.py:16-256`): consumes the directory layout
+written by the offline converter (`script/waymo/waymo_converter.py`):
+
+    {datadir}/images/{frame:06d}_{cam}.png
+    {datadir}/ego_pose/{frame:06d}.txt, {frame:06d}_{cam}.txt
+    {datadir}/intrinsics/{cam}.txt  (fx fy cx cy k1 k2 p1 p2 k3)
+    {datadir}/extrinsics/{cam}.txt  (4x4 cam->ego)
+    {datadir}/track/track_info.txt, track/track_camera_vis.json
+    {datadir}/timestamps.json
+    {datadir}/input_ply/points3D_{bkgd,obj_XXX}.ply   (if prepared)
+    {datadir}/sky_mask/, lidar_depth/                  (optional)
+
+Builds camera lists + scene metadata shaped for the TPU scene graph. The
+offline toolchain itself (TFRecord conversion, COLMAP, sky masks, depth)
+stays a CPU-side preprocessing step, as in the reference (SURVEY.md L9).
+"""
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Dict, List
+
+import numpy as np
+
+WAYMO_TRACK2LABEL = {"vehicle": 0, "pedestrian": 1, "cyclist": 2,
+                     "sign": 3, "misc": -1}
+NUM_CAMS = 5
+
+
+def image_filename_to_frame(name: str) -> int:
+    return int(os.path.basename(name).split(".")[0].split("_")[0])
+
+
+def image_filename_to_cam(name: str) -> int:
+    return int(os.path.basename(name).split(".")[0].split("_")[1])
+
+
+def load_camera_info(datadir: str):
+    """`waymo_utils.load_camera_info:41-80`: intrinsics, cam->ego
+    extrinsics, recentered ego poses (per frame and per camera)."""
+    intrinsics = []
+    extrinsics = []
+    for i in range(NUM_CAMS):
+        vals = np.loadtxt(os.path.join(datadir, "intrinsics", f"{i}.txt"))
+        fx, fy, cx, cy = vals[0], vals[1], vals[2], vals[3]
+        intrinsics.append(
+            np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64))
+        extrinsics.append(
+            np.loadtxt(os.path.join(datadir, "extrinsics", f"{i}.txt")))
+
+    ego_pose_dir = os.path.join(datadir, "ego_pose")
+    frame_poses = []
+    cam_poses: List[List[np.ndarray]] = [[] for _ in range(NUM_CAMS)]
+    for name in sorted(os.listdir(ego_pose_dir)):
+        pose = np.loadtxt(os.path.join(ego_pose_dir, name))
+        if "_" not in name:
+            frame_poses.append(pose)
+        else:
+            cam_poses[image_filename_to_cam(name)].append(pose)
+
+    frame_poses = np.array(frame_poses)
+    center = frame_poses[:, :3, 3].mean(axis=0)
+    frame_poses[:, :3, 3] -= center
+    cam_poses_arr = np.array([np.array(c) for c in cam_poses])
+    if cam_poses_arr.size:
+        cam_poses_arr[:, :, :3, 3] -= center
+    return intrinsics, extrinsics, frame_poses, cam_poses_arr, center
+
+
+def _heading_to_quat(heading: float) -> np.ndarray:
+    return np.array([math.cos(heading / 2), 0.0, 0.0,
+                     math.sin(heading / 2)])
+
+
+def load_tracking(datadir: str, start_frame: int, end_frame: int,
+                  cameras=(0,), box_scale: float = 1.0,
+                  use_tracker: bool = False):
+    """`waymo_utils.get_obj_pose_tracking:112-272`: parse track_info.txt,
+    drop untracked classes / camera-invisible / static objects, build
+    [num_frames, max_obj, 8] vehicle-frame tracklets + per-object info."""
+    suffix = "_castrack" if use_tracker else ""
+    with open(os.path.join(datadir, "track",
+                           f"track_info{suffix}.txt")) as f:
+        rows = f.read().splitlines()[1:]
+    with open(os.path.join(datadir, "track",
+                           f"track_camera_vis{suffix}.json")) as f:
+        camera_vis = json.load(f)
+
+    objects_info: Dict[int, dict] = {}
+    records = []
+    for row in rows:
+        t = row.split()
+        frame_id, track_id, obj_class = int(t[0]), int(t[1]), t[2]
+        if obj_class in ("sign", "misc"):
+            continue
+        vis = camera_vis.get(str(track_id), {}).get(str(frame_id), [])
+        if not set(cameras) & set(vis):
+            continue
+        h, w, l = float(t[4]), float(t[5]), float(t[6])
+        info = objects_info.setdefault(track_id, dict(
+            track_id=track_id, class_name=obj_class,
+            class_label=WAYMO_TRACK2LABEL[obj_class],
+            height=h, width=w, length=l))
+        info["height"] = max(info["height"], h)
+        info["width"] = max(info["width"], w)
+        info["length"] = max(info["length"], l)
+        cx, cy, cz, heading = (float(t[7]), float(t[8]), float(t[9]),
+                               float(t[10]))
+        records.append((frame_id, track_id, cx, cy, cz, heading))
+
+    num_frames = end_frame - start_frame + 1
+    per_frame: List[List[tuple]] = [[] for _ in range(num_frames)]
+    for frame_id, track_id, cx, cy, cz, heading in records:
+        if start_frame <= frame_id <= end_frame:
+            per_frame[frame_id - start_frame].append(
+                (track_id, cx, cy, cz, heading))
+    max_obj = max((len(p) for p in per_frame), default=0)
+    max_obj = max(max_obj, 1)
+
+    ids = np.full((num_frames, max_obj), -1.0)
+    poses_vehicle = np.full((num_frames, max_obj, 7), -1.0)
+    for fi, objs in enumerate(per_frame):
+        for col, (track_id, cx, cy, cz, heading) in enumerate(objs):
+            ids[fi, col] = track_id
+            poses_vehicle[fi, col, :3] = (cx, cy, cz)
+            poses_vehicle[fi, col, 3:] = _heading_to_quat(heading)
+
+    # remove static objects (std < 0.5 everywhere and displacement <= 2m,
+    # measured in WORLD frame -> needs ego poses; the caller passes poses
+    # through `mark_static`)
+    return ids, poses_vehicle, objects_info, max_obj
+
+
+def remove_static_objects(ids, poses_vehicle, objects_info, ego_poses,
+                          start_frame):
+    """`waymo_utils.get_obj_pose_tracking:194-208` (world-frame motion
+    test)."""
+    for track_id in list(objects_info.keys()):
+        where = np.argwhere(ids == track_id)
+        if len(where) == 0:
+            objects_info.pop(track_id)
+            continue
+        world = []
+        for fi, col in where:
+            ego = ego_poses[start_frame + fi]
+            p = ego[:3, :3] @ poses_vehicle[fi, col, :3] + ego[:3, 3]
+            world.append(p)
+        world = np.array(world)
+        dist = np.linalg.norm(world[0] - world[-1])
+        dynamic = np.any(world.std(axis=0) > 0.5) or dist > 2
+        if not dynamic:
+            for fi, col in where:
+                ids[fi, col] = -1
+                poses_vehicle[fi, col] = -1
+            objects_info.pop(track_id)
+    return ids, poses_vehicle, objects_info
+
+
+def get_val_frames(num_frames: int, test_every: int | None,
+                   train_every: int | None):
+    """`lib/utils/data_utils.get_val_frames:36`."""
+    assert train_every is None or test_every is None
+    if train_every is None and test_every is None:
+        return []
+    if train_every is None:
+        return [i for i in range(num_frames)
+                if test_every > 0 and i % test_every == 0]
+    return [i for i in range(num_frames)
+            if train_every <= 0 or i % train_every != 0]
+
+
+class WaymoScene:
+    """Loaded scene: cameras, tracklets, metadata, init point clouds."""
+
+    def __init__(self, datadir: str, selected_frames=None, cameras=(0,),
+                 box_scale: float = 1.0, test_every: int | None = None,
+                 train_every: int | None = None, load_images: bool = True,
+                 resolution: int = -1):
+        self.datadir = datadir
+        (self.intrinsics, self.extrinsics, self.ego_frame_poses,
+         self.ego_cam_poses, self.center) = load_camera_info(datadir)
+        n_total = len(self.ego_frame_poses)
+        if selected_frames is None:
+            selected_frames = [0, n_total - 1]
+        self.start_frame, self.end_frame = selected_frames
+        self.num_frames = self.end_frame - self.start_frame + 1
+        self.cameras = list(cameras)
+
+        with open(os.path.join(datadir, "timestamps.json")) as f:
+            ts = json.load(f)
+        # normalized timestamps (waymo_full_readers.py:72-102 semantics)
+        frame_ts = np.array(
+            [ts["FRAME"][f"{f:06d}"]
+             for f in range(self.start_frame, self.end_frame + 1)])
+        t0, t1 = frame_ts.min(), frame_ts.max()
+        self.timestamp_range = (t0, t1)
+        norm = lambda t: (t - t0) / max(t1 - t0, 1e-9)
+        self.frame_timestamps = np.array([norm(t) for t in frame_ts])
+        self.cam_timestamps = {}
+        for cam in self.cameras:
+            key = {0: "FRONT", 1: "FRONT_LEFT", 2: "FRONT_RIGHT",
+                   3: "SIDE_LEFT", 4: "SIDE_RIGHT"}[cam]
+            self.cam_timestamps[cam] = np.array(
+                [norm(ts[key][f"{f:06d}"])
+                 for f in range(self.start_frame, self.end_frame + 1)])
+
+        ids, poses_v, objects_info, max_obj = load_tracking(
+            datadir, self.start_frame, self.end_frame, cameras, box_scale)
+        ids, poses_v, objects_info = remove_static_objects(
+            ids, poses_v, objects_info, self.ego_frame_poses,
+            self.start_frame)
+        for info in objects_info.values():
+            info["deformable"] = info["class_name"] == "pedestrian"
+            info["width"] *= box_scale
+            info["length"] *= box_scale
+            where = np.argwhere(ids == info["track_id"])[:, 0]
+            info["start_frame"] = int(where.min())
+            info["end_frame"] = int(where.max())
+            info["start_timestamp"] = float(
+                self.frame_timestamps[where.min()])
+            info["end_timestamp"] = float(self.frame_timestamps[where.max()])
+        self.objects_info = dict(sorted(objects_info.items()))
+        self.tracklets = np.concatenate(
+            [ids[..., None], poses_v], axis=-1).astype(np.float32)
+
+        self.val_frames = get_val_frames(self.num_frames, test_every,
+                                         train_every)
+        self.load_images = load_images
+        self.resolution = resolution
+
+    # ------------------------------------------------------------------
+    def image_path(self, frame: int, cam: int) -> str:
+        return os.path.join(self.datadir, "images",
+                            f"{frame:06d}_{cam}.png")
+
+    def load_image(self, frame: int, cam: int):
+        from PIL import Image
+        img = Image.open(self.image_path(frame, cam))
+        w, h = img.size
+        if self.resolution == -1 and w > 1600:
+            scale = w / 1600
+            img = img.resize((int(w / scale), int(h / scale)),
+                             Image.BILINEAR)
+        arr = np.asarray(img, np.float32) / 255.0
+        return arr.transpose(2, 0, 1)[:3]
+
+    def build_cameras(self, split: str = "train"):
+        """Camera list for training/eval; `waymo_full_readers.py:104-195`."""
+        from ..render.camera import make_camera
+
+        cams = []
+        for fi in range(self.num_frames):
+            frame = self.start_frame + fi
+            is_val = fi in self.val_frames
+            if split == "train" and is_val:
+                continue
+            if split == "test" and not is_val:
+                continue
+            for cam in self.cameras:
+                ego_pose = self.ego_cam_poses[cam, frame]
+                ext = self.extrinsics[cam]
+                # the converter bakes the waymo->OpenCV axis change into the
+                # saved extrinsics (waymo_converter.py:49,164), so c2w is a
+                # straight compose (waymo_utils.py:353)
+                c2w = ego_pose @ ext
+                w2c = np.linalg.inv(c2w)
+                K = self.intrinsics[cam].copy()
+                gt = None
+                h, w = 1280, 1920
+                if self.load_images and os.path.exists(
+                        self.image_path(frame, cam)):
+                    gt = self.load_image(frame, cam)
+                    h, w = gt.shape[1:]
+                    scale = 1920 / w
+                    K = K.copy()
+                    K[:2] /= scale
+                elif self.resolution == -1:
+                    K = K.copy()
+                    K[:2] /= 1920 / 1600
+                    w, h = 1600, int(1280 / (1920 / 1600))
+                cams.append((make_camera(
+                    R=w2c[:3, :3].T, T=w2c[:3, 3], K=K.astype(np.float32),
+                    width=w, height=h,
+                    ego_pose=ego_pose.astype(np.float32),
+                    extrinsic=ext.astype(np.float32),
+                    timestamp=float(self.cam_timestamps[cam][fi]),
+                    frame=frame, cam_id=cam,
+                    meta={"image_id": len(cams), "frame_idx": fi,
+                          "is_val": is_val},
+                ), gt))
+        return cams
+
+    def load_init_pointclouds(self):
+        """Background + per-object init PLYs written by the data-prep
+        toolchain (`waymo_utils.py:703-711`)."""
+        from .ply import fetch_pointcloud
+        out = {}
+        ply_dir = os.path.join(self.datadir, "input_ply")
+        bkgd = os.path.join(ply_dir, "points3D_bkgd.ply")
+        if os.path.exists(bkgd):
+            out["background"] = fetch_pointcloud(bkgd)
+        for tid in self.objects_info:
+            p = os.path.join(ply_dir, f"points3D_obj_{tid:03d}.ply")
+            if os.path.exists(p):
+                out[tid] = fetch_pointcloud(p)
+        return out
+
+

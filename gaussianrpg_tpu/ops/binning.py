@@ -119,12 +119,18 @@ def build_pair_lists(
 
     # decode covered tile from within-gaussian pair rank k (row-major over
     # the rect, exactly duplicateWithKeys' loop order — irrelevant for
-    # correctness since pairs regroup by tile, but keeps counts identical)
+    # correctness since pairs regroup by tile, but keeps counts identical).
+    # Integer div/mod with a dynamic divisor is pathologically slow on TPU;
+    # ranks and rect widths are far below 2^22, so the f32 +0.5 floor trick
+    # computes the exact quotient on the VPU instead.
     k = pair_idx - jnp.take(offs, pair_g)
     g_x0 = jnp.take(x0, pair_g)
     g_y0 = jnp.take(y0, pair_g)
     g_rw = jnp.maximum(jnp.take(rw, pair_g), 1)
-    tile = (g_y0 + k // g_rw) * ntx + (g_x0 + k % g_rw)
+    row = jnp.floor((k.astype(jnp.float32) + 0.5)
+                    / g_rw.astype(jnp.float32)).astype(jnp.int32)
+    col = k - row * g_rw
+    tile = (g_y0 + row) * ntx + (g_x0 + col)
     tile = jnp.where(pair_ok, tile, n_tiles).astype(jnp.int32)
 
     # --- group by tile, keeping depth order (stable sort, 32-bit keys) ---
@@ -141,15 +147,6 @@ def build_pair_lists(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts)]).astype(jnp.int32)
     padded_total = pstarts[-1]
 
-    in_range = tile_sorted < n_tiles
-    safe_tile = jnp.minimum(tile_sorted, n_tiles - 1)
-    dst = jnp.take(pstarts, safe_tile) + (pair_idx - jnp.take(starts,
-                                                             safe_tile))
-    dst = jnp.where(in_range, dst, capacity)
-    pair_src = jnp.full((capacity,), -1, jnp.int32).at[dst].set(
-        src_sorted, mode="drop")
-    pair_valid = pair_src >= 0
-
     # --- chunk metadata for the scalar-prefetch grid ---
     cidx = jnp.arange(max_chunks, dtype=jnp.int32)
     elem = cidx * G_CHUNK
@@ -165,6 +162,21 @@ def build_pair_lists(
     chunk_block_in = jnp.where(cvalid, cidx, 0)
     # tail chunks write zeros to their own (otherwise-unwritten) grad block
     chunk_block_out = cidx
+
+    # --- aligned placement as a GATHER (a 4M-update scatter costs ~100ms
+    # on TPU; the gather form is bandwidth-bound). Each padded slot knows
+    # its tile from the chunk metadata (slot // G_CHUNK is a static shift).
+    slot_tile = jnp.broadcast_to(
+        chunk_tile[:, None], (max_chunks, G_CHUNK)).reshape(-1)
+    slot_ofs = pair_idx - jnp.take(pstarts, slot_tile)
+    slot_valid = (jnp.broadcast_to(
+        cvalid[:, None], (max_chunks, G_CHUNK)).reshape(-1)
+        & (slot_ofs >= 0) & (slot_ofs < jnp.take(counts, slot_tile)))
+    src_pos = jnp.take(starts, slot_tile) + slot_ofs
+    pair_src = jnp.where(
+        slot_valid,
+        jnp.take(src_sorted, jnp.clip(src_pos, 0, p_max - 1)), -1)
+    pair_valid = pair_src >= 0
 
     return PairLists(
         pair_src=pair_src,

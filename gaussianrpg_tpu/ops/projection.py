@@ -91,6 +91,8 @@ def compute_cov2d(
     focal_y,
     tan_fovx,
     tan_fovy,
+    lim_tan_fovx=None,
+    lim_tan_fovy=None,
 ) -> jax.Array:
     """EWA projection of the 3D covariance to screen space.
 
@@ -101,8 +103,11 @@ def compute_cov2d(
     """
     t = transform_point_4x3(mean3d, viewmatrix)
     tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
-    limx = 1.3 * tan_fovx
-    limy = 1.3 * tan_fovy
+    # the frustum clamp is a property of the PHYSICAL camera; strip-sharded
+    # rendering (parallel/sharded.py) passes the full-camera tangents here
+    # while focal/height describe only the strip
+    limx = 1.3 * (lim_tan_fovx if lim_tan_fovx is not None else tan_fovx)
+    limy = 1.3 * (lim_tan_fovy if lim_tan_fovy is not None else tan_fovy)
     txtz = tx / tz
     tytz = ty / tz
     tx = jnp.clip(txtz, -limx, limx) * tz
@@ -169,6 +174,8 @@ def preprocess(
     tan_fovy: float,
     scale_modifier: float = 1.0,
     cov3d_precomp: jax.Array | None = None,
+    lim_tan_fovx=None,
+    lim_tan_fovy=None,
 ) -> Preprocessed:
     """Vectorized per-Gaussian preprocess; `forward.cu:155-256` equivalent.
 
@@ -195,7 +202,8 @@ def preprocess(
         cov3d = build_covariance(scales, rotations, scale_modifier)
 
     cov2d = compute_cov2d(
-        means3d, cov3d, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy
+        means3d, cov3d, viewmatrix, focal_x, focal_y, tan_fovx, tan_fovy,
+        lim_tan_fovx, lim_tan_fovy,
     )
     a, b, c = cov2d[..., 0], cov2d[..., 1], cov2d[..., 2]
     det = a * c - b * b

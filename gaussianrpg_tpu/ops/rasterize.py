@@ -82,6 +82,11 @@ def rasterize(
             scale_modifier=scale_modifier, means2d_offset=means2d_offset,
         )
 
+    if not interpret and jax.default_backend() == "cpu":
+        # Pallas TPU kernels only run interpreted on CPU (tests, the
+        # multi-chip dry-run on a virtual device mesh)
+        interpret = True
+
     H, W = camera.height, camera.width
     n = means3d.shape[0]
     opacities = opacities.reshape(-1)
@@ -100,6 +105,8 @@ def rasterize(
         camera.tan_fovy,
         scale_modifier,
         cov3d_precomp,
+        camera.lim_tan_fovx,
+        camera.lim_tan_fovy,
     )
 
     if colors is None:

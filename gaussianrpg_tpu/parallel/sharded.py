@@ -1,0 +1,141 @@
+"""Multi-chip rendering/training: tile-strip sharding over a device mesh.
+
+This is the new first-class layer SURVEY.md §2.4 calls for (the reference is
+strictly single-GPU): the image is partitioned into horizontal TILE STRIPS
+across the mesh's 'data' axis, Gaussian parameters are replicated, and each
+chip runs the full preprocess -> binning -> Pallas blend pipeline for its
+strip. Gradients of the replicated parameters are summed across chips by
+shard_map's automatic psum — the ICI all-reduce rides XLA collectives and
+overlaps with the blend backward as scheduled by the compiler.
+
+The strip decomposition is exact, not approximate: a strip render is the
+same camera with the principal point shifted (cy' = cy - strip_offset) and
+reduced height, so projection math, culling and tile rects reproduce the
+corresponding rows of the single-chip image bit-for-bit.
+
+Scaling axes (the workload's analog of DP/TP/SP, SURVEY.md §5):
+  * 'data' = pixels/tiles (this module) — the dominant axis for rendering;
+  * Gaussian/primitive sharding (preprocess + gradient ownership with
+    reduce-scatter) composes on top for >10^7-primitive scenes.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render.camera import Camera
+
+try:  # JAX >= 0.6 exposes shard_map at the top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def make_mesh(devices=None, axis: str = "data") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def strip_cameras(camera: Camera, n_strips: int) -> Camera:
+    """Stack n_strips strip cameras as one pytree with a leading device
+    axis. Strip height is padded to a multiple of 16 (the tile size) so
+    every strip blends whole tiles."""
+    H, W = camera.height, camera.width
+    strip_h = int(math.ceil(H / n_strips / 16.0) * 16)
+    K = np.asarray(camera.K)
+
+    views, projs, ks = [], [], []
+    for d in range(n_strips):
+        y0 = d * strip_h
+        Kd = K.copy()
+        Kd[1, 2] = K[1, 2] - y0
+        from ..render.camera import projection_matrix_from_K
+        Pd = projection_matrix_from_K(Kd, strip_h, W)
+        V = np.asarray(camera.viewmatrix)
+        views.append(V)
+        projs.append(Pd.astype(np.float64) @ V.astype(np.float64))
+        ks.append(Kd)
+
+    return Camera(
+        viewmatrix=jnp.asarray(np.stack(views), jnp.float32),
+        projmatrix=jnp.asarray(np.stack(projs), jnp.float32),
+        cam_center=jnp.broadcast_to(camera.cam_center,
+                                    (n_strips, 3)),
+        K=jnp.asarray(np.stack(ks), jnp.float32),
+        width=W,
+        height=strip_h,
+        tan_fovx=camera.tan_fovx,
+        tan_fovy=camera.tan_fovy,   # unused by K-path projection scale
+        ego_pose=jnp.broadcast_to(camera.ego_pose, (n_strips, 4, 4)),
+        extrinsic=jnp.broadcast_to(camera.extrinsic, (n_strips, 4, 4)),
+        timestamp=jnp.broadcast_to(camera.timestamp, (n_strips,)),
+        frame=camera.frame,
+        cam_id=camera.cam_id,
+        meta=camera.meta,
+    )
+
+
+def _strip_tan_fovy(camera: Camera, strip_h: int) -> float:
+    # focal_y is preserved; the strip's tan_fovy follows from its height
+    focal_y = np.asarray(camera.K)[1, 1]
+    return strip_h / (2.0 * focal_y)
+
+
+def render_strips(
+    render_fn,
+    camera: Camera,
+    mesh: Mesh,
+    *replicated_args,
+):
+    """Run `render_fn(strip_camera, *args) -> [C, strip_h, W]` on every
+    mesh device over its strip; returns the assembled [C, H, W] image.
+
+    `render_fn` must be shard-local (it sees one strip camera). All
+    `replicated_args` are broadcast to every device; their gradients are
+    psum'd automatically under autodiff.
+    """
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    strips = strip_cameras(camera, n)
+    strip_h = strips.height
+    tan_fovy = _strip_tan_fovy(camera, strip_h)
+
+    def per_device(strip_cam_arrays, *args):
+        local = jax.tree.map(lambda x: x[0], strip_cam_arrays)
+        cam = Camera(
+            viewmatrix=local.viewmatrix, projmatrix=local.projmatrix,
+            cam_center=local.cam_center, K=local.K,
+            width=camera.width, height=strip_h,
+            tan_fovx=camera.tan_fovx, tan_fovy=tan_fovy,
+            ego_pose=local.ego_pose, extrinsic=local.extrinsic,
+            timestamp=local.timestamp, frame=camera.frame,
+            cam_id=camera.cam_id, meta=camera.meta,
+            lim_tan_fovx=camera.tan_fovx, lim_tan_fovy=camera.tan_fovy)
+        out = render_fn(cam, *args)
+        return out[None]
+
+    shard_cam = Camera(
+        viewmatrix=strips.viewmatrix, projmatrix=strips.projmatrix,
+        cam_center=strips.cam_center, K=strips.K,
+        width=camera.width, height=strip_h,
+        tan_fovx=camera.tan_fovx, tan_fovy=tan_fovy,
+        ego_pose=strips.ego_pose, extrinsic=strips.extrinsic,
+        timestamp=strips.timestamp, frame=camera.frame,
+        cam_id=camera.cam_id, meta=camera.meta)
+
+    arrays = shard_cam  # pytree with leading device axis on array leaves
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axis),) + tuple(P() for _ in replicated_args),
+        out_specs=P(axis),
+        check_vma=False,
+    )(arrays, *replicated_args)
+    # out: [n, C, strip_h, W] -> crop to H
+    c = out.shape[1]
+    out = jnp.moveaxis(out, 0, 1).reshape(c, n * strip_h, camera.width)
+    return out[:, :camera.height, :]

@@ -99,6 +99,10 @@ class Camera:
     frame: int = struct.field(pytree_node=False, default=0)
     cam_id: int = struct.field(pytree_node=False, default=0)
     meta: Any = struct.field(pytree_node=False, default=None)
+    # physical-camera FOV tangents for the EWA frustum clamp; differ from
+    # tan_fov* only for strip-sharded sub-cameras (parallel/sharded.py)
+    lim_tan_fovx: float = struct.field(pytree_node=False, default=None)
+    lim_tan_fovy: float = struct.field(pytree_node=False, default=None)
 
     @property
     def focal_x(self) -> float:
