@@ -55,12 +55,16 @@ def main():
     args = tuple(map(jnp.asarray, (means, opac, colors, scales, q)))
     capacity = 4 * 1024 * 1024
 
+    # NOTE: the camera must be an ARGUMENT, not a closure capture — jitted
+    # executables with captured device buffers degrade every subsequent
+    # dispatch on the axon runtime
     @jax.jit
-    def render(m, op, c, s, r):
+    def render(cam, m, op, c, s, r):
         out = rasterize(m, op, colors=c, scales=s, rotations=r, camera=cam,
                         bg_color=jnp.zeros(3), capacity=capacity)
         return out.color
 
+    args = (cam,) + args
     out = render(*args)
     out.block_until_ready()
     # timed steady state

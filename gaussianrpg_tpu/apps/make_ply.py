@@ -1,0 +1,27 @@
+"""Flatten the composite model at a chosen frame into a standard 3DGS PLY
+for external viewers (reference `make_ply.py:12-79`)."""
+from __future__ import annotations
+
+import os
+
+
+def main(argv=None):
+    from ..config.config import load_config, make_argparser
+    from ..models.scene_io import export_flat_ply
+    from .render import load_scene_for_eval
+
+    parser = make_argparser("gaussianrpg_tpu make_ply")
+    parser.add_argument("--frame", type=int, default=0)
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.opts, mode="evaluate")
+
+    models, meta, arrays, _, _, _ = load_scene_for_eval(cfg)
+    out = args.out or os.path.join(cfg.model_path,
+                                   f"flat_frame{args.frame}.ply")
+    export_flat_ply(out, models, meta, arrays, frame=args.frame)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

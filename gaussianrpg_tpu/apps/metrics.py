@@ -1,0 +1,93 @@
+"""Post-hoc image metrics CLI (reference `metrics.py:26-104`): reads saved
+`*_rgb.png` / `*_gt.png` pairs and writes PSNR/SSIM (and LPIPS when torch +
+torchvision weights are available) to results_{split}.json."""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def _load(path):
+    from PIL import Image
+    return np.asarray(Image.open(path), np.float32).transpose(2, 0, 1)[:3] \
+        / 255.0
+
+
+def lpips_alex(preds, gts):
+    """Optional LPIPS(alex) via torchvision weights; returns None when the
+    pretrained weights are unavailable (zero-egress environments)."""
+    try:
+        import torch
+        import lpips  # noqa: F401
+    except ImportError:
+        return None
+    try:
+        model = lpips.LPIPS(net="alex")
+    except Exception:
+        return None
+    vals = []
+    with torch.no_grad():
+        for p, g in zip(preds, gts):
+            tp = torch.from_numpy(p * 2 - 1)[None]
+            tg = torch.from_numpy(g * 2 - 1)[None]
+            vals.append(float(model(tp, tg)))
+    return float(np.mean(vals))
+
+
+def evaluate_dir(render_dir: str):
+    import jax.numpy as jnp
+
+    from ..train.losses import psnr, ssim
+
+    names = sorted(f[:-8] for f in os.listdir(render_dir)
+                   if f.endswith("_rgb.png")
+                   and os.path.exists(os.path.join(render_dir,
+                                                   f[:-8] + "_gt.png")))
+    psnrs, ssims, per_view = [], [], {}
+    preds, gts = [], []
+    for name in names:
+        p = _load(os.path.join(render_dir, name + "_rgb.png"))
+        g = _load(os.path.join(render_dir, name + "_gt.png"))
+        preds.append(p)
+        gts.append(g)
+        pv = float(psnr(jnp.asarray(p), jnp.asarray(g)))
+        sv = float(ssim(jnp.asarray(p), jnp.asarray(g)))
+        psnrs.append(pv)
+        ssims.append(sv)
+        per_view[name] = {"psnr": pv, "ssim": sv}
+    out = {
+        "psnr": float(np.mean(psnrs)) if psnrs else None,
+        "ssim": float(np.mean(ssims)) if ssims else None,
+        "n_views": len(names),
+    }
+    lp = lpips_alex(preds, gts) if preds else None
+    if lp is not None:
+        out["lpips"] = lp
+    return out, per_view
+
+
+def main(argv=None):
+    from ..config.config import load_config, make_argparser
+
+    parser = make_argparser("gaussianrpg_tpu metrics")
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.opts)
+
+    for split in ("train", "test"):
+        d = os.path.join(cfg.model_path, f"evaluate_{split}")
+        if not os.path.isdir(d):
+            continue
+        results, per_view = evaluate_dir(d)
+        with open(os.path.join(cfg.model_path,
+                               f"results_{split}.json"), "w") as f:
+            json.dump(results, f, indent=2)
+        with open(os.path.join(cfg.model_path,
+                               f"per_view_{split}.json"), "w") as f:
+            json.dump(per_view, f, indent=2)
+        print(split, results)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Offline rendering / evaluation CLI (reference `render.py:15-96`).
+
+Modes:
+  evaluate   — render train/test views, save *_rgb/_gt pairs + timing
+  trajectory — render the camera trajectory to frames + mp4
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _save_image(path, chw):
+    from PIL import Image
+    arr = (np.clip(np.asarray(chw), 0, 1).transpose(1, 2, 0)
+           * 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def load_scene_for_eval(cfg):
+    """Restore the latest checkpoint into a freshly built scene."""
+    import jax
+
+    from ..models.scene_io import (load_checkpoint, search_max_iteration)
+    from ..train.trainer import init_train_state
+
+    if cfg.source_path and os.path.isdir(cfg.source_path):
+        from ..data.waymo import WaymoScene
+        from ..models.scene_builder import build_scene_from_waymo
+        scene = WaymoScene(
+            cfg.source_path,
+            selected_frames=cfg.data.selected_frames or None,
+            cameras=tuple(cfg.data.cameras))
+        models, meta, arrays, names = build_scene_from_waymo(scene, cfg)
+        cams = scene.build_cameras("train")
+        test_cams = scene.build_cameras("test")
+    else:
+        from ..utils.synthetic import make_cameras, make_scene
+        models, meta, arrays = make_scene()
+        cams = [(c, None) for c in make_cameras()]
+        test_cams = []
+        names = None
+
+    state = init_train_state(models)
+    it = search_max_iteration(cfg.trained_model_dir)
+    sh = meta.bkgd_sh_degree
+    if it is not None:
+        path = os.path.join(cfg.trained_model_dir, f"iteration_{it}.npz")
+        state, _, sh = load_checkpoint(path, state)
+        print(f"loaded checkpoint iteration_{it}")
+    return state.models, meta, arrays, cams, test_cams, sh
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..config.config import load_config, make_argparser
+    from ..render.renderer import RenderOptions, render_scene
+
+    parser = make_argparser("gaussianrpg_tpu rendering")
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.opts, mode=args.mode or "evaluate")
+
+    models, meta, arrays, cams, test_cams, sh = load_scene_for_eval(cfg)
+    options = RenderOptions(capacity=cfg.render.capacity)
+
+    render_jit = jax.jit(
+        render_scene,
+        static_argnames=("active_sh_degree", "options", "include_background",
+                         "include_objects", "train_mode"))
+
+    splits = [("train", cams)] + ([("test", test_cams)] if test_cams else [])
+    for split, cam_list in splits:
+        if cfg.mode == "trajectory" and split != "train":
+            continue
+        out_dir = os.path.join(
+            cfg.model_path, f"{cfg.mode}_{split}")
+        os.makedirs(out_dir, exist_ok=True)
+        times = []
+        frames = []
+        for i, (cam, gt) in enumerate(cam_list):
+            t0 = time.time()
+            res = render_jit(models, meta, arrays, cam,
+                             active_sh_degree=sh, options=options)
+            rgb = np.asarray(res.rgb)
+            times.append(time.time() - t0)
+            name = f"{cam.frame:06d}_{cam.cam_id}"
+            _save_image(os.path.join(out_dir, f"{name}_rgb.png"), rgb)
+            if gt is not None:
+                _save_image(os.path.join(out_dir, f"{name}_gt.png"), gt)
+            frames.append(rgb)
+        if times:
+            avg = float(np.mean(times[1:])) if len(times) > 1 else times[0]
+            print(f"{split}: {len(times)} views, {avg*1000:.1f} ms/view "
+                  f"({1.0/avg:.1f} FPS)")
+        if cfg.render.save_video and len(frames) > 1:
+            try:
+                import imageio
+                video = [(np.clip(f, 0, 1).transpose(1, 2, 0) * 255)
+                         .astype(np.uint8) for f in frames]
+                imageio.mimwrite(
+                    os.path.join(out_dir, "video.mp4"), video,
+                    fps=cfg.render.fps)
+            except Exception as e:  # imageio codecs may be absent
+                print(f"video export skipped: {e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""Trajectory tape export CLI (reference `render_lite.py:89-258`): renders
+the trajectory and writes `cams_tape.json` (10 Hz images upsampled to 50 Hz
+dynamics) for the closed-loop simulator."""
+from __future__ import annotations
+
+import os
+
+
+def main(argv=None):
+    from ..config.config import load_config, make_argparser
+    from ..sim.tape import build_tape_from_cameras, save_tape
+    from .render import load_scene_for_eval
+
+    parser = make_argparser("gaussianrpg_tpu render_lite")
+    parser.add_argument("--out", type=str, default=None)
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.opts, mode="trajectory")
+
+    models, meta, arrays, cams, _, sh = load_scene_for_eval(cfg)
+    cameras = [c for c, _ in cams]
+    frames = build_tape_from_cameras(
+        cameras,
+        upsample_rate=int(round(cfg.sim.dynamic_freq / cfg.sim.image_freq)))
+    out = args.out or os.path.join(cfg.model_path, "cams_tape.json")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    save_tape(out, frames, image_freq=cfg.sim.image_freq,
+              dynamic_freq=cfg.sim.dynamic_freq)
+    print(f"wrote {out} ({len(frames)} poses)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Closed-loop AEB simulation CLI (reference
+`nodes/scripts/simulator_launch.sh` + `simulator.py`), headless in-process.
+
+Synthetic demo (no data needed): builds a street scene with a lead vehicle
+braking-target, exports a tape, runs render -> detect -> AEB -> dynamics,
+and reports the verdict + loop rate:
+
+    python -m gaussianrpg_tpu.apps.simulate --synthetic \
+        [--brake-distance 15] [--collision-threshold 5.5]
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def _synthetic_setup(width=512, height=320, ego_speed=8.0,
+                     lead_world_z=30.0, n_frames=40):
+    import jax
+    import jax.numpy as jnp
+
+    from ..render.camera import make_camera
+    from ..render.renderer import RenderOptions, render_scene
+    from ..sim.detector import BoxProjectionDetector
+    from ..sim.tape import build_tape_from_cameras
+    from ..utils.synthetic import make_scene
+
+    # ego approaches a STOPPED lead vehicle in-lane. All timestamps are
+    # real seconds (10 Hz imaging); tracklets live in the ego vehicle
+    # frame, so the world-fixed lead appears at z_lead - ego_z(t).
+    models, meta, arrays = make_scene(
+        n_background=20000, bkgd_capacity=32768, n_actors=1,
+        actor_capacity=2048, n_frames=n_frames, opt_track=False)
+    duration = (n_frames - 1) / 10.0
+    ts = np.arange(n_frames) / 10.0
+    trans = np.zeros((n_frames, 1, 3), np.float32)
+    trans[:, 0, 0] = 0.0
+    trans[:, 0, 1] = 0.5
+    trans[:, 0, 2] = lead_world_z - ego_speed * ts
+    pose = models.actor_pose
+    models = models.replace(actor_pose=pose.replace(
+        input_trans=jnp.asarray(trans),
+        timestamps=jnp.asarray(ts.astype(np.float32))))
+    arrays = arrays.replace(actor_start_ts=jnp.zeros(1),
+                            actor_end_ts=jnp.full(1, duration))
+
+    import math
+    fovx = math.radians(60.0)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * height / width)
+    cams = []
+    for i in range(n_frames):
+        c2w = np.eye(4)
+        c2w[2, 3] = ego_speed * ts[i]
+        w2c = np.linalg.inv(c2w)
+        cams.append(make_camera(
+            R=w2c[:3, :3].T, T=w2c[:3, 3], K=None, width=width,
+            height=height, fovx=fovx, fovy=fovy,
+            ego_pose=c2w.astype(np.float32), timestamp=float(ts[i]),
+            frame=i, meta={"image_id": i}))
+    tape_frames = build_tape_from_cameras(cams, upsample_rate=5)
+    tape = {"frames": tape_frames, "image_freq": 10, "dynamic_freq": 50}
+
+    options = RenderOptions(capacity=1 << 18)
+    render_jit = jax.jit(
+        render_scene,
+        static_argnames=("active_sh_degree", "options", "train_mode",
+                         "include_background", "include_objects"))
+
+    def render_fn(cam):
+        res = render_jit(models, meta, arrays, cam, active_sh_degree=1,
+                         options=options)
+        return res.rgb
+
+    detector = BoxProjectionDetector(arrays=arrays,
+                                     actor_pose=models.actor_pose)
+    # GT: dist = ego_tape_fwd + track_fwd - cam_traveled
+    # (groundtruth.py:113). ego_tape ∘ vehicle-track = lead's WORLD
+    # position (constant here), so store it once; the synthetic ego's
+    # tape x stays 0 after yaw normalization.
+    gt_tracklets = {i: (lead_world_z, 0.0, 0.0) for i in range(len(cams))}
+    # synthetic vehicle frame: forward = +z_cam, left = -x_cam, up = -y_cam
+    v2c = np.array([[0., -1., 0., 0.], [0., 0., -1., 0.],
+                    [1., 0., 0., 0.], [0., 0., 0., 1.]])
+    return tape, render_fn, detector, cams[0], gt_tracklets, v2c
+
+
+def main(argv=None):
+    import argparse
+
+    from ..sim.loop import run_closed_loop
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--brake-distance", type=float, default=15.0)
+    p.add_argument("--collision-threshold", type=float, default=5.5)
+    p.add_argument("--simulation-time", type=float, default=3.5)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=320)
+    args = p.parse_args(argv)
+
+    tape, render_fn, detector, cam0, gt, v2c = _synthetic_setup(
+        args.width, args.height)
+    result = run_closed_loop(
+        tape, render_fn, detector, cam0, gt,
+        brake_distance=args.brake_distance,
+        collision_threshold=args.collision_threshold,
+        simulation_time=args.simulation_time,
+        ranger_extrinsic=v2c, cam_height=1.1)
+    print(json.dumps(dict(
+        verdict=result.verdict, ticks=result.ticks,
+        frames=result.frames_rendered,
+        min_gt_distance=round(result.min_gt_distance, 2),
+        render_fps=round(result.fps, 2),
+        wall_time=round(result.wall_time, 2))))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,195 @@
+"""Training CLI; TPU-native `train.py` (reference `train.py:24-315`).
+
+Usage:
+    python -m gaussianrpg_tpu.apps.train --config configs/xxx.yaml \
+        [KEY VALUE ...]
+
+Synthetic smoke mode (no Waymo data needed):
+    python -m gaussianrpg_tpu.apps.train --synthetic --iterations 200
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from ..config.config import load_config, make_argparser
+    from ..models import gaussians as G
+    from ..models.scene_graph import total_capacity
+    from ..models.scene_io import save_checkpoint, save_composite_ply
+    from ..render.renderer import RenderOptions
+    from ..train.trainer import (Batch, OptimConfig, init_train_state,
+                                 make_train_step)
+    from ..train.losses import psnr
+
+    parser = make_argparser("gaussianrpg_tpu training")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--iterations", type=int, default=None)
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.opts, mode="train")
+    iters = args.iterations or cfg.train.iterations
+
+    rng = np.random.default_rng(cfg.seed)
+    if args.synthetic or not cfg.source_path:
+        from ..utils.synthetic import make_cameras, make_scene
+        models, meta, arrays = make_scene(
+            n_background=5000, bkgd_capacity=16384, n_actors=2,
+            actor_capacity=1024, n_frames=10,
+            sh_degree=cfg.model.gaussian.sh_degree,
+            fourier_dim=cfg.model.gaussian.get("fourier_dim", 1))
+        cam_gt = [(c, None) for c in make_cameras(n_frames=10, width=256,
+                                                  height=160)]
+        actor_names = [f"obj_{i:03d}" for i in range(meta.num_actors)]
+        # ground truth = initial scene render + noise start
+        opts = RenderOptions(capacity=cfg.render.capacity)
+        from ..render.renderer import render_scene
+        gts = []
+        for c, _ in cam_gt:
+            res = jax.jit(render_scene, static_argnames=(
+                "active_sh_degree", "include_background", "include_objects",
+                "train_mode"))(models, meta, arrays, c,
+                               active_sh_degree=meta.bkgd_sh_degree,
+                               options=opts)
+            gts.append(np.asarray(res.rgb))
+        cam_gt = [(c, g) for (c, _), g in zip(cam_gt, gts)]
+        key = jax.random.PRNGKey(1)
+        models = models.replace(background=models.background.replace(
+            features_dc=models.background.features_dc + 0.3
+            * jax.random.normal(key, models.background.features_dc.shape)))
+    else:
+        from ..data.waymo import WaymoScene
+        from ..models.scene_builder import build_scene_from_waymo
+        scene = WaymoScene(
+            cfg.source_path,
+            selected_frames=cfg.data.selected_frames or None,
+            cameras=tuple(cfg.data.cameras),
+            box_scale=cfg.data.get("box_scale", 1.0),
+            test_every=(cfg.data.split_test
+                        if cfg.data.split_test > 0 else None),
+            train_every=(cfg.data.split_train
+                         if cfg.data.split_train > 0 else None))
+        models, meta, arrays, actor_names = build_scene_from_waymo(
+            scene, cfg)
+        cam_gt = scene.build_cameras("train")
+        opts = RenderOptions(capacity=cfg.render.capacity)
+
+    ocfg = OptimConfig(
+        position_lr_init=cfg.optim.position_lr_init,
+        position_lr_final=cfg.optim.position_lr_final,
+        position_lr_max_steps=cfg.optim.position_lr_max_steps,
+        feature_lr=cfg.optim.feature_lr,
+        opacity_lr=cfg.optim.opacity_lr,
+        scaling_lr=cfg.optim.scaling_lr,
+        rotation_lr=cfg.optim.rotation_lr,
+        lambda_l1=cfg.optim.lambda_l1,
+        lambda_dssim=cfg.optim.lambda_dssim,
+        lambda_sky=cfg.optim.lambda_sky,
+        lambda_semantic=cfg.optim.lambda_semantic,
+        lambda_depth_lidar=cfg.optim.lambda_depth_lidar,
+        densify_from_iter=cfg.optim.densify_from_iter,
+        densify_until_iter=cfg.optim.densify_until_iter,
+        densification_interval=cfg.optim.densification_interval,
+        opacity_reset_interval=cfg.optim.opacity_reset_interval,
+        densify_grad_threshold=cfg.optim.densify_grad_threshold,
+        min_opacity=cfg.optim.min_opacity,
+        percent_dense=cfg.optim.percent_dense,
+        percent_big_ws=cfg.optim.percent_big_ws,
+    )
+    n_total = total_capacity(models)
+    step_fn = make_train_step(meta, arrays, ocfg, opts, n_total)
+    state = init_train_state(models)
+
+    active_sh = 0
+    max_sh = meta.bkgd_sh_degree
+    ema_loss = ema_psnr = 0.0
+    os.makedirs(cfg.trained_model_dir, exist_ok=True)
+    os.makedirs(cfg.point_cloud_dir, exist_ok=True)
+    t0 = time.time()
+
+    for it in range(1, iters + 1):
+        if it % 1000 == 0 and active_sh < max_sh:
+            active_sh += 1
+        ci = int(rng.integers(len(cam_gt)))
+        cam, gt = cam_gt[ci]
+        if gt is None:
+            continue
+        batch = Batch(gt_image=jnp.asarray(gt))
+        state, loss, scalars, res = step_fn(
+            state, cam, batch, jax.random.PRNGKey(it), active_sh)
+        ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
+        ema_psnr = 0.4 * float(psnr(res.rgb, batch.gt_image)) \
+            + 0.6 * ema_psnr
+
+        if it % 50 == 0:
+            print(f"[{it}/{iters}] loss {ema_loss:.5f} psnr "
+                  f"{ema_psnr:.2f} ({(time.time()-t0)/it:.2f}s/it)",
+                  flush=True)
+
+        # densification (host-side interval events, train.py:276-301)
+        if (ocfg.densify_from_iter < it < ocfg.densify_until_iter
+                and it % ocfg.densification_interval == 0):
+            dcfg = G.DensifyConfig(
+                grad_threshold=ocfg.densify_grad_threshold,
+                min_opacity=ocfg.min_opacity,
+                percent_dense=ocfg.percent_dense,
+                percent_big_ws=ocfg.percent_big_ws,
+                extent=float(arrays.scene_radius),
+                prune_big_points=it > ocfg.opacity_reset_interval)
+            p2, aux2, adam_mu_nu, stats = G.densify_and_prune(
+                state.models.background, state.models.bkgd_aux,
+                G.AdamState(mu=state.adam.mu["background"],
+                            nu=state.adam.nu["background"],
+                            count=state.adam.count),
+                jax.random.PRNGKey(10000 + it), dcfg,
+                sphere_center=arrays.sphere_center,
+                sphere_radius=arrays.sphere_radius)
+            mu = dict(state.adam.mu)
+            nu = dict(state.adam.nu)
+            mu["background"] = adam_mu_nu.mu
+            nu["background"] = adam_mu_nu.nu
+            state = state.replace(
+                models=state.models.replace(background=p2, bkgd_aux=aux2),
+                adam=state.adam.replace(mu=mu, nu=nu))
+            print(f"  densify: active {int(stats['n_active'])} "
+                  f"(+{int(stats['n_clone'])}c/+{int(stats['n_split'])}s)",
+                  flush=True)
+
+        if (it < ocfg.densify_until_iter
+                and it % ocfg.opacity_reset_interval == 0):
+            p2, adam2 = G.reset_opacity(
+                state.models.background,
+                G.AdamState(mu=state.adam.mu["background"],
+                            nu=state.adam.nu["background"],
+                            count=state.adam.count))
+            mu = dict(state.adam.mu)
+            nu = dict(state.adam.nu)
+            mu["background"] = adam2.mu
+            nu["background"] = adam2.nu
+            state = state.replace(
+                models=state.models.replace(background=p2),
+                adam=state.adam.replace(mu=mu, nu=nu))
+
+        if it in set(cfg.train.checkpoint_iterations) | {iters}:
+            path = os.path.join(cfg.trained_model_dir,
+                                f"iteration_{it}.npz")
+            save_checkpoint(path, state, it, active_sh)
+            print(f"  checkpoint -> {path}", flush=True)
+        if it in set(cfg.train.save_iterations) | {iters}:
+            ply_dir = os.path.join(cfg.point_cloud_dir, f"iteration_{it}")
+            os.makedirs(ply_dir, exist_ok=True)
+            save_composite_ply(os.path.join(ply_dir, "point_cloud.ply"),
+                               state.models, actor_names)
+
+    print(f"done: {iters} iters in {time.time()-t0:.1f}s, "
+          f"final ema_psnr {ema_psnr:.2f}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""Assemble a composite SceneModels from loaded data or checkpoints — the
+`Scene` wrapper role (`/root/reference/lib/models/scene.py:10-64` +
+`street_gaussian_model.setup_functions:161-216`)."""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.waymo import WaymoScene
+from . import gaussians as G
+from .actor_pose import build_actor_pose
+from .corrections import init_color_correction, init_pose_correction
+from .scene_graph import SceneArrays, SceneMeta, SceneModels
+from .sky import init_sky_cubemap
+
+
+def _round_pow2(n, lo=256):
+    import math
+    return max(lo, 1 << math.ceil(math.log2(max(n, 1))))
+
+
+def random_actor_points(bbox, points_dim: int = 20, seed: int = 0):
+    """Random 20^3 grid in the actor bbox
+    (`gaussian_model_actor.create_from_pcd:96-111`)."""
+    rng = np.random.default_rng(seed)
+    lin = np.linspace(-1, 1, points_dim)
+    gx, gy, gz = np.meshgrid(lin, lin, lin)
+    pts = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], -1)
+    pts = pts * (np.asarray(bbox) / 2.0)
+    cols = rng.random((pts.shape[0], 3)).astype(np.float32)
+    return pts.astype(np.float32), cols
+
+
+def build_scene_from_waymo(scene: WaymoScene, cfg) -> tuple:
+    """(models, meta, arrays, actor_names): composite scene from a loaded
+    Waymo scene + config (mirrors `StreetGaussianModel.setup_functions`)."""
+    gcfg = cfg.model.gaussian
+    nsg = cfg.model.nsg
+    sh_degree = gcfg.sh_degree
+    fourier_dim = gcfg.get("fourier_dim", 1)
+    num_classes = cfg.data.num_classes if cfg.data.get("use_semantic",
+                                                       False) else 0
+
+    pcds = scene.load_init_pointclouds()
+    if "background" in pcds:
+        pts, cols, _ = pcds["background"]
+    else:
+        # fallback: random shell around the trajectory (no prepared PLYs)
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-50, 50, (100_000, 3)).astype(np.float32)
+        cols = rng.random((100_000, 3)).astype(np.float32)
+    bkgd, bkgd_aux = G.init_from_points(
+        pts, cols, _round_pow2(pts.shape[0] * 4), sh_degree,
+        num_classes=num_classes)
+
+    track_ids = sorted(scene.objects_info.keys())
+    actor_names = [f"obj_{tid:03d}" for tid in track_ids]
+    actor_list, aux_list, bboxes, deform, classes = [], [], [], [], []
+    starts_ts, ends_ts, starts_f, ends_f = [], [], [], []
+    a_cap = int(cfg.model.get("actor_capacity", 16384))
+    for tid in track_ids:
+        info = scene.objects_info[tid]
+        bbox = np.array([info["length"], info["width"], info["height"]],
+                        np.float32)
+        if tid in pcds:
+            pts, cols, _ = pcds[tid]
+        else:
+            pts, cols = random_actor_points(bbox, seed=tid)
+        pts = pts[:a_cap // 2]
+        cols = cols[:a_cap // 2]
+        p, aux = G.init_from_points(pts, cols, a_cap,
+                                    gcfg.get("sh_degree_obj", sh_degree),
+                                    fourier_dim=fourier_dim, num_classes=1)
+        actor_list.append(p)
+        aux_list.append(aux)
+        bboxes.append(bbox)
+        deform.append(info["deformable"])
+        classes.append(max(info["class_label"], 0))
+        starts_ts.append(info["start_timestamp"])
+        ends_ts.append(info["end_timestamp"])
+        starts_f.append(info["start_frame"])
+        ends_f.append(info["end_frame"])
+
+    n_actors = len(track_ids)
+    if n_actors:
+        actors = jax.tree.map(lambda *xs: jnp.stack(xs), *actor_list)
+        actors_aux = jax.tree.map(lambda *xs: jnp.stack(xs), *aux_list)
+        pose = build_actor_pose(scene.tracklets, scene.frame_timestamps,
+                                track_ids, opt_track=nsg.get("opt_track",
+                                                             True))
+    else:
+        actors = actors_aux = pose = None
+
+    meta = SceneMeta(
+        num_actors=n_actors,
+        bkgd_sh_degree=sh_degree,
+        obj_sh_degree=gcfg.get("sh_degree_obj", sh_degree),
+        fourier_dim=fourier_dim,
+        fourier_scale=gcfg.get("fourier_scale", 1.0),
+        num_classes=num_classes,
+        semantic_mode=gcfg.get("semantic_mode", "logits"),
+        flip_prob=gcfg.get("flip_prob", 0.0),
+        use_color_correction=cfg.model.use_color_correction,
+        use_pose_correction=cfg.model.use_pose_correction,
+        include_sky=nsg.get("include_sky", False),
+    )
+    one = lambda xs, d=0.0: jnp.asarray(
+        np.asarray(xs if xs else [d], np.float32))
+    arrays = SceneArrays(
+        actor_start_ts=one(starts_ts),
+        actor_end_ts=one(ends_ts, 1.0),
+        actor_start_frame=one(starts_f),
+        actor_end_frame=one(ends_f, 1.0),
+        actor_bbox=jnp.asarray(np.stack(bboxes) if bboxes
+                               else np.zeros((1, 3), np.float32)),
+        actor_deformable=jnp.asarray(np.asarray(deform if deform else [0],
+                                                bool)),
+        actor_class=jnp.asarray(np.asarray(classes if classes else [0],
+                                           np.int32)),
+        scene_center=jnp.zeros(3),
+        scene_radius=jnp.asarray(float(cfg.data.get("extent", 20.0))),
+        sphere_center=jnp.zeros(3),
+        sphere_radius=jnp.asarray(float(cfg.data.get("extent", 20.0))),
+    )
+
+    num_images = scene.num_frames * len(scene.cameras)
+    models = SceneModels(
+        background=bkgd,
+        bkgd_aux=bkgd_aux,
+        actors=actors,
+        actors_aux=actors_aux,
+        actor_pose=pose,
+        sky=init_sky_cubemap() if meta.include_sky else None,
+        color_correction=init_color_correction(
+            num_images, cfg.model.color_correction.mode)
+        if meta.use_color_correction else None,
+        pose_correction=init_pose_correction(
+            num_images, cfg.model.pose_correction.mode)
+        if meta.use_pose_correction else None,
+    )
+    return models, meta, arrays, actor_names

@@ -1,0 +1,181 @@
+"""Scene checkpointing and PLY export/import.
+
+TPU-native equivalent of the reference's checkpoint/restore subsystem
+(SURVEY.md §5): the composite state_dict of every sub-model including Adam
+moments, densification stats and active SH degree
+(`gaussian_model.py:182-205`, `street_gaussian_model.py:138-159`,
+`train.py:309-314`), stored as a single npz (pytree flatten) under
+`trained_model/iteration_{i}.npz`, plus the composite PLY with one
+`vertex_<model>` element per sub-model (`street_gaussian_model.py:94-117`).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.ply import (gaussian_to_struct, read_ply, struct_to_gaussian,
+                        write_ply)
+from . import gaussians as G
+
+
+def _flatten_state(tree) -> dict:
+    leaves, treedef = jax.tree.flatten(tree)
+    return {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+
+
+def save_checkpoint(path: str, state, step: int, active_sh_degree: int):
+    """Save a TrainState (or any pytree) + scalars; `train.py:309-314`."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrs = _flatten_state(state)
+    arrs["__step__"] = np.asarray(step)
+    arrs["__sh_degree__"] = np.asarray(active_sh_degree)
+    np.savez(path, **arrs)
+
+
+def load_checkpoint(path: str, state_template):
+    """Restore into the same pytree structure; returns
+    (state, step, active_sh_degree)."""
+    data = np.load(path)
+    leaves, treedef = jax.tree.flatten(state_template)
+    new_leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    state = jax.tree.unflatten(treedef, new_leaves)
+    return state, int(data["__step__"]), int(data["__sh_degree__"])
+
+
+def search_max_iteration(dirname: str) -> Optional[int]:
+    """`system_utils.searchForMaxIteration` analog."""
+    if not os.path.isdir(dirname):
+        return None
+    its = []
+    for f in os.listdir(dirname):
+        m = re.match(r"iteration_(\d+)\.npz", f)
+        if m:
+            its.append(int(m.group(1)))
+    return max(its) if its else None
+
+
+def _active_np(params: G.GaussianParams, n_active: int):
+    take = lambda x: np.asarray(x)[:n_active]
+    return (take(params.xyz), take(params.features_dc),
+            take(params.features_rest), take(params.opacity),
+            take(params.scaling), take(params.rotation),
+            take(params.semantic))
+
+
+def save_composite_ply(path: str, models, actor_names=None):
+    """One `vertex_<model>` element per sub-model
+    (`street_gaussian_model.save_ply:94-105`); only active slots are
+    written."""
+    elements = {}
+    xyz, f_dc, f_rest, op, sc, rot, sem = _active_np(
+        models.background, int(models.bkgd_aux.n_active))
+    elements["vertex_background"] = gaussian_to_struct(
+        xyz, f_dc, f_rest, op, sc, rot, sem)
+    if models.actors is not None and models.actors.xyz.shape[0]:
+        o_cnt = models.actors.xyz.shape[0]
+        for o in range(o_cnt):
+            p = jax.tree.map(lambda x: x[o], models.actors)
+            n_act = int(models.actors_aux.n_active[o])
+            name = (actor_names[o] if actor_names else f"obj_{o:03d}")
+            xyz, f_dc, f_rest, op, sc, rot, sem = _active_np(p, n_act)
+            elements[f"vertex_{name}"] = gaussian_to_struct(
+                xyz, f_dc, f_rest, op, sc, rot, sem)
+    write_ply(path, elements)
+
+
+def export_flat_ply(path: str, models, meta, arrays, frame: int = 0):
+    """Flatten the composite scene at one frame into a standard single-
+    element 3DGS PLY for external viewers (`make_ply.py` analog): actor
+    Gaussians are posed into world space and their time-conditioned DC
+    coefficients evaluated at the frame."""
+    from ..ops.math3d import quaternion_multiply, quaternion_to_matrix
+    from ..ops.sh import idft_basis
+    from .actor_pose import object_poses
+
+    xs, dcs, rests, ops, scs, rots, sems = [], [], [], [], [], [], []
+    xyz, f_dc, f_rest, op, sc, rot, sem = _active_np(
+        models.background, int(models.bkgd_aux.n_active))
+    xs.append(xyz)
+    dcs.append(f_dc[:, :1])
+    rests.append(f_rest)
+    ops.append(op)
+    scs.append(sc)
+    rots.append(rot)
+    sems.append(sem)
+
+    if models.actors is not None and meta.num_actors:
+        ts = frame / max(1, int(np.asarray(arrays.actor_end_frame)[0]))
+        trans, quats = object_poses(models.actor_pose, ts)
+        for o in range(meta.num_actors):
+            p = jax.tree.map(lambda x: x[o], models.actors)
+            n_act = int(models.actors_aux.n_active[o])
+            xyz, f_dc, f_rest, op, sc, rot, sem = _active_np(p, n_act)
+            rmat = np.asarray(quaternion_to_matrix(quats[o]))
+            xyz_w = xyz @ rmat.T + np.asarray(trans[o])
+            rot_w = np.asarray(quaternion_multiply(
+                jnp.asarray(quats[o])[None], jnp.asarray(rot)))
+            denom = max(float(arrays.actor_end_frame[o]
+                              - arrays.actor_start_frame[o]), 1.0)
+            tnorm = (frame - float(arrays.actor_start_frame[o])) / denom
+            basis = np.asarray(idft_basis(tnorm * meta.fourier_scale,
+                                          meta.fourier_dim))
+            dc = (f_dc * basis[None, :, None]).sum(axis=1, keepdims=True)
+            xs.append(xyz_w.astype(np.float32))
+            dcs.append(dc)
+            rests.append(f_rest)
+            ops.append(op)
+            scs.append(sc)
+            rots.append(rot_w)
+            sems.append(np.zeros((n_act, sems[0].shape[1]), np.float32))
+
+    k_rest = max(r.shape[1] for r in rests)
+    rests = [np.pad(r, ((0, 0), (0, k_rest - r.shape[1]), (0, 0)))
+             for r in rests]
+    cat = lambda arrs: np.concatenate(arrs, axis=0)
+    elements = {"vertex": gaussian_to_struct(
+        cat(xs), cat(dcs), cat(rests), cat(ops), cat(scs), cat(rots),
+        cat(sems))}
+    write_ply(path, elements)
+
+
+def load_gaussians_from_ply(path: str, element: str = "vertex",
+                            capacity: int | None = None,
+                            fourier_dim: int = 1
+                            ) -> Tuple[G.GaussianParams, G.GaussianAux]:
+    """Load one PLY element into a capacity-padded GaussianParams."""
+    elems = read_ply(path)
+    v = elems[element] if element in elems else next(iter(elems.values()))
+    d = struct_to_gaussian(v, fourier_dim)
+    n = d["xyz"].shape[0]
+    cap = capacity or int(2 ** np.ceil(np.log2(max(n, 1) * 1.5)))
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    f_dc = d["features_dc"]
+    if f_dc.shape[1] < fourier_dim:
+        f_dc = np.pad(f_dc, ((0, 0), (0, fourier_dim - f_dc.shape[1]),
+                             (0, 0)))
+    params = G.GaussianParams(
+        xyz=pad(d["xyz"]),
+        features_dc=pad(f_dc),
+        features_rest=pad(d["features_rest"]),
+        scaling=pad(d["scaling"], fill=-20.0),
+        rotation=pad(d["rotation"]).at[n:, 0].set(1.0),
+        opacity=pad(d["opacity"], fill=-20.0),
+        semantic=pad(d["semantic"]),
+    )
+    aux = G.GaussianAux(
+        n_active=jnp.asarray(n, jnp.int32),
+        xyz_gradient_accum=jnp.zeros((cap, 2)),
+        denom=jnp.zeros((cap, 1)),
+        max_radii2d=jnp.zeros((cap,)),
+    )
+    return params, aux

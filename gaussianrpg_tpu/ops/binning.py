@@ -48,12 +48,12 @@ class PairLists(NamedTuple):
     pair_src: jax.Array      # [P_pad] i32 index into the depth-sorted arrays
                              # (G_CHUNK-aligned per tile; padding slots = -1)
     pair_valid: jax.Array    # [P_pad] bool
-    tile_nonempty: jax.Array  # [n_tiles] bool (tiles with >= 1 pair)
-    chunk_tile: jax.Array    # [MAX_CHUNKS] i32 fine tile of each chunk
-    chunk_first: jax.Array   # [MAX_CHUNKS] i32 1 = first chunk of its tile
-    chunk_last: jax.Array    # [MAX_CHUNKS] i32 1 = last chunk of its tile
-    chunk_block_in: jax.Array   # [MAX_CHUNKS] i32 input block id (tail-safe)
-    chunk_block_out: jax.Array  # [MAX_CHUNKS] i32 output block id
+    tile_nonempty: jax.Array  # [n_tiles] bool (tiles whose block is written)
+    chunk_meta: jax.Array    # [MAX_CHUNKS] i32 packed per-chunk metadata:
+                             # tile | first<<24 | last<<25 | valid<<26
+                             # (one SMEM word per chunk — scalar-prefetch
+                             # SMEM is ~1MB, so unpacked arrays would cap
+                             # the pair capacity)
     raw_total: jax.Array     # [] i32 true pair count (before padding)
     padded_total: jax.Array  # [] i32 padded pair count
     n_tiles_x: int
@@ -159,9 +159,9 @@ def build_pair_lists(
     chunk_last = (
         cvalid & (elem + G_CHUNK == jnp.take(pstarts, ct + 1))
     ).astype(jnp.int32)
-    chunk_block_in = jnp.where(cvalid, cidx, 0)
-    # tail chunks write zeros to their own (otherwise-unwritten) grad block
-    chunk_block_out = cidx
+    assert n_tiles < (1 << 24)
+    chunk_meta = (chunk_tile | (chunk_first << 24) | (chunk_last << 25)
+                  | (cvalid.astype(jnp.int32) << 26))
 
     # --- aligned placement as a GATHER (a 4M-update scatter costs ~100ms
     # on TPU; the gather form is bandwidth-bound). Each padded slot knows
@@ -178,15 +178,16 @@ def build_pair_lists(
         jnp.take(src_sorted, jnp.clip(src_pos, 0, p_max - 1)), -1)
     pair_valid = pair_src >= 0
 
+    # a tile's output block is only written when its LAST chunk fits within
+    # capacity; on overflow, mask the unwritten tiles to background instead
+    # of leaking uninitialized memory (callers still see `overflowed`)
+    tile_written = (counts > 0) & (pstarts[1:] <= capacity)
+
     return PairLists(
         pair_src=pair_src,
         pair_valid=pair_valid,
-        tile_nonempty=counts > 0,
-        chunk_tile=chunk_tile,
-        chunk_first=chunk_first,
-        chunk_last=chunk_last,
-        chunk_block_in=chunk_block_in,
-        chunk_block_out=chunk_block_out,
+        tile_nonempty=tile_written,
+        chunk_meta=chunk_meta,
         raw_total=raw_total,
         padded_total=padded_total,
         n_tiles_x=ntx,

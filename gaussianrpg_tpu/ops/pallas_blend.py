@@ -191,14 +191,17 @@ def _feat_rows(gdata_ref, s_ch):
 def _make_fwd_kernel(ntx, s_ch):
     c_feat = 5 + s_ch  # r,g,b,depth,weight,sem...
 
-    def kernel(ct_ref, cf_ref, cl_ref, _cbi_ref, _cbo_ref, bg_ref,
-               gdata_ref, out_ref, t_run_s, done_s, acc_s):
+    def kernel(cm_ref, bg_ref, gdata_ref, out_ref, t_run_s, done_s, acc_s):
         c = pl.program_id(0)
-        tile = ct_ref[c]
+        meta = cm_ref[c]
+        tile = meta & 0xFFFFFF
+        first = (meta >> 24) & 1
+        last = (meta >> 25) & 1
+        valid = (meta >> 26) & 1
         tile_x = tile % ntx
         tile_y = tile // ntx
 
-        @pl.when(cf_ref[c] == 1)
+        @pl.when(first == 1)
         def _():
             t_run_s[...] = jnp.ones((N_PIX, 1), jnp.float32)
             done_s[...] = jnp.zeros((N_PIX, 1), jnp.float32)
@@ -206,7 +209,7 @@ def _make_fwd_kernel(ntx, s_ch):
 
         n_done = jnp.sum(done_s[...])
 
-        @pl.when(n_done < N_PIX)
+        @pl.when((valid == 1) & (n_done < N_PIX))
         def _():
             px, py = _pixel_coords(tile_x, tile_y)
             t = _chunk_rows(gdata_ref)
@@ -220,7 +223,7 @@ def _make_fwd_kernel(ntx, s_ch):
             t_run_s[...] = t_run_new
             done_s[...] = done_new.astype(jnp.float32)
 
-        @pl.when(cl_ref[c] == 1)
+        @pl.when(last == 1)
         def _():
             acc = acc_s[...]
             t_fin = t_run_s[...]
@@ -245,16 +248,18 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_rows):
     half_w = 0.5 * width
     half_h = 0.5 * height
 
-    def kernel(ct_ref, cf_ref, _cl_ref, _cbi_ref, _cbo_ref, bg_ref,
-               gdata_ref, out_ref, dout_ref, grad_ref,
+    def kernel(cm_ref, bg_ref, gdata_ref, out_ref, dout_ref, grad_ref,
                t_run_s, done_s, pref_s, gmat_s):
         c = pl.program_id(0)
-        tile = ct_ref[c]
+        meta = cm_ref[c]
+        tile = meta & 0xFFFFFF
+        first = (meta >> 24) & 1
+        valid = (meta >> 26) & 1
         tile_x = tile % ntx
         tile_y = tile // ntx
         bg0, bg1, bg2 = bg_ref[0], bg_ref[1], bg_ref[2]
 
-        @pl.when(cf_ref[c] == 1)
+        @pl.when(first == 1)
         def _():
             t_run_s[...] = jnp.ones((N_PIX, 1), jnp.float32)
             done_s[...] = jnp.zeros((N_PIX, 1), jnp.float32)
@@ -263,7 +268,7 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_rows):
         gmat_s[...] = jnp.zeros((ng_rows, G_CHUNK), jnp.float32)
         n_done = jnp.sum(done_s[...])
 
-        @pl.when(n_done < N_PIX)
+        @pl.when((valid == 1) & (n_done < N_PIX))
         def _():
             # saved forward outputs and cotangents -> (N_PIX, NFO)
             outs = out_ref[0, :, :].T
@@ -349,21 +354,19 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
     fwd_kernel = _make_fwd_kernel(ntx, s_ch)
     bwd_kernel = _make_bwd_kernel(ntx, s_ch, width, height, ng_rows)
 
-    # scalar-prefetch order: ct, cf, cl, cbi, cbo, bg
+    # scalar-prefetch order: chunk_meta (packed), bg
     gdata_spec = pl.BlockSpec(
-        (nf_rows, G_CHUNK),
-        lambda c, ct, cf, cl, cbi, cbo, bg: (0, cbi[c]))
+        (nf_rows, G_CHUNK), lambda c, cm, bg: (0, c))
     # tile-leading layout: Mosaic requires the last two block dims to divide
     # (8, 128) or equal the full array dims, so the revisited tile axis must
     # be the leading dim
     tile_spec = pl.BlockSpec(
-        (1, nfo, N_PIX),
-        lambda c, ct, cf, cl, cbi, cbo, bg: (ct[c], 0, 0))
+        (1, nfo, N_PIX), lambda c, cm, bg: (cm[c] & 0xFFFFFF, 0, 0))
 
     fwd_call = pl.pallas_call(
         fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=2,
             grid=(max_chunks,),
             in_specs=[gdata_spec],
             out_specs=tile_spec,
@@ -380,12 +383,11 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
     bwd_call = pl.pallas_call(
         bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=2,
             grid=(max_chunks,),
             in_specs=[gdata_spec, tile_spec, tile_spec],
             out_specs=pl.BlockSpec(
-                (ng_rows, G_CHUNK),
-                lambda c, ct, cf, cl, cbi, cbo, bg: (0, cbo[c])),
+                (ng_rows, G_CHUNK), lambda c, cm, bg: (0, c)),
             scratch_shapes=[
                 pltpu.VMEM((N_PIX, 1), jnp.float32),       # t_run
                 pltpu.VMEM((N_PIX, 1), jnp.float32),       # done
@@ -403,7 +405,7 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
 def _make_blend(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
     """custom_vjp blend for one static config.
 
-    primal: (gdata [NF, P_pad], chunk meta (5 x [MAX_CHUNKS] i32), bg [3],
+    primal: (gdata [NF, P_pad], chunk_meta [MAX_CHUNKS] i32 packed, bg [3],
     absgrad_sink [P_pad]) -> planes [n_tiles, NFO, 256] (tile-major; empty
     tiles contain garbage — mask them outside via tile_nonempty).
     """
@@ -411,16 +413,16 @@ def _make_blend(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
                                     width, height, interpret)
 
     @jax.custom_vjp
-    def blend(gdata, ct, cf, cl, cbi, cbo, bg, absgrad_sink):
-        return fwd_call(ct, cf, cl, cbi, cbo, bg, gdata)
+    def blend(gdata, cm, bg, absgrad_sink):
+        return fwd_call(cm, bg, gdata)
 
-    def blend_fwd(gdata, ct, cf, cl, cbi, cbo, bg, absgrad_sink):
-        out = fwd_call(ct, cf, cl, cbi, cbo, bg, gdata)
-        return out, (gdata, ct, cf, cl, cbi, cbo, bg, out)
+    def blend_fwd(gdata, cm, bg, absgrad_sink):
+        out = fwd_call(cm, bg, gdata)
+        return out, (gdata, cm, bg, out)
 
     def blend_bwd(res, dout):
-        gdata, ct, cf, cl, cbi, cbo, bg, out = res
-        grads = bwd_call(ct, cf, cl, cbi, cbo, bg, gdata, out, dout)
+        gdata, cm, bg, out = res
+        grads = bwd_call(cm, bg, gdata, out, dout)
         # rows 0..9 (means2d/conic/op/color/depth) map 1:1 to gdata rows;
         # the radius row (10) carries the abs-grad stat -> absgrad_sink
         d_gdata = jnp.zeros_like(gdata)
@@ -429,7 +431,7 @@ def _make_blend(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
             d_gdata = d_gdata.at[F_SEM:F_SEM + s_ch, :].set(
                 grads[NG_BASE:NG_BASE + s_ch, :])
         d_abs = grads[GF_ABS, :]
-        return (d_gdata, None, None, None, None, None, None, d_abs)
+        return (d_gdata, None, None, d_abs)
 
     blend.defvjp(blend_fwd, blend_bwd)
     return blend
@@ -466,9 +468,7 @@ def blend_pairs(
     assert nf_rows >= NF_BASE + s_ch
     fn = _make_blend(lists.n_tiles_x, lists.n_tiles_y, s_ch, capacity,
                      nf_rows, width, height, interpret)
-    planes = fn(gdata, lists.chunk_tile, lists.chunk_first, lists.chunk_last,
-                lists.chunk_block_in, lists.chunk_block_out, bg,
-                absgrad_sink)
+    planes = fn(gdata, lists.chunk_meta, bg, absgrad_sink)
     # tiles with no pairs never get a chunk: composite pure background
     nfo = planes.shape[1]
     bg_plane = jnp.concatenate(

@@ -1,0 +1,144 @@
+"""Headless closed-loop simulator: tape -> render -> perception -> AEB ->
+car dynamics, with the reference's 50Hz dynamics / 10Hz imaging cadence.
+
+In-process re-implementation of the ROS2 node graph
+(`nodes/scripts/simulator_launch.sh` + SURVEY.md §3.3): the DDS topics
+become direct calls in one loop (the reference's README measures its
+separate-perception mode at ~1.15 Hz *because* of Image-topic
+serialization; the in-process loop is the fast path, and
+apps/ros2_nodes.py re-exposes the same nodes over ROS2 when rclpy exists).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..render.camera import Camera, make_camera
+from .nodes import (AebController, CarDynamics, Evaluation, GroundPlaneRanger,
+                    GroundTruth)
+
+
+@dataclass
+class LoopResult:
+    verdict: str
+    ticks: int
+    frames_rendered: int
+    min_gt_distance: float
+    wall_time: float
+    fps: float
+    log: List[dict] = field(default_factory=list)
+
+
+def run_closed_loop(
+    tape: dict,
+    render_fn: Callable[[Camera], np.ndarray],
+    detector,
+    camera_template: Camera,
+    gt_tracklets: dict,
+    *,
+    start_frame: int = 0,
+    brake_distance: float = 15.0,
+    collision_threshold: float = 5.5,
+    simulation_time: float = 15.0,
+    cam_height: float = 2.115,
+    ranger_extrinsic: np.ndarray | None = None,
+    max_ticks: int | None = None,
+    realtime: bool = False,
+) -> LoopResult:
+    """Run the loop until verdict or max_ticks.
+
+    render_fn: Camera -> [3, H, W] image (the TPU renderer, jitted with the
+    camera as an argument). detector: sim.detector.Detector.
+    """
+    dyn = CarDynamics(tape=tape)
+    sync_iters = int(round(tape.get("dynamic_freq", 50)
+                           / tape.get("image_freq", 10)))
+    aeb = AebController(brake_distance=brake_distance)
+    gt = GroundTruth(tape=tape, tracklets=gt_tracklets,
+                     start_frame=start_frame, sync_iter_times=sync_iters)
+    ev = Evaluation(simulation_time=simulation_time,
+                    collision_threshold=collision_threshold,
+                    start_time=tape["frames"][0]["timestamp"])
+    # the ranger wants vehicle->camera; Waymo cameras carry cam->vehicle
+    ext = (ranger_extrinsic if ranger_extrinsic is not None
+           else np.linalg.inv(np.asarray(camera_template.extrinsic)))
+    ranger = GroundPlaneRanger(
+        K=np.asarray(camera_template.K),
+        extrinsic=np.asarray(ext),
+        width=camera_template.width, height=camera_template.height,
+        cam_height=cam_height)
+
+    ticks = 0
+    frames = 0
+    min_gt = float("inf")
+    log = []
+    t_wall0 = time.time()
+    render_time = 0.0
+    max_ticks = max_ticks or int(
+        (simulation_time + 2.0) * tape.get("dynamic_freq", 50))
+
+    while ev.verdict is None and ticks < max_ticks:
+        pose = dyn.tick()
+        idx = dyn.idx - 1
+        cam_z = pose["position"][2]
+        aeb.on_pose(cam_z, dyn.timestamp)
+
+        # ground truth + evaluation at the imaging cadence
+        d = gt.distance(idx, cam_z)
+        if d is not None:
+            min_gt = min(min_gt, d)
+            ev.on_distance(d, dyn.timestamp)
+
+        if idx % sync_iters == 0 and ev.verdict is None:
+            # build the render camera: tape pose + ego pose that pushes the
+            # scene's other actors forward (`simulator.py:276-307`)
+            cam = _camera_from_pose(camera_template, pose, idx,
+                                    dyn.timestamp)
+            t0 = time.time()
+            img = np.asarray(render_fn(cam))
+            render_time += time.time() - t0
+            frames += 1
+
+            bboxes = detector.detect(img, cam)
+            objects = [ranger.distance(b) for b in bboxes]
+            objects = [(rng_, lat) for rng_, lat in objects if rng_ > 0]
+            brake = aeb.on_objects(objects)
+            dyn.on_control(brake)
+            log.append(dict(tick=idx, t=dyn.timestamp, gt_dist=d,
+                            n_det=len(bboxes), brake=brake,
+                            velocity=dyn.forward_velocity))
+        ticks += 1
+        if realtime:
+            time.sleep(max(0.0, dyn.dt - (time.time() - t_wall0) % dyn.dt))
+
+    wall = time.time() - t_wall0
+    return LoopResult(
+        verdict=ev.verdict or "timeout",
+        ticks=ticks,
+        frames_rendered=frames,
+        min_gt_distance=min_gt,
+        wall_time=wall,
+        fps=frames / max(render_time, 1e-9),
+        log=log,
+    )
+
+
+def _camera_from_pose(template: Camera, pose: dict, idx: int,
+                      timestamp: float) -> Camera:
+    """Rebuild the template camera at a tape pose (`simulator.py:276-307`:
+    same K/resolution, tape R/T, tape ego_pose to move the other actors)."""
+    import jax.numpy as jnp
+
+    R = np.asarray(pose["rotation_matrix"])
+    T = np.asarray(pose["position"])
+    return make_camera(
+        R=R, T=T, K=np.asarray(template.K), width=template.width,
+        height=template.height,
+        ego_pose=np.asarray(pose["ego_pose"], np.float32),
+        extrinsic=np.asarray(template.extrinsic),
+        timestamp=float(timestamp), frame=idx, cam_id=template.cam_id,
+        meta=template.meta,
+    )

@@ -1,0 +1,82 @@
+"""Camera-tape export/import + 10Hz -> 50Hz upsampling.
+
+Port of `/root/reference/render_lite.py:39-88,237-242`: the tape
+(`cams_tape.json`) carries per-frame camera R/T (3DGS convention),
+timestamp, and the vehicle ego pose that "pushes forward" the other cars
+during simulation.
+"""
+from __future__ import annotations
+
+import copy
+import json
+from typing import List
+
+import numpy as np
+
+
+def camera_to_tape(idx: int, camera) -> dict:
+    """`render_lite.camera_to_tape:39-50` (R = C2W rotation, position = T
+    of the world->cam transform)."""
+    V = np.asarray(camera.viewmatrix)
+    R = V[:3, :3].T
+    T = V[:3, 3]
+    return {
+        "id": idx,
+        "timestamp": float(np.asarray(camera.timestamp)),
+        "rotation_matrix": [r.tolist() for r in R],
+        "position": T.tolist(),
+        "ego_pose": [r.tolist() for r in np.asarray(camera.ego_pose)],
+    }
+
+
+def tape_upsampling(frames: List[dict], rate: int) -> List[dict]:
+    """`render_lite.tape_upsampling:52-88`: linear position + timestamp +
+    ego-translation interpolation; rotations held constant per segment."""
+    out = []
+    idx = 0
+    for i in range(len(frames) - 1):
+        cur, nxt = frames[i], frames[i + 1]
+        cur = dict(cur)
+        cur["id"] = idx
+        out.append(cur)
+        idx += 1
+        dpos = [(b - a) / rate for a, b in zip(cur["position"],
+                                               nxt["position"])]
+        dt = (nxt["timestamp"] - cur["timestamp"]) / rate
+        dego = [(nxt["ego_pose"][k][3] - cur["ego_pose"][k][3]) / rate
+                for k in range(3)]
+        for j in range(1, rate):
+            ego = copy.deepcopy(cur["ego_pose"])
+            for k in range(3):
+                ego[k][3] = cur["ego_pose"][k][3] + j * dego[k]
+            out.append({
+                "id": idx,
+                "timestamp": cur["timestamp"] + j * dt,
+                "rotation_matrix": cur["rotation_matrix"],
+                "position": [cur["position"][k] + j * dpos[k]
+                             for k in range(3)],
+                "ego_pose": ego,
+            })
+            idx += 1
+    last = dict(frames[-1])
+    last["id"] = idx
+    out.append(last)
+    return out
+
+
+def save_tape(path: str, frames: List[dict], image_freq: float = 10,
+              dynamic_freq: float = 50):
+    """`render_lite.py:237-242` format."""
+    with open(path, "w") as f:
+        json.dump({"frames": frames, "image_freq": image_freq,
+                   "dynamic_freq": dynamic_freq}, f)
+
+
+def load_tape(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)
+
+
+def build_tape_from_cameras(cameras, upsample_rate: int = 5) -> List[dict]:
+    frames = [camera_to_tape(i, c) for i, c in enumerate(cameras)]
+    return tape_upsampling(frames, upsample_rate)

@@ -1,0 +1,110 @@
+"""Closed-loop simulator: tape mechanics, dynamics integration, AEB logic,
+ground-plane ranging, and a full headless loop on a tiny synthetic scene
+(the reference's launch-and-watch integration pattern, SURVEY.md §4)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from gaussianrpg_tpu.sim.nodes import (AebController,  # noqa: E402
+                                       CarDynamics, Evaluation,
+                                       GroundPlaneRanger)
+from gaussianrpg_tpu.sim.tape import tape_upsampling  # noqa: E402
+
+
+def _mk_tape(n=20, v=2.0, freq=50.0):
+    frames = []
+    for i in range(n):
+        frames.append({
+            "id": i,
+            "timestamp": i / freq,
+            "rotation_matrix": np.eye(3).tolist(),
+            "position": [0.0, 0.0, -v * i / freq],
+            "ego_pose": np.eye(4).tolist(),
+        })
+    return {"frames": frames, "image_freq": freq / 5, "dynamic_freq": freq}
+
+
+def test_tape_upsampling_counts_and_interp():
+    frames = _mk_tape(5, freq=10.0)["frames"]
+    up = tape_upsampling(frames, 5)
+    assert len(up) == (len(frames) - 1) * 5 + 1
+    # position interpolates linearly at j/rate
+    np.testing.assert_allclose(
+        up[2]["position"][2],
+        frames[0]["position"][2]
+        + 0.4 * (frames[1]["position"][2] - frames[0]["position"][2]),
+        atol=1e-9)
+
+
+def test_dynamics_brake_integration():
+    tape = _mk_tape(100, v=5.0)
+    dyn = CarDynamics(tape=tape)
+    for _ in range(10):
+        dyn.tick()
+    v0 = dyn.forward_velocity
+    assert v0 == pytest.approx(5.0, abs=0.2)
+    dyn.on_control(-10.0)
+    for _ in range(30):
+        dyn.tick()
+    # braking at 10 m/s^2 from 5 m/s stops within ~0.5 s (25 ticks)
+    assert dyn.forward_velocity < 0.5
+
+
+def test_aeb_tiers():
+    aeb = AebController(brake_distance=20.0)
+    aeb.lon_velocity = 5.0
+    assert aeb.on_objects([(10.0, 0.0)]) == -13.5
+    aeb.lon_velocity = 1.5
+    assert aeb.on_objects([(10.0, 0.0)]) == -10.0
+    aeb.lon_velocity = 0.5
+    assert aeb.on_objects([(10.0, 0.0)]) == -8.0
+    # out of lateral gate: no braking trigger
+    aeb2 = AebController(brake_distance=20.0)
+    aeb2.lon_velocity = 5.0
+    assert aeb2.on_objects([(10.0, 3.0)]) == 0.0
+
+
+def test_ground_plane_ranger_accuracy():
+    # camera 2m above ground; object bottom at known depth
+    K = np.array([[800.0, 0, 320], [0, 800.0, 240], [0, 0, 1]])
+    # vehicle->camera: forward(+x_veh) -> +z_cam, left -> -x, up -> -y
+    v2c = np.array([[0., -1., 0., 0.], [0., 0., -1., 0.],
+                    [1., 0., 0., 0.], [0., 0., 0., 1.]])
+    ranger = GroundPlaneRanger(K=K, extrinsic=v2c, width=640,
+                               height=480, cam_height=2.0)
+    depth = 20.0
+    v_bottom = 240 + 800.0 * 2.0 / depth   # projection of ground point
+    bbox = np.array([0.5, (v_bottom - 30) / 480, 0.1, 60 / 480])
+    est, lat = ranger.distance(bbox)
+    assert est == pytest.approx(np.hypot(depth, 2.0), rel=0.05)
+
+
+def test_evaluation_verdicts():
+    ev = Evaluation(simulation_time=2.0, collision_threshold=5.0,
+                    start_time=0.0)
+    assert ev.on_distance(20.0, 1.0) is None
+    assert ev.on_distance(4.0, 1.5) == "collision"
+    ev2 = Evaluation(simulation_time=2.0, collision_threshold=5.0,
+                     start_time=0.0)
+    assert ev2.on_distance(20.0, 2.5) == "success"
+
+
+@pytest.mark.slow
+def test_closed_loop_brakes_before_collision():
+    """Full loop on a tiny scene: with AEB the ego must not collide."""
+    from gaussianrpg_tpu.apps.simulate import _synthetic_setup
+    from gaussianrpg_tpu.sim.loop import run_closed_loop
+
+    tape, render_fn, detector, cam0, gt, v2c = _synthetic_setup(
+        width=128, height=80)
+    result = run_closed_loop(
+        tape, render_fn, detector, cam0, gt,
+        brake_distance=18.0, collision_threshold=4.0,
+        simulation_time=3.0, max_ticks=220,
+        ranger_extrinsic=v2c, cam_height=1.1)
+    assert result.frames_rendered > 5
+    assert result.verdict in ("success", "timeout")
+    assert any(e["brake"] != 0.0 for e in result.log), \
+        "AEB never braked"
+    assert result.min_gt_distance > 4.0
