@@ -1,0 +1,112 @@
+"""Optional ROS2 wrappers for the simulator nodes.
+
+Re-exposes the in-process loop (sim/nodes.py) over the reference's exact
+topic contract (`nodes/src/*/setup.py` entry points, SURVEY.md §2.4):
+
+  cam_pose    PoseWithCovarianceStamped  (covariance[0] carries the tick idx)
+  front_image Image                      (separate-perception mode)
+  objects     PoseArray                  (position.x = range, .y = lateral)
+  control_cmd TwistStamped               (linear.x = brake m/s^2)
+  cam_2_cipv  Float64
+
+Requires rclpy (not shipped in this environment); the headless in-process
+loop (sim/loop.py) is the primary path, these wrappers keep launch-file
+compatibility with the reference's `simulator_launch.sh` semantics.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def require_rclpy():
+    try:
+        import rclpy  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def run_simulator_node(tape, render_fn, detector, camera_template,
+                       gt_tracklets, **loop_kwargs):
+    """ROS2 graph entry: publishes cam_pose at 50Hz, renders at 10Hz,
+    publishes objects, consumes control_cmd; mirrors
+    `simulator.py:53-161`."""
+    if not require_rclpy():
+        raise RuntimeError(
+            "rclpy unavailable — use gaussianrpg_tpu.sim.loop.run_closed_loop"
+            " (in-process) instead")
+
+    import rclpy
+    from geometry_msgs.msg import (PoseArray, PoseWithCovarianceStamped,
+                                   TwistStamped)
+    from rclpy.node import Node
+    from scipy.spatial.transform import Rotation
+    from std_msgs.msg import Float64
+
+    from ..sim.nodes import AebController, CarDynamics, Evaluation, \
+        GroundPlaneRanger, GroundTruth
+
+    class SimulatorNode(Node):
+        def __init__(self):
+            super().__init__("gaussian_rpg")
+            self.dyn = CarDynamics(tape=tape)
+            self.sync = int(round(tape.get("dynamic_freq", 50)
+                                  / tape.get("image_freq", 10)))
+            self.pub_pose = self.create_publisher(
+                PoseWithCovarianceStamped, "cam_pose", 10)
+            self.pub_obj = self.create_publisher(PoseArray, "objects", 10)
+            self.sub_cmd = self.create_subscription(
+                TwistStamped, "control_cmd", self.on_cmd, 10)
+            self.ranger = GroundPlaneRanger(
+                K=np.asarray(camera_template.K),
+                extrinsic=np.linalg.inv(
+                    np.asarray(camera_template.extrinsic)),
+                width=camera_template.width,
+                height=camera_template.height)
+            self.timer = self.create_timer(self.dyn.dt, self.tick)
+
+        def on_cmd(self, msg):
+            self.dyn.on_control(msg.twist.linear.x)
+
+        def tick(self):
+            pose = self.dyn.tick()
+            idx = self.dyn.idx - 1
+            msg = PoseWithCovarianceStamped()
+            msg.header.frame_id = "map"
+            msg.pose.pose.position.x = pose["position"][0]
+            msg.pose.pose.position.y = pose["position"][1]
+            msg.pose.pose.position.z = pose["position"][2]
+            quat = Rotation.from_matrix(
+                np.asarray(pose["rotation_matrix"])).as_quat()
+            (msg.pose.pose.orientation.x, msg.pose.pose.orientation.y,
+             msg.pose.pose.orientation.z,
+             msg.pose.pose.orientation.w) = quat.tolist()
+            msg.pose.covariance[0] = float(idx)
+            self.pub_pose.publish(msg)
+
+            if idx % self.sync == 0:
+                from ..sim.loop import _camera_from_pose
+                cam = _camera_from_pose(camera_template, pose, idx,
+                                        self.dyn.timestamp)
+                img = np.asarray(render_fn(cam))
+                bboxes = detector.detect(img, cam)
+                pa = PoseArray()
+                for b in bboxes:
+                    rng_, lat = self.ranger.distance(b)
+                    if rng_ > 0:
+                        p = pa.poses.add() if hasattr(pa.poses, "add") \
+                            else None
+                        from geometry_msgs.msg import Pose
+                        pp = Pose()
+                        pp.position.x = rng_
+                        pp.position.y = lat
+                        pa.poses.append(pp)
+                self.pub_obj.publish(pa)
+
+    rclpy.init()
+    node = SimulatorNode()
+    try:
+        rclpy.spin(node)
+    finally:
+        node.destroy_node()
+        rclpy.shutdown()

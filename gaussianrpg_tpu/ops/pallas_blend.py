@@ -13,8 +13,8 @@ TPU-native re-design of the CUDA tile kernels
   shared-mem staging of 256 Gaussians   Pallas auto-DMAs each (NF, 128)
   per round                             chunk block via scalar-prefetch
                                         index maps (double-buffered)
-  sequential per-thread T recurrence    lane-parallel cumulative product
-                                        via log2-step rolls (Hillis-Steele)
+  sequential per-thread T recurrence    lane-parallel log-space cumulative
+                                        product (log2-step roll scan)
   early-out on T < 1e-4                 the stop bound T*(1-a) is monotone
                                         non-increasing along the depth
                                         order, so no scan is needed for the
@@ -85,24 +85,26 @@ def _pixel_coords(tile_x, tile_y):
     return px, py
 
 
+# Kernel-internal reductions/scans. MXU matmul forms (triangular-matrix
+# cumsums) measured catastrophically slow inside this Mosaic kernel at any
+# precision (DEFAULT bf16-split x2-3, HIGHEST emulation), so scans use
+# log2-step pltpu.roll chains and contractions use explicit
+# multiply+lane-reduce. GAUSS_ABLATE (comma list: noscan,nofeat,noexp)
+# disables pieces for performance attribution.
+import os
+
+_ABLATE = set(os.environ.get("GAUSS_ABLATE", "").split(","))
+
+
 def _lane_iota():
     return jax.lax.broadcasted_iota(jnp.int32, (N_PIX, G_CHUNK), 1)
 
 
-def _lane_cumprod(x):
-    """Inclusive cumulative product along the 128-lane Gaussian axis via
-    log2-step rolls (exact f32; reassociated like any parallel scan)."""
-    lane = _lane_iota()
-    y = x
-    s = 1
-    while s < G_CHUNK:
-        y = y * jnp.where(lane >= s, pltpu.roll(y, s, axis=1), 1.0)
-        s *= 2
-    return y
-
-
 def _lane_cumsum(x):
-    """Inclusive cumulative sum along the 128-lane Gaussian axis."""
+    """Inclusive cumulative sum along the 128-lane Gaussian axis
+    (Hillis-Steele with masked rolls)."""
+    if "noscan" in _ABLATE:
+        return x
     lane = _lane_iota()
     y = x
     s = 1
@@ -112,27 +114,29 @@ def _lane_cumsum(x):
     return y
 
 
-def _shift_one(x, fill):
-    """Shift lanes right by one (exclusive-scan alignment)."""
+def _lane_cumsum_excl(x):
+    if "noscan" in _ABLATE:
+        return x
     lane = _lane_iota()
-    return jnp.where(lane >= 1, pltpu.roll(x, 1, axis=1), fill)
+    return jnp.where(lane >= 1, pltpu.roll(_lane_cumsum(x), 1, axis=1), 0.0)
 
 
 def _dot_t(a, b):
-    """a [P, G] x b [C, G] -> [P, C] (contract on G). HIGHEST precision:
-    the TPU default rounds f32 operands to bf16 on the MXU."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    """a [P, G] x b [C, G] -> [P, C] (contract on G = lanes) via explicit
+    multiply + lane reduction per channel (C is tiny)."""
+    if "nofeat" in _ABLATE:
+        return jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
+    cols = [jnp.sum(a * b[ch:ch + 1, :], axis=1, keepdims=True)
+            for ch in range(b.shape[0])]
+    return jnp.concatenate(cols, axis=1)
 
 
 def _dot_cg(a, b):
-    """a [P, C] x b [C, G] -> [P, G] (contract on C), HIGHEST precision."""
-    return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    """a [P, C] x b [C, G] -> [P, G] (contract on tiny C)."""
+    out = a[:, 0:1] * b[0:1, :]
+    for ch in range(1, b.shape[0]):
+        out = out + a[:, ch:ch + 1] * b[ch:ch + 1, :]
+    return out
 
 
 def _chunk_rows(gdata_ref):
@@ -163,14 +167,13 @@ def _blend_core(a, t_run, done):
     """
     skip = (a["power"] > 0.0) | (a["alpha_raw"] < (1.0 / 255.0))
     one_m = jnp.where(skip, 1.0, 1.0 - a["alpha"])        # (N_PIX, G)
-    om_incl = _lane_cumprod(one_m)
-    t_excl = t_run * _shift_one(om_incl, 1.0)             # excl. own factor
+    # cumulative transmittance in log space (one_m >= 0.01)
+    logs = jnp.log(one_m)
+    t_excl = t_run * jnp.exp(_lane_cumsum_excl(logs))     # excl. own factor
     alive = (t_excl * one_m) >= 1e-4
     contrib = (~skip) & alive & (~done)
     w = jnp.where(contrib, a["alpha"] * t_excl, 0.0)
-    # product over contributors via log-sum (Mosaic has no reduce_prod);
-    # om_used >= 0.01 so the log is tame
-    log_om = jnp.where(contrib, jnp.log(one_m), 0.0)
+    log_om = jnp.where(contrib, logs, 0.0)
     t_run_new = t_run * jnp.exp(jnp.sum(log_om, axis=1, keepdims=True))
     stop_any = jnp.sum(((~skip) & (~alive)).astype(jnp.float32), axis=1,
                        keepdims=True) > 0.0

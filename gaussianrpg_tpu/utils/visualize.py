@@ -1,0 +1,87 @@
+"""Render-output visualization helpers.
+
+Ports the reference visualizer sinks
+(`/root/reference/lib/visualizers/base_visualizer.py`,
+`street_gaussian_visualizer.py`, `lib/utils/img_utils.py:242-289`): depth
+colormaps, per-frame PNG dumps (rgb/gt/depth/diff/acc), the training debug
+contact sheet (`train.py:233-250`), horizontal multi-camera concat, and mp4
+assembly.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def to_hwc8(chw: np.ndarray) -> np.ndarray:
+    return (np.clip(np.asarray(chw), 0, 1).transpose(1, 2, 0)
+            * 255).astype(np.uint8)
+
+
+def visualize_depth(depth: np.ndarray, near: float = 0.1,
+                    far: Optional[float] = None) -> np.ndarray:
+    """[1, H, W] or [H, W] depth -> turbo-ish color [3, H, W] in [0,1]
+    (`img_utils.visualize_depth_numpy:242` with cv2's JET)."""
+    import cv2
+    d = np.asarray(depth)
+    if d.ndim == 3:
+        d = d[0]
+    finite = d[np.isfinite(d) & (d > 0)]
+    far = far or (np.percentile(finite, 99) if finite.size else 1.0)
+    x = np.clip((d - near) / max(far - near, 1e-6), 0, 1)
+    cm = cv2.applyColorMap((x * 255).astype(np.uint8), cv2.COLORMAP_JET)
+    return cm[..., ::-1].transpose(2, 0, 1).astype(np.float32) / 255.0
+
+
+def save_image(path: str, chw: np.ndarray):
+    from PIL import Image
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    Image.fromarray(to_hwc8(chw)).save(path)
+
+
+def save_visualization(out_dir: str, name: str, result,
+                       gt: Optional[np.ndarray] = None):
+    """Dump {name}_rgb/_gt/_depth/_acc/_diff.png
+    (`base_visualizer.py` naming)."""
+    save_image(os.path.join(out_dir, f"{name}_rgb.png"),
+               np.asarray(result.rgb))
+    if gt is not None:
+        save_image(os.path.join(out_dir, f"{name}_gt.png"), gt)
+        save_image(os.path.join(out_dir, f"{name}_diff.png"),
+                   np.abs(np.asarray(result.rgb) - gt))
+    save_image(os.path.join(out_dir, f"{name}_depth.png"),
+               visualize_depth(np.asarray(result.depth)))
+    save_image(os.path.join(out_dir, f"{name}_acc.png"),
+               np.repeat(np.asarray(result.acc), 3, axis=0))
+
+
+def training_contact_sheet(gt, rgb, depth, acc, rgb_obj=None, acc_obj=None):
+    """2x3 debug sheet: gt | render | depth / acc | obj | obj-acc
+    (`train.py:233-250`)."""
+    depth_c = visualize_depth(depth)
+    acc3 = np.repeat(np.asarray(acc), 3, axis=0)
+    blank = np.zeros_like(np.asarray(gt))
+    row0 = np.concatenate([np.asarray(gt), np.asarray(rgb), depth_c],
+                          axis=2)
+    row1 = np.concatenate(
+        [acc3,
+         np.asarray(rgb_obj) if rgb_obj is not None else blank,
+         np.repeat(np.asarray(acc_obj), 3, axis=0)
+         if acc_obj is not None else blank], axis=2)
+    return np.clip(np.concatenate([row0, row1], axis=1), 0, 1)
+
+
+def hcat_cameras(images: List[np.ndarray]) -> np.ndarray:
+    """Horizontal multi-camera concat
+    (`street_gaussian_visualizer.py:233-276`)."""
+    h = min(im.shape[1] for im in images)
+    ims = [im[:, :h, :] for im in images]
+    return np.concatenate(ims, axis=2)
+
+
+def write_video(path: str, frames_chw: List[np.ndarray], fps: int = 10):
+    import imageio
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imageio.mimwrite(path, [to_hwc8(f) for f in frames_chw], fps=fps)
