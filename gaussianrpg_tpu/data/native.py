@@ -1,0 +1,123 @@
+"""ctypes bindings for the native data-path runtime (native/).
+
+Provides the C++ TFRecord reader (Waymo ingest; the reference vendors a
+python framing parser, `simple-waymo-open-dataset-reader`) and a bulk
+binary-PLY f32 loader for multi-million-Gaussian scene files. Builds on
+demand with `make -C native`; all callers fall back to the pure-python
+paths when the library is unavailable.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _native_dir() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "..", "native")
+
+
+def load_library(build_if_missing: bool = True) -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(_native_dir(), "libgaussianrpg_native.so")
+    if not os.path.exists(path) and build_if_missing:
+        try:
+            subprocess.run(["make", "-C", _native_dir()], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.tfrecord_index_open.restype = ctypes.c_void_p
+    lib.tfrecord_index_open.argtypes = [ctypes.c_char_p]
+    lib.tfrecord_index_count.restype = ctypes.c_int64
+    lib.tfrecord_index_count.argtypes = [ctypes.c_void_p]
+    lib.tfrecord_record_length.restype = ctypes.c_int64
+    lib.tfrecord_record_length.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.tfrecord_read_record.restype = ctypes.c_int64
+    lib.tfrecord_read_record.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8)]
+    lib.tfrecord_index_free.argtypes = [ctypes.c_void_p]
+    lib.ply_load_f32.restype = ctypes.c_int
+    lib.ply_load_f32.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float)]
+    _LIB = lib
+    return _LIB
+
+
+class TFRecordFile:
+    """Indexed TFRecord reader (native framing parse; CRCs skipped like
+    the reference's python reader)."""
+
+    def __init__(self, path: str):
+        lib = load_library()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._path = path.encode()
+        self._h = lib.tfrecord_index_open(self._path)
+        if not self._h:
+            raise FileNotFoundError(path)
+
+    def __len__(self) -> int:
+        return int(self._lib.tfrecord_index_count(self._h))
+
+    def record(self, i: int) -> bytes:
+        n = int(self._lib.tfrecord_record_length(self._h, i))
+        if n < 0:
+            raise IndexError(i)
+        buf = (ctypes.c_uint8 * n)()
+        got = self._lib.tfrecord_read_record(self._h, self._path, i, buf)
+        if got != n:
+            raise IOError(f"short read on record {i}")
+        return bytes(buf)
+
+    def __iter__(self) -> Iterator[bytes]:
+        for i in range(len(self)):
+            yield self.record(i)
+
+    def close(self):
+        if self._h:
+            self._lib.tfrecord_index_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def ply_load_f32(path: str, element: str = "") -> np.ndarray:
+    """Bulk-load an all-f32 binary PLY element as [count, n_props]
+    (property order as in the header)."""
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    count = ctypes.c_int64()
+    nprops = ctypes.c_int32()
+    rc = lib.ply_load_f32(path.encode(), element.encode(),
+                          ctypes.byref(count), ctypes.byref(nprops), None)
+    if rc != 0:
+        raise IOError(f"ply_load_f32 header parse failed rc={rc}")
+    out = np.empty((count.value, nprops.value), np.float32)
+    rc = lib.ply_load_f32(
+        path.encode(), element.encode(), ctypes.byref(count),
+        ctypes.byref(nprops),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if rc != 0:
+        raise IOError(f"ply_load_f32 body read failed rc={rc}")
+    return out

@@ -1,0 +1,105 @@
+"""Data layer: PLY roundtrip, Gaussian PLY layout, config system,
+checkpointing, KNN init."""
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+
+def test_ply_roundtrip(tmp_path, rng):
+    from gaussianrpg_tpu.data.ply import (fetch_pointcloud,
+                                          store_pointcloud)
+    pts = rng.standard_normal((100, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (100, 3)).astype(np.float32)
+    p = str(tmp_path / "pc.ply")
+    store_pointcloud(p, pts, cols)
+    pts2, cols2, _ = fetch_pointcloud(p)
+    np.testing.assert_allclose(pts2, pts, rtol=1e-6)
+    np.testing.assert_allclose(cols2, cols, atol=1 / 255.0 + 1e-6)
+
+
+def test_gaussian_ply_layout_roundtrip(tmp_path, rng):
+    from gaussianrpg_tpu.data.ply import (gaussian_to_struct, read_ply,
+                                          struct_to_gaussian, write_ply)
+    n = 50
+    xyz = rng.standard_normal((n, 3)).astype(np.float32)
+    f_dc = rng.standard_normal((n, 1, 3)).astype(np.float32)
+    f_rest = rng.standard_normal((n, 15, 3)).astype(np.float32)
+    op = rng.standard_normal((n, 1)).astype(np.float32)
+    sc = rng.standard_normal((n, 3)).astype(np.float32)
+    rot = rng.standard_normal((n, 4)).astype(np.float32)
+    sem = rng.standard_normal((n, 2)).astype(np.float32)
+    arr = gaussian_to_struct(xyz, f_dc, f_rest, op, sc, rot, sem)
+    p = str(tmp_path / "g.ply")
+    write_ply(p, {"vertex": arr})
+    back = struct_to_gaussian(read_ply(p)["vertex"])
+    np.testing.assert_allclose(back["xyz"], xyz, rtol=1e-6)
+    np.testing.assert_allclose(back["features_dc"], f_dc, rtol=1e-6)
+    np.testing.assert_allclose(back["features_rest"], f_rest, rtol=1e-6)
+    np.testing.assert_allclose(back["rotation"], rot, rtol=1e-6)
+    np.testing.assert_allclose(back["semantic"], sem, rtol=1e-6)
+
+
+def test_config_parent_chain_and_overrides(tmp_path):
+    from gaussianrpg_tpu.config.config import load_config
+    parent = tmp_path / "parent.yaml"
+    parent.write_text(
+        "exp_name: base\noptim:\n  feature_lr: 0.01\n")
+    child = tmp_path / "child.yaml"
+    child.write_text(
+        f"parent_cfg: {parent}\nexp_name: child\n"
+        "model:\n  gaussian:\n    sh_degree: 2\n")
+    cfg = load_config(str(child), opts=["optim.opacity_lr", "0.123"])
+    assert cfg.exp_name == "child"
+    assert cfg.optim.feature_lr == 0.01        # from parent
+    assert cfg.model.gaussian.sh_degree == 2   # child override
+    assert cfg.optim.opacity_lr == 0.123       # CLI override
+    assert cfg.optim.scaling_lr == 5e-3        # default preserved
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from gaussianrpg_tpu.models.scene_io import (load_checkpoint,
+                                                 save_checkpoint,
+                                                 search_max_iteration)
+    from gaussianrpg_tpu.train.trainer import init_train_state
+    from gaussianrpg_tpu.utils.synthetic import make_scene
+    models, meta, arrays = make_scene(n_background=100, bkgd_capacity=128,
+                                      n_actors=1, actor_capacity=64,
+                                      n_frames=3)
+    state = init_train_state(models)
+    p = str(tmp_path / "iteration_7.npz")
+    save_checkpoint(p, state, 7, 2)
+    state2, step, sh = load_checkpoint(p, state)
+    assert step == 7 and sh == 2
+    np.testing.assert_allclose(
+        np.asarray(state2.models.background.xyz),
+        np.asarray(state.models.background.xyz))
+    assert search_max_iteration(str(tmp_path)) == 7
+
+
+def test_knn_init_scales(rng):
+    from gaussianrpg_tpu.ops.knn import mean_knn_dist_sq
+    # regular grid: 3-NN are the axis neighbors at distance h
+    h = 0.5
+    g = np.mgrid[0:6, 0:6, 0:6].reshape(3, -1).T * h
+    d2 = np.asarray(mean_knn_dist_sq(jnp.asarray(g, jnp.float32)))
+    # interior points: all 3 nearest at h -> mean sq = h^2
+    assert np.median(d2) == pytest.approx(h * h, rel=0.05)
+
+
+def test_composite_ply_save(tmp_path):
+    from gaussianrpg_tpu.data.ply import read_ply
+    from gaussianrpg_tpu.models.scene_io import save_composite_ply
+    from gaussianrpg_tpu.utils.synthetic import make_scene
+    models, meta, arrays = make_scene(n_background=100, bkgd_capacity=128,
+                                      n_actors=2, actor_capacity=64,
+                                      n_frames=3)
+    p = str(tmp_path / "scene.ply")
+    save_composite_ply(p, models)
+    elems = read_ply(p)
+    assert "vertex_background" in elems
+    assert "vertex_obj_000" in elems and "vertex_obj_001" in elems
+    assert len(elems["vertex_background"]) == 100

@@ -1,0 +1,63 @@
+"""Native C++ data-path runtime: TFRecord framing + bulk PLY loader."""
+import struct
+
+import numpy as np
+import pytest
+
+from gaussianrpg_tpu.data.native import (TFRecordFile, load_library,
+                                         ply_load_f32)
+
+pytestmark = pytest.mark.skipif(load_library() is None,
+                                reason="native lib unavailable")
+
+
+def _write_tfrecord(path, payloads):
+    with open(path, "wb") as f:
+        for p in payloads:
+            f.write(struct.pack("<Q", len(p)))
+            f.write(b"\x00" * 4)          # length crc (unchecked)
+            f.write(p)
+            f.write(b"\x00" * 4)          # payload crc (unchecked)
+
+
+def test_tfrecord_reader(tmp_path):
+    payloads = [b"hello", b"", b"x" * 1000, b"waymo frame data"]
+    p = str(tmp_path / "t.tfrecord")
+    _write_tfrecord(p, payloads)
+    tf = TFRecordFile(p)
+    assert len(tf) == len(payloads)
+    for i, want in enumerate(payloads):
+        assert tf.record(i) == want
+    assert list(tf) == payloads
+    tf.close()
+
+
+def test_ply_bulk_loader_matches_python(tmp_path, rng):
+    from gaussianrpg_tpu.data.ply import gaussian_to_struct, write_ply
+    n = 200
+    arr = gaussian_to_struct(
+        rng.standard_normal((n, 3)).astype(np.float32),
+        rng.standard_normal((n, 1, 3)).astype(np.float32),
+        rng.standard_normal((n, 3, 3)).astype(np.float32),
+        rng.standard_normal((n, 1)).astype(np.float32),
+        rng.standard_normal((n, 3)).astype(np.float32),
+        rng.standard_normal((n, 4)).astype(np.float32),
+        rng.standard_normal((n, 1)).astype(np.float32))
+    p = str(tmp_path / "g.ply")
+    write_ply(p, {"vertex": arr})
+    flat = ply_load_f32(p, "vertex")
+    assert flat.shape == (n, len(arr.dtype.names))
+    ref = np.stack([arr[k] for k in arr.dtype.names], axis=1)
+    np.testing.assert_allclose(flat, ref, rtol=1e-7)
+
+
+def test_ply_bulk_loader_second_element(tmp_path, rng):
+    from gaussianrpg_tpu.data.ply import write_ply
+    a = np.zeros(10, dtype=[("x", "f4"), ("y", "f4")])
+    b = np.zeros(5, dtype=[("x", "f4"), ("y", "f4"), ("z", "f4")])
+    b["z"] = np.arange(5)
+    p = str(tmp_path / "multi.ply")
+    write_ply(p, {"vertex_a": a, "vertex_b": b})
+    flat = ply_load_f32(p, "vertex_b")
+    assert flat.shape == (5, 3)
+    np.testing.assert_allclose(flat[:, 2], np.arange(5))
