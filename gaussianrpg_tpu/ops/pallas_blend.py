@@ -7,24 +7,30 @@ TPU-native re-design of the CUDA tile kernels
   CUDA                                  TPU (here)
   ------------------------------------  -----------------------------------
   1 thread-block per 16x16 tile,        grid step = one 128-pair chunk of
-  1 thread per pixel                    one 16x16 tile; 256 pixels live on
-                                        sublanes, the 128 chunk Gaussians
-                                        on lanes -> full (256,128) VPU tiles
-  shared-mem staging of 256 Gaussians   Pallas auto-DMAs each (NF, 128)
-  per round                             chunk block via scalar-prefetch
-                                        index maps (double-buffered)
-  sequential per-thread T recurrence    lane-parallel log-space cumulative
-                                        product (log2-step roll scan)
+  1 thread per pixel                    one 16x16 tile; the chunk's 128
+                                        Gaussians live on SUBLANES and the
+                                        256 pixels on LANES, so scans run
+                                        along the cheap sublane direction
+                                        and per-pixel state is lane-parallel
+  shared-mem staging of 256 Gaussians   Pallas auto-DMAs each (128, NF)
+  per round                             pairs-major block via the chunk grid
+                                        (double-buffered)
+  sequential per-thread T recurrence    log2-step sublane-roll cumulative
+                                        product
   early-out on T < 1e-4                 the stop bound T*(1-a) is monotone
                                         non-increasing along the depth
                                         order, so no scan is needed for the
                                         stop mask; fully-done tiles skip
                                         whole chunks via pl.when
-  atomicAdd gradient scatter            per-chunk gradient blocks written
-                                        once; cross-Gaussian aggregation via
-                                        XLA scatter-add of the
-                                        (differentiable) pair gather outside
-                                        this custom_vjp
+  atomicAdd gradient scatter            per-Gaussian gradients emerge from
+                                        ONE small-N moment matmul per chunk
+                                        (dx, dy are separable in pixel
+                                        coordinates, so all mean/conic
+                                        gradients are pixel-moment
+                                        combinations); cross-chunk
+                                        aggregation via XLA scatter-add of
+                                        the (differentiable) pair gather
+                                        outside this custom_vjp
 
 Parity contract (against `forward.cu:410-454` / ops/oracle.py):
   * skip if power > 0 or alpha_raw < 1/255,
@@ -42,8 +48,14 @@ the CUDA back-to-front recurrences are equivalent to
 where TotE = sum_ch Tot_ch * g_ch folds the per-channel totals, recovered
 from the saved forward outputs (Tot_rgb = out_color - T_final*bg, T_final =
 1 - out_alpha — the same identity `backward.cu:468` uses). This lets the
-backward stream FRONT-to-back with the same chunk grid as the forward
-instead of CUDA's reversed traversal, with ONE cumulative sum per chunk.
+backward stream FRONT-to-back with the same chunk grid as the forward.
+
+Gradient reductions over pixels exploit separability: with q = op*G*dL/da,
+    d/d(mx) = -(ca*Sum[q*dx] + cb*Sum[q*dy]),    dx = mx - px,
+so Sum[q*dx] = mx*Sum[q] - Sum[q*px], etc. — every mean/conic/opacity
+gradient is a linear combination of the pixel moments
+Sum_p {q,q2,|g|,w} * {1, px, py, px^2, px*py, py^2, dL/dpix...}, computed
+in one (4G, P) x (P, 6+NFO) small-N matmul per chunk.
 
 The `absgrad_sink` input is a zeros array whose cotangent is defined as
 sum_pixels |dL/dmean2d| in NDC scale — the AbsGS densification statistic the
@@ -63,11 +75,11 @@ from .projection import TILE_X, TILE_Y
 G_CHUNK = 128            # pairs per chunk (== binning.G_CHUNK)
 N_PIX = TILE_X * TILE_Y  # 256 pixels per tile
 
-# gdata field rows
+# gdata field columns (pairs-major layout [P_pad, NF])
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_DEPTH, F_RADIUS = range(11)
 NF_BASE = 11
-F_SEM = NF_BASE  # semantics rows start here
-# gradient rows: same layout for 0..9; the radius slot carries abs-grad
+F_SEM = NF_BASE  # semantics columns start here
+# gradient columns: same layout for 0..9; the radius slot carries abs-grad
 GF_ABS = F_RADIUS
 NG_BASE = 11
 
@@ -76,77 +88,71 @@ def _round8(x):
     return (x + 7) // 8 * 8
 
 
-def _pixel_coords(tile_x, tile_y):
-    """Pixel centers of tile (tile_x, tile_y) as (N_PIX, 1) f32, flattened
-    p = y*16 + x (CUDA pix_id order)."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (N_PIX, 1), 0)
+def _pixel_rows(tile_x, tile_y):
+    """Pixel centers of tile (tile_x, tile_y) as (1, N_PIX) f32 lane
+    vectors, flattened p = y*16 + x (CUDA pix_id order)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, N_PIX), 1)
     px = (p % TILE_X + tile_x * TILE_X).astype(jnp.float32)
     py = (p // TILE_X + tile_y * TILE_Y).astype(jnp.float32)
     return px, py
 
 
-# Kernel-internal reductions/scans. MXU matmul forms (triangular-matrix
-# cumsums) measured catastrophically slow inside this Mosaic kernel at any
-# precision (DEFAULT bf16-split x2-3, HIGHEST emulation), so scans use
-# log2-step pltpu.roll chains and contractions use explicit
-# multiply+lane-reduce. GAUSS_ABLATE (comma list: noscan,nofeat,noexp)
-# disables pieces for performance attribution.
-import os
-
-_ABLATE = set(os.environ.get("GAUSS_ABLATE", "").split(","))
+def _sub_iota():
+    return jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, N_PIX), 0)
 
 
-def _lane_iota():
-    return jax.lax.broadcasted_iota(jnp.int32, (N_PIX, G_CHUNK), 1)
-
-
-def _lane_cumsum(x):
-    """Inclusive cumulative sum along the 128-lane Gaussian axis
-    (Hillis-Steele with masked rolls)."""
-    if "noscan" in _ABLATE:
-        return x
-    lane = _lane_iota()
+def _sub_cumprod_excl(x):
+    """Exclusive cumulative product along the 128-sublane Gaussian axis
+    (Hillis-Steele with masked sublane rolls; sublane shifts are the cheap
+    direction — multiples of 8 are whole-vreg moves)."""
+    row = _sub_iota()
     y = x
     s = 1
     while s < G_CHUNK:
-        y = y + jnp.where(lane >= s, pltpu.roll(y, s, axis=1), 0.0)
+        y = y * jnp.where(row >= s, pltpu.roll(y, s, axis=0), 1.0)
+        s *= 2
+    return jnp.where(row >= 1, pltpu.roll(y, 1, axis=0), 1.0)
+
+
+def _sub_cumsum(x):
+    """Inclusive cumulative sum along the sublane Gaussian axis."""
+    row = _sub_iota()
+    y = x
+    s = 1
+    while s < G_CHUNK:
+        y = y + jnp.where(row >= s, pltpu.roll(y, s, axis=0), 0.0)
         s *= 2
     return y
 
 
-def _lane_cumsum_excl(x):
-    if "noscan" in _ABLATE:
-        return x
-    lane = _lane_iota()
-    return jnp.where(lane >= 1, pltpu.roll(_lane_cumsum(x), 1, axis=1), 0.0)
+def _mm(a, b):
+    """Matmul with a tiny output dim, HIGHEST precision (f32-faithful;
+    measured fast for small M/N, catastrophic for square shapes)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
-def _dot_t(a, b):
-    """a [P, G] x b [C, G] -> [P, C] (contract on G = lanes) via explicit
-    multiply + lane reduction per channel (C is tiny)."""
-    if "nofeat" in _ABLATE:
-        return jnp.zeros((a.shape[0], b.shape[0]), jnp.float32)
-    cols = [jnp.sum(a * b[ch:ch + 1, :], axis=1, keepdims=True)
-            for ch in range(b.shape[0])]
-    return jnp.concatenate(cols, axis=1)
+def _mm_cg(a, b):
+    """a [G, C] x b [G, P] contract G -> [C, P] (C tiny)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
 
 
-def _dot_cg(a, b):
-    """a [P, C] x b [C, G] -> [P, G] (contract on tiny C)."""
-    out = a[:, 0:1] * b[0:1, :]
-    for ch in range(1, b.shape[0]):
-        out = out + a[:, ch:ch + 1] * b[ch:ch + 1, :]
-    return out
-
-
-def _chunk_rows(gdata_ref):
-    row = lambda f: gdata_ref[f:f + 1, :]
-    return dict(mx=row(F_MX), my=row(F_MY), ca=row(F_CA), cb=row(F_CB),
-                cc=row(F_CC), op=row(F_OP))
+def _cols(gdata_ref, s_ch):
+    """Per-Gaussian columns (G, 1) from the pairs-major block."""
+    col = lambda f: gdata_ref[:, f:f + 1]
+    d = dict(mx=col(F_MX), my=col(F_MY), ca=col(F_CA), cb=col(F_CB),
+             cc=col(F_CC), op=col(F_OP))
+    d["feats"] = gdata_ref[:, F_R:F_DEPTH + 1]           # (G, 4)
+    if s_ch:
+        d["sem"] = gdata_ref[:, F_SEM:F_SEM + s_ch]      # (G, S)
+    return d
 
 
 def _alpha_terms(t, px, py):
-    """(N_PIX, G) pixel-gaussian quantities; `forward.cu:417-428`."""
+    """(G, P) pixel-gaussian quantities; `forward.cu:417-428`."""
     dx = t["mx"] - px
     dy = t["my"] - py
     power = -0.5 * (t["ca"] * dx * dx + t["cc"] * dy * dy) \
@@ -159,40 +165,33 @@ def _alpha_terms(t, px, py):
 
 
 def _blend_core(a, t_run, done):
-    """Masks + transmittances for one chunk; `forward.cu:420-436`.
+    """Masks + transmittances for one chunk; mirrors `forward.cu:420-436`.
 
-    Monotonicity: T_i*(1-alpha_i) is non-increasing along the chunk, so the
-    "stopped at or before i" predicate is simply `t_excl*one_m < 1e-4` —
-    no scan needed.
+    Monotonicity: T_i*(1-alpha_i) is non-increasing along the chunk, so
+    the "stopped at or before i" predicate is `t_excl*one_m < 1e-4` — no
+    scan needed. t_run/done are (1, P) lane vectors.
     """
     skip = (a["power"] > 0.0) | (a["alpha_raw"] < (1.0 / 255.0))
-    one_m = jnp.where(skip, 1.0, 1.0 - a["alpha"])        # (N_PIX, G)
-    # cumulative transmittance in log space (one_m >= 0.01)
-    logs = jnp.log(one_m)
-    t_excl = t_run * jnp.exp(_lane_cumsum_excl(logs))     # excl. own factor
+    one_m = jnp.where(skip, 1.0, 1.0 - a["alpha"])        # (G, P)
+    t_excl = t_run * _sub_cumprod_excl(one_m)
     alive = (t_excl * one_m) >= 1e-4
     contrib = (~skip) & alive & (~done)
     w = jnp.where(contrib, a["alpha"] * t_excl, 0.0)
-    log_om = jnp.where(contrib, logs, 0.0)
-    t_run_new = t_run * jnp.exp(jnp.sum(log_om, axis=1, keepdims=True))
-    stop_any = jnp.sum(((~skip) & (~alive)).astype(jnp.float32), axis=1,
-                       keepdims=True) > 0.0
-    done_new = done | stop_any
-    return contrib, one_m, t_excl, w, done_new, t_run_new
+    om_used = jnp.where(contrib, one_m, 1.0)
+    stop_f = ((~skip) & (~alive)).astype(jnp.float32)
+    return contrib, one_m, om_used, t_excl, w, stop_f
 
 
-def _feat_rows(gdata_ref, s_ch):
-    """Features [C_f, G]: r, g, b, depth, 1(weight), semantics..."""
-    cd = gdata_ref[F_R:F_DEPTH + 1, :]                   # (4, G)
-    ones = jnp.ones((1, G_CHUNK), jnp.float32)
+def _feat_matrix(t, s_ch):
+    """(G, C_f) features: r, g, b, depth, 1(weight), semantics."""
+    ones = jnp.ones((G_CHUNK, 1), jnp.float32)
     if s_ch:
-        sem = gdata_ref[F_SEM:F_SEM + s_ch, :]           # (S, G)
-        return jnp.concatenate([cd, ones, sem], axis=0)
-    return jnp.concatenate([cd, ones], axis=0)
+        return jnp.concatenate([t["feats"], ones, t["sem"]], axis=1)
+    return jnp.concatenate([t["feats"], ones], axis=1)
 
 
 def _make_fwd_kernel(ntx, s_ch):
-    c_feat = 5 + s_ch  # r,g,b,depth,weight,sem...
+    c_feat = 5 + s_ch
 
     def kernel(cm_ref, bg_ref, gdata_ref, out_ref, t_run_s, done_s, acc_s):
         c = pl.program_id(0)
@@ -206,47 +205,54 @@ def _make_fwd_kernel(ntx, s_ch):
 
         @pl.when(first == 1)
         def _():
-            t_run_s[...] = jnp.ones((N_PIX, 1), jnp.float32)
-            done_s[...] = jnp.zeros((N_PIX, 1), jnp.float32)
-            acc_s[...] = jnp.zeros((N_PIX, c_feat), jnp.float32)
+            t_run_s[...] = jnp.ones((1, N_PIX), jnp.float32)
+            done_s[...] = jnp.zeros((1, N_PIX), jnp.float32)
+            acc_s[...] = jnp.zeros((c_feat, N_PIX), jnp.float32)
 
         n_done = jnp.sum(done_s[...])
 
         @pl.when((valid == 1) & (n_done < N_PIX))
         def _():
-            px, py = _pixel_coords(tile_x, tile_y)
-            t = _chunk_rows(gdata_ref)
+            px, py = _pixel_rows(tile_x, tile_y)
+            t = _cols(gdata_ref, s_ch)
             a = _alpha_terms(t, px, py)
             t_run = t_run_s[...]
             done = done_s[...] > 0.0
-            contrib, _, _, w, done_new, t_run_new = \
+            contrib, one_m, om_used, t_excl, w, stop_f = \
                 _blend_core(a, t_run, done)
-            feats = _feat_rows(gdata_ref, s_ch)
-            acc_s[...] += _dot_t(w, feats)                # (N_PIX, C_f)
-            t_run_s[...] = t_run_new
-            done_s[...] = done_new.astype(jnp.float32)
+
+            feats = _feat_matrix(t, s_ch)                 # (G, C_f)
+            acc_s[...] += _mm_cg(feats, w)                # (C_f, P)
+
+            # T update = product over contributors (log-sum form; Mosaic
+            # has no reduce_prod; om_used >= 0.01) + stop propagation,
+            # both via one tiny sublane-contraction matmul
+            red_in = jnp.concatenate([jnp.log(om_used), stop_f], axis=1)
+            ones_col = jnp.ones((G_CHUNK, 1), jnp.float32)
+            red = _mm_cg(ones_col, red_in)                # (1, 2P)
+            t_run_s[...] = t_run * jnp.exp(red[:, :N_PIX])
+            done_s[...] = jnp.maximum(
+                done_s[...],
+                (red[:, N_PIX:] > 0.0).astype(jnp.float32))
 
         @pl.when(last == 1)
         def _():
-            acc = acc_s[...]
-            t_fin = t_run_s[...]
+            acc = acc_s[...]                              # (C_f, P)
+            t_fin = t_run_s[...]                          # (1, P)
             rgb = jnp.concatenate(
-                [acc[:, 0:1] + t_fin * bg_ref[0],
-                 acc[:, 1:2] + t_fin * bg_ref[1],
-                 acc[:, 2:3] + t_fin * bg_ref[2]], axis=1)
+                [acc[0:1] + t_fin * bg_ref[0],
+                 acc[1:2] + t_fin * bg_ref[1],
+                 acc[2:3] + t_fin * bg_ref[2]], axis=0)
             planes = jnp.concatenate(
-                [rgb, acc[:, 3:5]]
-                + ([acc[:, 5:5 + s_ch]] if s_ch else []),
-                axis=1,
-            )                                             # (N_PIX, NFO)
-            # tile-major output layout [NFO, tile, N_PIX]; image reassembly
-            # happens outside (Mosaic cannot split the 256-pixel lane dim)
-            out_ref[0, :, :] = planes.T
+                [rgb, acc[3:5]] + ([acc[5:5 + s_ch]] if s_ch else []),
+                axis=0,
+            )                                             # (NFO, P)
+            out_ref[0, :, :] = planes
 
     return kernel
 
 
-def _make_bwd_kernel(ntx, s_ch, width, height, ng_rows):
+def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols):
     c_feat = 5 + s_ch
     half_w = 0.5 * width
     half_h = 0.5 * height
@@ -264,102 +270,134 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_rows):
 
         @pl.when(first == 1)
         def _():
-            t_run_s[...] = jnp.ones((N_PIX, 1), jnp.float32)
-            done_s[...] = jnp.zeros((N_PIX, 1), jnp.float32)
-            pref_s[...] = jnp.zeros((N_PIX, 1), jnp.float32)
+            t_run_s[...] = jnp.ones((1, N_PIX), jnp.float32)
+            done_s[...] = jnp.zeros((1, N_PIX), jnp.float32)
+            pref_s[...] = jnp.zeros((1, N_PIX), jnp.float32)
 
-        gmat_s[...] = jnp.zeros((ng_rows, G_CHUNK), jnp.float32)
+        gmat_s[...] = jnp.zeros((G_CHUNK, ng_cols), jnp.float32)
         n_done = jnp.sum(done_s[...])
 
         @pl.when((valid == 1) & (n_done < N_PIX))
         def _():
-            # saved forward outputs and cotangents -> (N_PIX, NFO)
-            outs = out_ref[0, :, :].T
-            g_pix = dout_ref[0, :, :].T
-            t_final = 1.0 - outs[:, 4:5]
+            outs = out_ref[0, :, :]                       # (NFO, P)
+            g_pix = dout_ref[0, :, :]                     # (NFO, P)
+            t_final = 1.0 - outs[4:5]                     # (1, P)
             tot = jnp.concatenate(
-                [outs[:, 0:1] - t_final * bg0,
-                 outs[:, 1:2] - t_final * bg1,
-                 outs[:, 2:3] - t_final * bg2,
-                 outs[:, 3:5]]
-                + ([outs[:, 5:5 + s_ch]] if s_ch else []),
-                axis=1,
-            )                                             # (N_PIX, C_f)
-            tot_e = jnp.sum(tot * g_pix, axis=1, keepdims=True)
-            bg_dot = (g_pix[:, 0:1] * bg0 + g_pix[:, 1:2] * bg1
-                      + g_pix[:, 2:3] * bg2)              # (N_PIX, 1)
+                [outs[0:1] - t_final * bg0,
+                 outs[1:2] - t_final * bg1,
+                 outs[2:3] - t_final * bg2,
+                 outs[3:5]]
+                + ([outs[5:5 + s_ch]] if s_ch else []),
+                axis=0,
+            )                                             # (C_f, P)
+            tot_e = jnp.sum(tot * g_pix, axis=0, keepdims=True)
+            bg_dot = (g_pix[0:1] * bg0 + g_pix[1:2] * bg1
+                      + g_pix[2:3] * bg2)                 # (1, P)
 
-            px, py = _pixel_coords(tile_x, tile_y)
-            t = _chunk_rows(gdata_ref)
+            px, py = _pixel_rows(tile_x, tile_y)
+            t = _cols(gdata_ref, s_ch)
             a = _alpha_terms(t, px, py)
             t_run = t_run_s[...]
             done = done_s[...] > 0.0
-            contrib, one_m, t_excl, w, done_new, t_run_new = \
+            contrib, one_m, om_used, t_excl, w, stop_f = \
                 _blend_core(a, t_run, done)
-            feats = _feat_rows(gdata_ref, s_ch)           # (C_f, G)
+            feats = _feat_matrix(t, s_ch)                 # (G, C_f)
 
-            # cotangent-folded feature e and its weighted prefix
-            e = _dot_cg(g_pix, feats)                     # (N_PIX, G)
+            # cotangent-folded feature e = sum_ch c_ch * g_ch  (G, P)
+            e = feats[:, 0:1] * g_pix[0:1]
+            for ch in range(1, c_feat):
+                e = e + feats[:, ch:ch + 1] * g_pix[ch:ch + 1]
             we = w * e
-            p_incl = pref_s[...] + _lane_cumsum(we)
+            p_incl = pref_s[...] + _sub_cumsum(we)
             inv_om = 1.0 / one_m
             dl_da = e * t_excl - (tot_e - p_incl) * inv_om \
                 - (t_final * inv_om) * bg_dot
             dl_da = jnp.where(contrib, dl_da, 0.0)
 
-            dl_dg = t["op"] * dl_da                       # (N_PIX, G)
-            gxp = dl_dg * a["g"] * (
-                -(t["ca"] * a["dx"] + t["cb"] * a["dy"]))
-            gyp = dl_dg * a["g"] * (
-                -(t["cc"] * a["dy"] + t["cb"] * a["dx"]))
+            q = t["op"] * dl_da * a["g"]                  # dL/dG * G (G,P)
+            q2 = a["g"] * dl_da                           # dL/d(opacity)
+            gxp = q * (-(t["ca"] * a["dx"] + t["cb"] * a["dy"]))
+            gyp = q * (-(t["cc"] * a["dy"] + t["cb"] * a["dx"]))
+            absp = half_w * jnp.abs(gxp) + half_h * jnp.abs(gyp)
 
-            def red(x):
-                return jnp.sum(x, axis=0, keepdims=True)
+            # ONE small-N matmul produces every pixel reduction: moments
+            # of q/q2/|grad|/w against [1, px, py, px^2, px*py, py^2] and
+            # the dL/dpix channels (w rows -> color/depth/weight/sem
+            # grads). TILE-LOCAL pixel coordinates keep the moment
+            # recombination cancellation-free (global px^2 ~ 1e6 would
+            # amplify f32 eps by (px/dx)^2).
+            txo = jnp.float32(TILE_X) * tile_x
+            tyo = jnp.float32(TILE_Y) * tile_y
+            pxl = px - txo
+            pyl = py - tyo
+            basis = jnp.concatenate(
+                [jnp.ones((1, N_PIX), jnp.float32), pxl, pyl, pxl * pxl,
+                 pxl * pyl, pyl * pyl, g_pix], axis=0)    # (6+NFO, P)
+            stacked = jnp.concatenate([q, q2, absp, w], axis=0)  # (4G, P)
+            mom = _mm(stacked, basis.T)                   # (4G, 6+NFO)
+            mq = mom[0:G_CHUNK]
+            mq2 = mom[G_CHUNK:2 * G_CHUNK]
+            mabs = mom[2 * G_CHUNK:3 * G_CHUNK]
+            mw = mom[3 * G_CHUNK:4 * G_CHUNK]
 
-            rows = [
-                red(gxp),                                   # F_MX
-                red(gyp),                                   # F_MY
-                red(-0.5 * a["dx"] * a["dx"] * a["g"] * dl_dg),
-                red(-a["dx"] * a["dy"] * a["g"] * dl_dg),
-                red(-0.5 * a["dy"] * a["dy"] * a["g"] * dl_dg),
-                red(a["g"] * dl_da),                        # F_OP
-                red(w * g_pix[:, 0:1]),                     # F_R
-                red(w * g_pix[:, 1:2]),                     # F_G
-                red(w * g_pix[:, 2:3]),                     # F_B
-                red(w * g_pix[:, 3:4]),                     # F_DEPTH
-                red(half_w * jnp.abs(gxp)
-                    + half_h * jnp.abs(gyp)),               # GF_ABS
+            s0, sx, sy = mq[:, 0:1], mq[:, 1:2], mq[:, 2:3]
+            sxx, sxy, syy = mq[:, 3:4], mq[:, 4:5], mq[:, 5:6]
+            mx, my = t["mx"] - txo, t["my"] - tyo
+            # moments of q against dx = mx - px, dy = my - py (local frame)
+            qdx = mx * s0 - sx
+            qdy = my * s0 - sy
+            qdxx = mx * mx * s0 - 2 * mx * sx + sxx
+            qdyy = my * my * s0 - 2 * my * sy + syy
+            qdxy = mx * my * s0 - mx * sy - my * sx + sxy
+
+            cols = [
+                -(t["ca"] * qdx + t["cb"] * qdy),         # d mx (pixel)
+                -(t["cc"] * qdy + t["cb"] * qdx),         # d my
+                -0.5 * qdxx,                              # d conic a
+                -qdxy,                                    # d conic b
+                -0.5 * qdyy,                              # d conic c
+                mq2[:, 0:1],                              # d opacity
+                mw[:, 6:7], mw[:, 7:8], mw[:, 8:9],       # d r, g, b
+                mw[:, 9:10],                              # d depth
+                mabs[:, 0:1],                             # AbsGS stat
             ]
-            for s in range(s_ch):
-                rows.append(red(w * g_pix[:, 5 + s:6 + s]))
-            for _ in range(ng_rows - len(rows)):
-                rows.append(jnp.zeros((1, G_CHUNK), jnp.float32))
-            gmat_s[...] = jnp.concatenate(rows, axis=0)
+            if s_ch:
+                cols.append(mw[:, 11:11 + s_ch])
+            pad = ng_cols - (NG_BASE + s_ch)
+            if pad:
+                cols.append(jnp.zeros((G_CHUNK, pad), jnp.float32))
+            gmat_s[...] = jnp.concatenate(cols, axis=1)
 
-            t_run_s[...] = t_run_new
-            done_s[...] = done_new.astype(jnp.float32)
-            pref_s[...] = p_incl[:, G_CHUNK - 1:G_CHUNK]
+            # state updates (same tiny contraction as the forward)
+            red_in = jnp.concatenate([jnp.log(om_used), stop_f], axis=1)
+            ones_col = jnp.ones((G_CHUNK, 1), jnp.float32)
+            red = _mm_cg(ones_col, red_in)
+            t_run_s[...] = t_run * jnp.exp(red[:, :N_PIX])
+            done_s[...] = jnp.maximum(
+                done_s[...],
+                (red[:, N_PIX:] > 0.0).astype(jnp.float32))
+            pref_s[...] = p_incl[G_CHUNK - 1:G_CHUNK, :]
 
-        grad_ref[...] = gmat_s[...]
+        grad_ref[0, :, :] = gmat_s[...]
 
     return kernel
 
 
 @functools.lru_cache(maxsize=32)
-def _blend_fns(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
+def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
     """Build (forward, backward) pallas_call wrappers for a static config."""
     nfo = 5 + s_ch
-    ng_rows = _round8(NG_BASE + s_ch)
+    ng_cols = _round8(NG_BASE + s_ch)
     n_tiles = ntx * nty
     max_chunks = capacity // G_CHUNK
     c_feat = 5 + s_ch
 
     fwd_kernel = _make_fwd_kernel(ntx, s_ch)
-    bwd_kernel = _make_bwd_kernel(ntx, s_ch, width, height, ng_rows)
+    bwd_kernel = _make_bwd_kernel(ntx, s_ch, width, height, ng_cols)
 
     # scalar-prefetch order: chunk_meta (packed), bg
     gdata_spec = pl.BlockSpec(
-        (nf_rows, G_CHUNK), lambda c, cm, bg: (0, c))
+        (G_CHUNK, nf_cols), lambda c, cm, bg: (c, 0))
     # tile-leading layout: Mosaic requires the last two block dims to divide
     # (8, 128) or equal the full array dims, so the revisited tile axis must
     # be the leading dim
@@ -374,9 +412,9 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
             in_specs=[gdata_spec],
             out_specs=tile_spec,
             scratch_shapes=[
-                pltpu.VMEM((N_PIX, 1), jnp.float32),       # t_run
-                pltpu.VMEM((N_PIX, 1), jnp.float32),       # done
-                pltpu.VMEM((N_PIX, c_feat), jnp.float32),  # acc
+                pltpu.VMEM((1, N_PIX), jnp.float32),       # t_run
+                pltpu.VMEM((1, N_PIX), jnp.float32),       # done
+                pltpu.VMEM((c_feat, N_PIX), jnp.float32),  # acc
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_tiles, nfo, N_PIX), jnp.float32),
@@ -390,29 +428,31 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
             grid=(max_chunks,),
             in_specs=[gdata_spec, tile_spec, tile_spec],
             out_specs=pl.BlockSpec(
-                (ng_rows, G_CHUNK), lambda c, cm, bg: (0, c)),
+                (1, G_CHUNK, ng_cols), lambda c, cm, bg: (c, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((N_PIX, 1), jnp.float32),       # t_run
-                pltpu.VMEM((N_PIX, 1), jnp.float32),       # done
-                pltpu.VMEM((N_PIX, 1), jnp.float32),       # pref_e
-                pltpu.VMEM((ng_rows, G_CHUNK), jnp.float32),  # gmat
+                pltpu.VMEM((1, N_PIX), jnp.float32),       # t_run
+                pltpu.VMEM((1, N_PIX), jnp.float32),       # done
+                pltpu.VMEM((1, N_PIX), jnp.float32),       # pref_e
+                pltpu.VMEM((G_CHUNK, ng_cols), jnp.float32),  # gmat
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((ng_rows, capacity), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((max_chunks, G_CHUNK, ng_cols),
+                                       jnp.float32),
         interpret=bool(interpret),
     )
     return fwd_call, bwd_call
 
 
 @functools.lru_cache(maxsize=32)
-def _make_blend(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
+def _make_blend(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
     """custom_vjp blend for one static config.
 
-    primal: (gdata [NF, P_pad], chunk_meta [MAX_CHUNKS] i32 packed, bg [3],
-    absgrad_sink [P_pad]) -> planes [n_tiles, NFO, 256] (tile-major; empty
-    tiles contain garbage — mask them outside via tile_nonempty).
+    primal: (gdata [P_pad, NF] pairs-major, chunk_meta [MAX_CHUNKS] i32
+    packed, bg [3], absgrad_sink [P_pad]) -> planes [n_tiles, NFO, 256]
+    (tile-major; empty tiles contain garbage — mask them outside via
+    tile_nonempty).
     """
-    fwd_call, bwd_call = _blend_fns(ntx, nty, s_ch, capacity, nf_rows,
+    fwd_call, bwd_call = _blend_fns(ntx, nty, s_ch, capacity, nf_cols,
                                     width, height, interpret)
 
     @jax.custom_vjp
@@ -426,14 +466,15 @@ def _make_blend(ntx, nty, s_ch, capacity, nf_rows, width, height, interpret):
     def blend_bwd(res, dout):
         gdata, cm, bg, out = res
         grads = bwd_call(cm, bg, gdata, out, dout)
-        # rows 0..9 (means2d/conic/op/color/depth) map 1:1 to gdata rows;
-        # the radius row (10) carries the abs-grad stat -> absgrad_sink
+        grads = grads.reshape(-1, grads.shape[-1])        # [P_pad, ng]
+        # columns 0..9 map 1:1 to gdata columns; the radius column carries
+        # the abs-grad stat -> absgrad_sink
         d_gdata = jnp.zeros_like(gdata)
-        d_gdata = d_gdata.at[0:F_RADIUS, :].set(grads[0:F_RADIUS, :])
+        d_gdata = d_gdata.at[:, 0:F_RADIUS].set(grads[:, 0:F_RADIUS])
         if s_ch:
-            d_gdata = d_gdata.at[F_SEM:F_SEM + s_ch, :].set(
-                grads[NG_BASE:NG_BASE + s_ch, :])
-        d_abs = grads[GF_ABS, :]
+            d_gdata = d_gdata.at[:, F_SEM:F_SEM + s_ch].set(
+                grads[:, NG_BASE:NG_BASE + s_ch])
+        d_abs = grads[:, GF_ABS]
         return (d_gdata, None, None, d_abs)
 
     blend.defvjp(blend_fwd, blend_bwd)
@@ -453,7 +494,7 @@ def planes_to_image(planes: jax.Array, ntx: int, nty: int,
 
 
 def blend_pairs(
-    gdata: jax.Array,         # [nf_rows, P_pad] f32 (rows per F_* layout)
+    gdata: jax.Array,         # [P_pad, nf_cols] f32 (pairs-major, F_* cols)
     lists,                    # binning.PairLists
     bg: jax.Array,            # [3] f32
     absgrad_sink: jax.Array,  # [P_pad] f32 zeros (cotangent = AbsGS stats)
@@ -465,12 +506,12 @@ def blend_pairs(
 ) -> jax.Array:
     """Blend entry point: returns image planes [5 + S, height, width]
     (rgb, depth, alpha, semantics...)."""
-    capacity = gdata.shape[-1]
-    nf_rows = gdata.shape[-2]
+    capacity = gdata.shape[0]
+    nf_cols = gdata.shape[1]
     assert capacity % G_CHUNK == 0, "capacity must be a multiple of 128"
-    assert nf_rows >= NF_BASE + s_ch
+    assert nf_cols >= NF_BASE + s_ch
     fn = _make_blend(lists.n_tiles_x, lists.n_tiles_y, s_ch, capacity,
-                     nf_rows, width, height, interpret)
+                     nf_cols, width, height, interpret)
     planes = fn(gdata, lists.chunk_meta, bg, absgrad_sink)
     # tiles with no pairs never get a chunk: composite pure background
     nfo = planes.shape[1]

@@ -132,28 +132,28 @@ def rasterize(
     sem_list = []
     if semantics is not None and semantics.shape[-1] > 0:
         s_ch = semantics.shape[-1]
-        sem_list = [semantics.T]  # [S, N]
+        sem_list = [semantics]  # [N, S]
 
-    # [NF, N] stacked field rows (see pallas_blend F_* layout)
+    # [N, NF] pairs-major field columns (see pallas_blend F_* layout)
     fields = jnp.concatenate(
         [
-            means2d.T,                                  # mx, my
-            pre.conics.T,                               # ca, cb, cc
-            opacities[None, :],                         # op
-            colors.T,                                   # r, g, b
-            pre.depths[None, :],                        # depth
-            pre.radii.astype(jnp.float32)[None, :],     # radius
+            means2d,                                    # mx, my
+            pre.conics,                                 # ca, cb, cc
+            opacities[:, None],                         # op
+            colors,                                     # r, g, b
+            pre.depths[:, None],                        # depth
+            pre.radii.astype(jnp.float32)[:, None],     # radius
         ]
         + sem_list,
-        axis=0,
+        axis=1,
     )
-    nf_rows = _round_up(NF_BASE + s_ch, 8)
-    if fields.shape[0] < nf_rows:
+    nf_cols = _round_up(NF_BASE + s_ch, 8)
+    if fields.shape[1] < nf_cols:
         fields = jnp.concatenate(
-            [fields, jnp.zeros((nf_rows - fields.shape[0], n),
-                               fields.dtype)], axis=0)
+            [fields, jnp.zeros((n, nf_cols - fields.shape[1]),
+                               fields.dtype)], axis=1)
 
-    fields_sorted = jnp.take(fields, order, axis=1)     # [NF, N]
+    fields_sorted = jnp.take(fields, order, axis=0)     # [N, NF]
     rect_min_s = jnp.take(pre.rect_min, order, axis=0)
     rect_max_s = jnp.take(pre.rect_max, order, axis=0)
     visible_s = jnp.take(visible, order, axis=0)
@@ -161,19 +161,19 @@ def rasterize(
     lists = binning.build_pair_lists(
         rect_min_s, rect_max_s, visible_s, W, H, capacity)
 
-    # gather the flat pair data [NF, P_pad]; padding slots zeroed (their
-    # radius row 0 makes the kernel's cover mask skip them)
+    # gather the flat pair data [P_pad, NF]; padding slots zeroed (their
+    # zero opacity/radius makes the kernel skip them)
     src = jax.lax.stop_gradient(jnp.maximum(lists.pair_src, 0))
     valid = jax.lax.stop_gradient(
-        lists.pair_valid.astype(fields.dtype))[None, :]
-    gdata = jnp.take(fields_sorted, src, axis=1) * valid
+        lists.pair_valid.astype(fields.dtype))
+    gdata = jnp.take(fields_sorted, src, axis=0) * valid[:, None]
 
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((n,), means3d.dtype)
     # route the per-gaussian sink through sort+pair-gather so its cotangent
     # (the per-pair abs stats) aggregates back per Gaussian automatically
     sink_sorted = jnp.take(absgrad_sink, order, axis=0)
-    sink_pairs = jnp.take(sink_sorted, src, axis=0) * valid[0]
+    sink_pairs = jnp.take(sink_sorted, src, axis=0) * valid
 
     planes = blend_pairs(
         gdata,
