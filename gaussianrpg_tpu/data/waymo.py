@@ -235,6 +235,13 @@ class WaymoScene:
 
     # ------------------------------------------------------------------
     def image_path(self, frame: int, cam: int) -> str:
+        # .png from the reference converter; .jpg (raw sensor bytes) from
+        # apps/waymo_converter.py
+        for ext in ("png", "jpg"):
+            p = os.path.join(self.datadir, "images",
+                             f"{frame:06d}_{cam}.{ext}")
+            if os.path.exists(p):
+                return p
         return os.path.join(self.datadir, "images",
                             f"{frame:06d}_{cam}.png")
 

@@ -1,0 +1,259 @@
+"""Data-prep toolchain: proto wire decoding + the Waymo converter app.
+
+Builds a synthetic Waymo-format TFRecord (frames encoded with a local
+protobuf wire encoder) and runs the converter end-to-end.
+"""
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from gaussianrpg_tpu.data import waymo_proto as wp
+from gaussianrpg_tpu.data.native import load_library
+from gaussianrpg_tpu.utils.boxes import (bbox_to_corner3d,
+                                         box_corners_vehicle,
+                                         get_bound_2d_mask, inbbox_points,
+                                         project_points)
+
+# ---------------------------------------------------------------------------
+# minimal wire encoder (test-side only)
+
+
+def _varint(v):
+    out = b""
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out += bytes([b | 0x80])
+        else:
+            return out + bytes([b])
+
+
+def _tag(fno, wt):
+    return _varint(fno << 3 | wt)
+
+
+def f_varint(fno, v):
+    return _tag(fno, 0) + _varint(v)
+
+
+def f_double(fno, v):
+    return _tag(fno, 1) + struct.pack("<d", v)
+
+
+def f_bytes(fno, b):
+    return _tag(fno, 2) + _varint(len(b)) + b
+
+
+def f_msg(fno, payload):
+    return f_bytes(fno, payload)
+
+
+def f_packed_doubles(fno, vals):
+    return f_bytes(fno, np.asarray(vals, "<f8").tobytes())
+
+
+def f_packed_floats(fno, vals):
+    return f_bytes(fno, np.asarray(vals, "<f4").tobytes())
+
+
+def f_packed_varints(fno, vals):
+    return f_bytes(fno, b"".join(_varint(int(v) & 0xFFFFFFFFFFFFFFFF)
+                                 for v in vals))
+
+
+def enc_transform(mat):
+    return f_packed_doubles(1, np.asarray(mat).reshape(-1))
+
+
+def enc_matrix_float(arr):
+    arr = np.asarray(arr, np.float32)
+    shape = f_msg(2, f_packed_varints(1, arr.shape))
+    return f_packed_floats(1, arr.reshape(-1)) + shape
+
+
+def enc_matrix_int32(arr):
+    arr = np.asarray(arr, np.int64)
+    shape = f_msg(2, f_packed_varints(1, arr.shape))
+    return f_packed_varints(1, arr.reshape(-1)) + shape
+
+
+def make_frame(frame_id):
+    cam2vehicle = np.eye(4)
+    cam2vehicle[0, 3] = 1.5
+    calib = (f_varint(1, wp.CAMERA_FRONT)
+             + f_packed_doubles(2, [500.0, 500.0, 320.0, 240.0,
+                                    0, 0, 0, 0, 0])
+             + f_msg(3, enc_transform(cam2vehicle))
+             + f_varint(4, 640) + f_varint(5, 480))
+    laser_extr = np.eye(4)
+    laser_calib = (f_varint(1, wp.LASER_TOP)
+                   + f_double(3, -0.3) + f_double(4, 0.1)
+                   + f_msg(5, enc_transform(laser_extr)))
+    context = f_msg(2, calib) + f_msg(3, laser_calib)
+
+    ego = np.eye(4)
+    ego[0, 3] = 2.0 * frame_id
+
+    jpeg = b"\xff\xd8fakejpegdata\xff\xd9"
+    image = (f_varint(1, wp.CAMERA_FRONT) + f_bytes(2, jpeg)
+             + f_msg(3, enc_transform(ego))
+             + f_double(5, 0.1 * frame_id + 0.05))
+
+    # 4x8 range image, one lit pixel
+    ri = np.zeros((4, 8, 4), np.float32)
+    ri[1, 2, 0] = 10.0
+    cp = np.zeros((4, 8, 6), np.int64)
+    cp[1, 2, 0] = wp.CAMERA_FRONT
+    cp[1, 2, 1:3] = (100, 200)
+    ri_msg = (f_bytes(2, zlib.compress(enc_matrix_float(ri)))
+              + f_bytes(3, zlib.compress(enc_matrix_int32(cp))))
+    laser = f_varint(1, wp.LASER_TOP) + f_msg(2, ri_msg)
+
+    box = (f_double(1, 8.0) + f_double(2, 0.5 * frame_id) + f_double(3, 1.0)
+           + f_double(4, 2.0) + f_double(5, 4.5) + f_double(6, 1.8)
+           + f_double(7, 0.2))
+    meta = f_double(1, 3.0) + f_double(2, 0.0)
+    label = (f_msg(1, box) + f_msg(2, meta)
+             + f_varint(3, wp.TYPE_VEHICLE)
+             + f_bytes(4, b"obj-abc"))
+
+    frame = (f_msg(1, context) + f_varint(2, 1000000 + frame_id * 100000)
+             + f_msg(3, enc_transform(ego)) + f_msg(4, image)
+             + f_msg(5, laser) + f_msg(6, label))
+    return frame
+
+
+def write_tfrecord(path, payloads):
+    with open(path, "wb") as f:
+        for p in payloads:
+            f.write(struct.pack("<Q", len(p)))
+            f.write(b"\x00" * 4)
+            f.write(p)
+            f.write(b"\x00" * 4)
+
+
+# ---------------------------------------------------------------------------
+
+
+def test_parse_frame_fields():
+    frame = wp.parse_frame(make_frame(3))
+    assert frame.timestamp_micros == 1300000
+    pose = np.array(frame.pose.transform).reshape(4, 4)
+    assert pose[0, 3] == 6.0
+    assert len(frame.context.camera_calibrations) == 1
+    calib = frame.context.camera_calibrations[0]
+    assert calib.name == wp.CAMERA_FRONT
+    assert calib.width == 640 and calib.height == 480
+    assert calib.intrinsic[:4] == [500.0, 500.0, 320.0, 240.0]
+    assert frame.images[0].image.startswith(b"\xff\xd8")
+    label = frame.laser_labels[0]
+    assert label.id == "obj-abc"
+    assert label.box.length == 4.5 and label.box.width == 2.0
+    assert abs(label.metadata.speed_x - 3.0) < 1e-12
+
+
+def test_range_image_roundtrip():
+    frame = wp.parse_frame(make_frame(0))
+    laser = frame.lasers[0]
+    ri = wp.decode_matrix_float(laser.ri_return1.range_image_compressed)
+    assert ri.shape == (4, 8, 4)
+    assert ri[1, 2, 0] == 10.0
+    cp = wp.decode_matrix_int32(
+        laser.ri_return1.camera_projection_compressed)
+    assert cp.shape == (4, 8, 6)
+    assert tuple(cp[1, 2, :3]) == (wp.CAMERA_FRONT, 100, 200)
+    calib = frame.context.laser_calibrations[0]
+    pts, attrs = wp.range_image_to_pointcloud(ri, calib)
+    assert pts.shape == (1, 3)
+    # range 10 at modest inclination: point ~10m from the sensor
+    assert abs(np.linalg.norm(pts[0]) - 10.0) < 1e-3
+    assert attrs[0, 0] == 10.0
+
+
+def test_negative_int32_varint():
+    arr = np.array([[-5, 7]], np.int64)
+    dec = wp.decode_matrix_int32(zlib.compress(enc_matrix_int32(arr)))
+    assert dec.tolist() == [[-5, 7]]
+
+
+def test_box_utils():
+    corners = bbox_to_corner3d(np.array([[-1, -2, -3], [1, 2, 3]]))
+    assert corners.shape == (8, 3)
+    assert inbbox_points(np.array([[0, 0, 0], [5, 0, 0]]), corners).tolist() \
+        == [True, False]
+    c = box_corners_vehicle((10.0, 0.0, 1.0), (4.0, 2.0, 1.5), 0.0)
+    assert np.allclose(sorted(c[:, 0].tolist()), [8] * 4 + [12] * 4)
+
+    K = np.array([[500, 0, 320], [0, 500, 240], [0, 0, 1.0]])
+    w2c = np.eye(4)
+    uv, valid = project_points(np.array([[0.0, 0.0, 10.0]]), K, w2c,
+                               480, 640)
+    assert valid[0] and np.allclose(uv[0], [320, 240])
+    mask = get_bound_2d_mask(
+        box_corners_vehicle((0, 0, 10.0), (2, 2, 2), 0.0), K, w2c, 480, 640)
+    assert mask.any()
+    ys, xs = np.nonzero(mask)
+    assert abs(xs.mean() - 320) < 30 and abs(ys.mean() - 240) < 30
+
+
+@pytest.mark.skipif(load_library() is None, reason="native lib unavailable")
+def test_converter_end_to_end(tmp_path):
+    from gaussianrpg_tpu.apps.waymo_converter import convert_sequence
+    rec = str(tmp_path / "seq.tfrecord")
+    write_tfrecord(rec, [make_frame(i) for i in range(3)])
+    out = str(tmp_path / "out")
+    summary = convert_sequence(rec, out, log=lambda *_: None)
+    assert summary == {"frames": 3, "objects": 1}
+
+    pose1 = np.loadtxt(os.path.join(out, "ego_pose", "000001.txt"))
+    assert pose1[0, 3] == 2.0
+    cam_pose = np.loadtxt(os.path.join(out, "ego_pose", "000001_0.txt"))
+    assert cam_pose.shape == (4, 4)
+    intr = np.loadtxt(os.path.join(out, "intrinsics", "0.txt"))
+    assert intr[0] == 500.0 and len(intr) == 9
+    extr = np.loadtxt(os.path.join(out, "extrinsics", "0.txt"))
+    # cam->vehicle with the OpenCV axis swap: forward (z_cv) maps to +x
+    assert np.allclose(extr[:3, 2], [1, 0, 0])
+    with open(os.path.join(out, "images", "000002_0.jpg"), "rb") as f:
+        assert f.read().startswith(b"\xff\xd8")
+    with open(os.path.join(out, "timestamps.json")) as f:
+        ts = json.load(f)
+    assert ts["FRAME"]["000001"] == 1.1
+    assert abs(ts["FRONT"]["000002"] - 0.25) < 1e-12
+
+    npz = np.load(os.path.join(out, "pointcloud.npz"), allow_pickle=True)
+    pc = npz["pointcloud"].item()
+    assert set(pc.keys()) == {0, 1, 2}
+    assert pc[0].shape == (1, 3)
+    cp = npz["camera_projection"].item()
+    assert cp[0].shape == (1, 6) and cp[0][0, 0] == wp.CAMERA_FRONT - 1
+
+    with open(os.path.join(out, "track", "track_info.txt")) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 1 + 3  # header + one object x three frames
+    cols = lines[1].split()
+    assert cols[0] == "0" and cols[1] == "0" and cols[2] == "vehicle"
+    assert float(cols[6]) == 4.5  # box_length
+    assert float(cols[11]) == 3.0  # speed
+    with open(os.path.join(out, "track", "track_camera_vis.json")) as f:
+        vis = json.load(f)
+    assert "0" in vis
+    # moving object (3 m/s) -> dynamic mask written for each frame
+    assert os.path.exists(
+        os.path.join(out, "dynamic_mask", "000000_0.png"))
+
+
+def test_gray_png_roundtrip(tmp_path):
+    from gaussianrpg_tpu.apps.waymo_converter import write_gray_png
+    from PIL import Image
+    img = (np.arange(64 * 48, dtype=np.uint32) % 256).astype(
+        np.uint8).reshape(48, 64)
+    p = str(tmp_path / "m.png")
+    write_gray_png(p, img)
+    back = np.asarray(Image.open(p))
+    np.testing.assert_array_equal(back, img)
