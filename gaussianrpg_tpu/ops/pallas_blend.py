@@ -225,15 +225,17 @@ def _make_fwd_kernel(ntx, s_ch):
             acc_s[...] += _mm_cg(feats, w)                # (C_f, P)
 
             # T update = product over contributors (log-sum form; Mosaic
-            # has no reduce_prod; om_used >= 0.01) + stop propagation,
-            # both via one tiny sublane-contraction matmul
-            red_in = jnp.concatenate([jnp.log(om_used), stop_f], axis=1)
-            ones_col = jnp.ones((G_CHUNK, 1), jnp.float32)
-            red = _mm_cg(ones_col, red_in)                # (1, 2P)
-            t_run_s[...] = t_run * jnp.exp(red[:, :N_PIX])
+            # has no reduce_prod; om_used >= 0.01) + stop propagation via
+            # sublane-direction sums. NOT a matmul: routing the
+            # scan-dependent operand through an MXU contraction here
+            # triggers a ~700x Mosaic slowdown (measured 894us -> 1.24us
+            # per chunk with the VPU reduction).
+            t_run_s[...] = t_run * jnp.exp(
+                jnp.sum(jnp.log(om_used), axis=0, keepdims=True))
             done_s[...] = jnp.maximum(
                 done_s[...],
-                (red[:, N_PIX:] > 0.0).astype(jnp.float32))
+                (jnp.sum(stop_f, axis=0, keepdims=True) > 0.0)
+                .astype(jnp.float32))
 
         @pl.when(last == 1)
         def _():
@@ -368,14 +370,14 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols):
                 cols.append(jnp.zeros((G_CHUNK, pad), jnp.float32))
             gmat_s[...] = jnp.concatenate(cols, axis=1)
 
-            # state updates (same tiny contraction as the forward)
-            red_in = jnp.concatenate([jnp.log(om_used), stop_f], axis=1)
-            ones_col = jnp.ones((G_CHUNK, 1), jnp.float32)
-            red = _mm_cg(ones_col, red_in)
-            t_run_s[...] = t_run * jnp.exp(red[:, :N_PIX])
+            # state updates (same VPU sublane reductions as the forward —
+            # see the matmul-pathology note there)
+            t_run_s[...] = t_run * jnp.exp(
+                jnp.sum(jnp.log(om_used), axis=0, keepdims=True))
             done_s[...] = jnp.maximum(
                 done_s[...],
-                (red[:, N_PIX:] > 0.0).astype(jnp.float32))
+                (jnp.sum(stop_f, axis=0, keepdims=True) > 0.0)
+                .astype(jnp.float32))
             pref_s[...] = p_incl[G_CHUNK - 1:G_CHUNK, :]
 
         grad_ref[0, :, :] = gmat_s[...]
