@@ -149,3 +149,39 @@ class TorchHubYoloDetector:
                         (x0 + x1) / 2 / W, (y0 + y1) / 2 / H,
                         (x1 - x0) / W, (y1 - y0) / H]))
         return out
+
+
+@dataclass
+class JaxYoloDetector:
+    """TPU-native YOLOv5 perception (sim/yolo.py): jitted JAX inference,
+    optionally initialized from a standard torch checkpoint. Emits the
+    same normalized (cx, cy, w, h) bboxes as the other detectors."""
+
+    weights_path: Optional[str] = None
+    size: tuple = (384, 640)
+    conf_thres: float = 0.25
+    iou_thres: float = 0.45
+    _det: Optional[object] = None
+
+    def _ensure(self):
+        if self._det is None:
+            from .yolo import YoloDetector
+            if self.weights_path:
+                self._det = YoloDetector.from_checkpoint(
+                    self.weights_path, size=self.size,
+                    conf_thres=self.conf_thres, iou_thres=self.iou_thres,
+                    classes=VEHICLE_CLASSES)
+            else:
+                self._det = YoloDetector(
+                    size=self.size, conf_thres=self.conf_thres,
+                    iou_thres=self.iou_thres, classes=VEHICLE_CLASSES)
+
+    def detect(self, image_chw, camera) -> List[np.ndarray]:
+        self._ensure()
+        H, W = image_chw.shape[1:]
+        det = self._det(np.clip(image_chw, 0, 1).transpose(1, 2, 0))
+        out = []
+        for x0, y0, x1, y1, conf, cls in det:
+            out.append(np.array([(x0 + x1) / 2 / W, (y0 + y1) / 2 / H,
+                                 (x1 - x0) / W, (y1 - y0) / H]))
+        return out

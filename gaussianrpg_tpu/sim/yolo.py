@@ -1,0 +1,440 @@
+"""YOLOv5 inference in JAX (TPU-native perception for the simulator).
+
+The reference vendors the full torch YOLOv5 v6 tree (`models/yolo.py:31-78`,
+`models/common.py` Conv/C3/SPPF, `utils/general.py` non_max_suppression /
+scale_coords, `utils/augmentations.py` letterbox) and runs it inside the
+object-detector node (`nodes/src/dummy_controllers/dummy_controllers/
+object_detector.py:141-180`). Here the inference path is re-built as a
+functional JAX model:
+
+  * NHWC convolutions (XLA maps them onto the MXU), BN folded into conv
+    weights at load time, SiLU activations fused by XLA;
+  * the whole backbone+head+decode is one jittable function of
+    (params, image) with static input shape — no data-dependent Python;
+  * NMS runs on host in numpy over the few hundred candidate boxes.
+
+Weights load from a standard YOLOv5 torch checkpoint (`weights/yolov5s.pt`
+in the reference) via `load_torch_checkpoint`, or from random init for
+tests. Layout follows the v6.0 yolov5s graph (depth 0.33 / width 0.50).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# yolov5 v6.0 graph: (index, module, from, args)
+# base channels before width multiple; C3 repeats before depth multiple
+_BACKBONE = [
+    ("conv", -1, 64, 6, 2),    # 0  P1/2
+    ("conv", -1, 128, 3, 2),   # 1  P2/4
+    ("c3", -1, 128, 3, True),
+    ("conv", -1, 256, 3, 2),   # 3  P3/8
+    ("c3", -1, 256, 6, True),
+    ("conv", -1, 512, 3, 2),   # 5  P4/16
+    ("c3", -1, 512, 9, True),
+    ("conv", -1, 1024, 3, 2),  # 7  P5/32
+    ("c3", -1, 1024, 3, True),
+    ("sppf", -1, 1024, 5),     # 9
+]
+_HEAD = [
+    ("conv", -1, 512, 1, 1),           # 10
+    ("upsample", -1),                  # 11
+    ("concat", (-1, 6)),               # 12
+    ("c3", -1, 512, 3, False),         # 13
+    ("conv", -1, 256, 1, 1),           # 14
+    ("upsample", -1),                  # 15
+    ("concat", (-1, 4)),               # 16
+    ("c3", -1, 256, 3, False),         # 17 P3
+    ("conv", -1, 256, 3, 2),           # 18
+    ("concat", (-1, 14)),              # 19
+    ("c3", -1, 512, 3, False),         # 20 P4
+    ("conv", -1, 512, 3, 2),           # 21
+    ("concat", (-1, 10)),              # 22
+    ("c3", -1, 1024, 3, False),        # 23 P5
+    ("detect", (17, 20, 23)),          # 24
+]
+DETECT_LAYERS = (17, 20, 23)
+STRIDES = (8, 16, 32)
+DEFAULT_ANCHORS = np.array(
+    [[[10, 13], [16, 30], [33, 23]],
+     [[30, 61], [62, 45], [59, 119]],
+     [[116, 90], [156, 198], [373, 326]]], np.float32)
+
+# COCO class ids the AEB pipeline cares about (reference
+# object_detector.py filter: person/car/truck/bus/...)
+COCO_VEHICLE_PERSON = (0, 1, 2, 3, 5, 7)
+
+
+def _ch(c, width):
+    v = c * width
+    return max(8, int(np.ceil(v / 8) * 8))
+
+
+def _depth(n, depth):
+    return max(int(round(n * depth)), 1)
+
+
+def spec_yolov5(num_classes: int = 80, depth: float = 0.33,
+                width: float = 0.50):
+    """Resolved per-layer spec: list of dicts with static shapes."""
+    layers = []
+    ch = [3]
+    for item in _BACKBONE + _HEAD:
+        kind = item[0]
+        if kind == "conv":
+            _, frm, c, k, s = item
+            c = _ch(c, width)
+            layers.append(dict(kind=kind, frm=frm, cin=ch[frm if frm >= 0
+                                                         else len(ch) + frm],
+                               cout=c, k=k, s=s))
+            ch.append(c)
+        elif kind == "c3":
+            _, frm, c, n, shortcut = item
+            c = _ch(c, width)
+            layers.append(dict(kind=kind, frm=frm,
+                               cin=ch[frm if frm >= 0 else len(ch) + frm],
+                               cout=c, n=_depth(n, depth),
+                               shortcut=shortcut))
+            ch.append(c)
+        elif kind == "sppf":
+            _, frm, c, k = item
+            c = _ch(c, width)
+            layers.append(dict(kind=kind, frm=frm,
+                               cin=ch[-1], cout=c, k=k))
+            ch.append(c)
+        elif kind == "upsample":
+            layers.append(dict(kind=kind, frm=-1))
+            ch.append(ch[-1])
+        elif kind == "concat":
+            _, frms = item
+            cin = sum(ch[f + 1] if f >= 0 else ch[len(ch) + f]
+                      for f in frms)
+            layers.append(dict(kind=kind, frms=frms))
+            ch.append(cin)
+        elif kind == "detect":
+            _, frms = item
+            layers.append(dict(
+                kind=kind, frms=frms, nc=num_classes,
+                cins=[ch[f + 1] for f in frms]))
+            ch.append(0)
+    return layers
+
+
+# ---------------------------------------------------------------------------
+# param init / forward
+
+
+def _conv_params(rng, cin, cout, k):
+    w = rng.standard_normal((k, k, cin, cout)).astype(np.float32) \
+        * np.sqrt(2.0 / (k * k * cin))
+    return {"w": jnp.asarray(w), "b": jnp.zeros((cout,), jnp.float32)}
+
+
+def init_params(spec, seed: int = 0):
+    """Random (BN-fused form) parameters matching the spec."""
+    rng = np.random.default_rng(seed)
+    params: list[Any] = []
+    for lay in spec:
+        kind = lay["kind"]
+        if kind == "conv":
+            params.append(_conv_params(rng, lay["cin"], lay["cout"],
+                                       lay["k"]))
+        elif kind == "c3":
+            c_ = lay["cout"] // 2
+            p = {
+                "cv1": _conv_params(rng, lay["cin"], c_, 1),
+                "cv2": _conv_params(rng, lay["cin"], c_, 1),
+                "cv3": _conv_params(rng, 2 * c_, lay["cout"], 1),
+                "m": [{"cv1": _conv_params(rng, c_, c_, 1),
+                       "cv2": _conv_params(rng, c_, c_, 3)}
+                      for _ in range(lay["n"])],
+            }
+            params.append(p)
+        elif kind == "sppf":
+            c_ = lay["cin"] // 2
+            params.append({
+                "cv1": _conv_params(rng, lay["cin"], c_, 1),
+                "cv2": _conv_params(rng, c_ * 4, lay["cout"], 1),
+            })
+        elif kind == "detect":
+            no = lay["nc"] + 5
+            params.append({
+                "m": [_conv_params(rng, cin, no * 3, 1)
+                      for cin in lay["cins"]],
+                "anchors": jnp.asarray(DEFAULT_ANCHORS),
+            })
+        else:
+            params.append({})
+    return params
+
+
+def _conv(p, x, s=1, act=True):
+    k = p["w"].shape[0]
+    pad = (k - 1) // 2  # yolov5 autopad (k=6 stem uses p=2)
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], (s, s), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = y + p["b"]
+    return jax.nn.silu(y) if act else y
+
+
+def _bottleneck(p, x, shortcut):
+    y = _conv(p["cv2"], _conv(p["cv1"], x))
+    return x + y if shortcut else y
+
+
+def _c3(p, x, shortcut):
+    a = _conv(p["cv1"], x)
+    for m in p["m"]:
+        a = _bottleneck(m, a, shortcut)
+    b = _conv(p["cv2"], x)
+    return _conv(p["cv3"], jnp.concatenate([a, b], axis=-1))
+
+
+def _sppf(p, x, k):
+    x = _conv(p["cv1"], x)
+    pads = [(0, 0), (k // 2, k // 2), (k // 2, k // 2), (0, 0)]
+    pool = lambda v: jax.lax.reduce_window(
+        v, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1), pads)
+    y1 = pool(x)
+    y2 = pool(y1)
+    y3 = pool(y2)
+    return _conv(p["cv2"], jnp.concatenate([x, y1, y2, y3], axis=-1))
+
+
+def _upsample2(x):
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)
+
+
+def forward(spec, params, image: jax.Array) -> jax.Array:
+    """image [N, H, W, 3] in [0,1] -> decoded predictions
+    [N, total_anchors, 5 + nc] with xywh in input pixels."""
+    outputs = []
+    x = image
+    for lay, p in zip(spec, params):
+        kind = lay["kind"]
+        if kind == "conv":
+            x = _conv(p, x, lay["s"])
+        elif kind == "c3":
+            x = _c3(p, x, lay["shortcut"])
+        elif kind == "sppf":
+            x = _sppf(p, x, lay["k"])
+        elif kind == "upsample":
+            x = _upsample2(x)
+        elif kind == "concat":
+            srcs = [x if f == -1 else outputs[f] for f in lay["frms"]]
+            x = jnp.concatenate(srcs, axis=-1)
+        elif kind == "detect":
+            preds = []
+            nc = lay["nc"]
+            no = nc + 5
+            for i, f in enumerate(lay["frms"]):
+                feat = _conv(p["m"][i], outputs[f], act=False)
+                n, h, w, _ = feat.shape
+                feat = feat.reshape(n, h, w, 3, no)
+                sig = jax.nn.sigmoid(feat)
+                gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                                      jnp.arange(w, dtype=jnp.float32),
+                                      indexing="ij")
+                grid = jnp.stack([gx, gy], axis=-1)[:, :, None, :]
+                stride = float(STRIDES[i])
+                anchors = p["anchors"][i].reshape(1, 1, 3, 2)
+                xy = (sig[..., 0:2] * 2.0 - 0.5 + grid) * stride
+                wh = (sig[..., 2:4] * 2.0) ** 2 * anchors
+                pred = jnp.concatenate([xy, wh, sig[..., 4:]], axis=-1)
+                preds.append(pred.reshape(n, h * w * 3, no))
+            return jnp.concatenate(preds, axis=1)
+        outputs.append(x)
+    raise ValueError("spec has no detect layer")
+
+
+# ---------------------------------------------------------------------------
+# pre/post-processing (host-side numpy)
+
+
+def letterbox(img: np.ndarray, new_shape=(640, 640), color=0.447
+              ) -> tuple[np.ndarray, float, tuple[float, float]]:
+    """Resize keeping aspect, pad to `new_shape`; returns (image, gain,
+    (pad_w, pad_h)). img is [H, W, 3] float in [0,1]."""
+    h, w = img.shape[:2]
+    nh, nw = new_shape
+    gain = min(nh / h, nw / w)
+    uh, uw = int(round(h * gain)), int(round(w * gain))
+    # bilinear resize via jax (works on any backend), then pad
+    resized = np.asarray(jax.image.resize(jnp.asarray(img), (uh, uw, 3),
+                                          "bilinear"))
+    dw, dh = (nw - uw) / 2, (nh - uh) / 2
+    top, bottom = int(round(dh - 0.1)), int(round(dh + 0.1))
+    left, right = int(round(dw - 0.1)), int(round(dw + 0.1))
+    out = np.full((nh, nw, 3), color, np.float32)
+    out[top:top + uh, left:left + uw] = resized
+    return out, gain, (left, top)
+
+
+def scale_coords(boxes_xyxy: np.ndarray, gain: float, pad: tuple,
+                 orig_hw: tuple) -> np.ndarray:
+    """Map boxes from letterboxed coords back to the original image."""
+    b = boxes_xyxy.copy()
+    b[:, [0, 2]] = (b[:, [0, 2]] - pad[0]) / gain
+    b[:, [1, 3]] = (b[:, [1, 3]] - pad[1]) / gain
+    b[:, [0, 2]] = b[:, [0, 2]].clip(0, orig_hw[1])
+    b[:, [1, 3]] = b[:, [1, 3]].clip(0, orig_hw[0])
+    return b
+
+
+def non_max_suppression(pred: np.ndarray, conf_thres=0.25, iou_thres=0.45,
+                        classes=None, max_det=300) -> np.ndarray:
+    """pred [A, 5+nc] (xywh, obj, cls...) -> [M, 6] (xyxy, conf, cls)."""
+    obj = pred[:, 4]
+    cls_conf = pred[:, 5:] * obj[:, None]
+    cls = cls_conf.argmax(1)
+    conf = cls_conf.max(1)
+    keep = conf > conf_thres
+    if classes is not None:
+        keep &= np.isin(cls, classes)
+    boxes = pred[keep, :4]
+    conf, cls = conf[keep], cls[keep]
+    if boxes.shape[0] == 0:
+        return np.zeros((0, 6), np.float32)
+    xyxy = np.empty_like(boxes)
+    xyxy[:, 0] = boxes[:, 0] - boxes[:, 2] / 2
+    xyxy[:, 1] = boxes[:, 1] - boxes[:, 3] / 2
+    xyxy[:, 2] = boxes[:, 0] + boxes[:, 2] / 2
+    xyxy[:, 3] = boxes[:, 1] + boxes[:, 3] / 2
+    order = conf.argsort()[::-1][:max_det * 4]
+    xyxy, conf, cls = xyxy[order], conf[order], cls[order]
+    # class-offset trick so NMS is per-class
+    off = cls.astype(np.float32) * 7680.0
+    shifted = xyxy + off[:, None]
+    sel = []
+    areas = (shifted[:, 2] - shifted[:, 0]) * (shifted[:, 3] - shifted[:, 1])
+    idx = np.arange(len(shifted))
+    while idx.size and len(sel) < max_det:
+        i = idx[0]
+        sel.append(i)
+        if idx.size == 1:
+            break
+        rest = idx[1:]
+        x1 = np.maximum(shifted[i, 0], shifted[rest, 0])
+        y1 = np.maximum(shifted[i, 1], shifted[rest, 1])
+        x2 = np.minimum(shifted[i, 2], shifted[rest, 2])
+        y2 = np.minimum(shifted[i, 3], shifted[rest, 3])
+        inter = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+        iou = inter / (areas[i] + areas[rest] - inter + 1e-9)
+        idx = rest[iou <= iou_thres]
+    sel = np.asarray(sel, int)
+    return np.concatenate(
+        [xyxy[sel], conf[sel, None], cls[sel, None].astype(np.float32)],
+        axis=1)
+
+
+# ---------------------------------------------------------------------------
+# torch checkpoint conversion (BN fused)
+
+
+def _fuse(conv_w, bn_w, bn_b, bn_m, bn_v, eps=1e-3):
+    scale = bn_w / np.sqrt(bn_v + eps)
+    w = conv_w * scale[:, None, None, None]
+    b = bn_b - bn_m * scale
+    # torch OIHW -> HWIO
+    return {"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+            "b": jnp.asarray(b)}
+
+
+def load_torch_checkpoint(path: str, num_classes: int = 80):
+    """Convert a standard YOLOv5 checkpoint (.pt with an fp32 state_dict,
+    or the full pickled model) into (spec, params)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    model = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = model.float().state_dict() if hasattr(model, "state_dict") else {
+        k: v.float() for k, v in model.items()}
+    sd = {k: v.numpy() for k, v in sd.items()}
+
+    def fused(prefix):
+        return _fuse(sd[f"{prefix}.conv.weight"],
+                     sd[f"{prefix}.bn.weight"], sd[f"{prefix}.bn.bias"],
+                     sd[f"{prefix}.bn.running_mean"],
+                     sd[f"{prefix}.bn.running_var"])
+
+    spec = spec_yolov5(num_classes)
+    params: list[Any] = []
+    for i, lay in enumerate(spec):
+        base = f"model.{i}"
+        kind = lay["kind"]
+        if kind == "conv":
+            params.append(fused(base))
+        elif kind == "c3":
+            params.append({
+                "cv1": fused(f"{base}.cv1"),
+                "cv2": fused(f"{base}.cv2"),
+                "cv3": fused(f"{base}.cv3"),
+                "m": [{"cv1": fused(f"{base}.m.{j}.cv1"),
+                       "cv2": fused(f"{base}.m.{j}.cv2")}
+                      for j in range(lay["n"])],
+            })
+        elif kind == "sppf":
+            params.append({"cv1": fused(f"{base}.cv1"),
+                           "cv2": fused(f"{base}.cv2")})
+        elif kind == "detect":
+            heads = []
+            for j in range(3):
+                w = sd[f"{base}.m.{j}.weight"]
+                b = sd[f"{base}.m.{j}.bias"]
+                heads.append({"w": jnp.asarray(w.transpose(2, 3, 1, 0)),
+                              "b": jnp.asarray(b)})
+            anchors = sd.get(f"{base}.anchors")
+            if anchors is not None:
+                anchors = jnp.asarray(anchors) * jnp.asarray(
+                    STRIDES, jnp.float32)[:, None, None]
+            else:
+                anchors = jnp.asarray(DEFAULT_ANCHORS)
+            params.append({"m": heads, "anchors": anchors})
+        else:
+            params.append({})
+    return spec, params
+
+
+class YoloDetector:
+    """Jitted YOLOv5 detector: image [H, W, 3] -> [M, 6] xyxy/conf/cls
+    boxes in original-image pixels."""
+
+    def __init__(self, spec=None, params=None, size=(384, 640),
+                 conf_thres=0.25, iou_thres=0.45,
+                 classes=COCO_VEHICLE_PERSON):
+        self.spec = spec if spec is not None else spec_yolov5()
+        self.params = params if params is not None else init_params(
+            self.spec)
+        self.size = size
+        self.conf_thres = conf_thres
+        self.iou_thres = iou_thres
+        self.classes = np.asarray(classes) if classes is not None else None
+        spec_ref = self.spec
+
+        @jax.jit
+        def _run(params, img):
+            return forward(spec_ref, params, img[None])[0]
+
+        self._run = _run
+
+    @classmethod
+    def from_checkpoint(cls, path: str, **kw):
+        spec, params = load_torch_checkpoint(path)
+        return cls(spec=spec, params=params, **kw)
+
+    def __call__(self, image: np.ndarray) -> np.ndarray:
+        h, w = image.shape[:2]
+        boxed, gain, pad = letterbox(image, self.size)
+        pred = np.asarray(self._run(self.params, jnp.asarray(boxed)))
+        det = non_max_suppression(pred, self.conf_thres, self.iou_thres,
+                                  self.classes)
+        if det.shape[0]:
+            det[:, :4] = scale_coords(det[:, :4], gain, pad, (h, w))
+        return det

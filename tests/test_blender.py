@@ -1,0 +1,65 @@
+"""Blender/NeRF-synthetic reader: camera conversion + scene assembly."""
+import json
+import os
+
+import numpy as np
+
+from gaussianrpg_tpu.data.blender import load_blender_scene
+
+
+def _write_scene(root, n_frames=2, size=8):
+    from PIL import Image
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    frames = []
+    for i in range(n_frames):
+        # camera on +z looking at origin (OpenGL: -z forward)
+        c2w = np.eye(4)
+        c2w[2, 3] = 4.0 + i
+        frames.append({"file_path": f"train/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+        rgba = np.zeros((size, size, 4), np.uint8)
+        rgba[2:6, 2:6] = (255, 128, 0, 255)   # opaque square
+        Image.fromarray(rgba, "RGBA").save(
+            os.path.join(root, f"train/r_{i}.png"))
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+
+
+def test_blender_scene(tmp_path):
+    root = str(tmp_path)
+    _write_scene(root)
+    scene = load_blender_scene(root, num_random_pts=500)
+    assert len(scene.train) == 2 and len(scene.test) == 0
+    assert scene.points.shape == (500, 3)
+    assert np.all(np.abs(scene.points) <= 1.3 + 1e-6)
+
+    fr = scene.train[0]
+    assert fr.image.shape == (3, 8, 8)
+    # transparent pixels composited over black bg
+    assert fr.image[:, 0, 0].max() == 0.0
+    assert abs(fr.image[0, 3, 3] - 1.0) < 1e-6
+
+    # camera at world (0,0,4) looking toward origin: the origin projects
+    # to the image center at depth 4
+    cam = fr.camera
+    center = np.asarray(cam.cam_center)
+    np.testing.assert_allclose(center, [0, 0, 4], atol=1e-6)
+    V = np.asarray(cam.viewmatrix)
+    p_cam = V[:3, :3] @ np.zeros(3) + V[:3, 3]
+    np.testing.assert_allclose(p_cam, [0, 0, 4], atol=1e-6)
+
+
+def test_blender_white_background(tmp_path):
+    root = str(tmp_path)
+    _write_scene(root, n_frames=1)
+    scene = load_blender_scene(root, white_background=True)
+    fr = scene.train[0]
+    np.testing.assert_allclose(fr.image[:, 0, 0], [1, 1, 1], atol=1e-6)
+
+
+def test_blender_lazy_images(tmp_path):
+    root = str(tmp_path)
+    _write_scene(root, n_frames=1)
+    scene = load_blender_scene(root, load_images=False)
+    assert scene.train[0].image is None
+    assert scene.train[0].camera.width == 8

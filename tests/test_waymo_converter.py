@@ -257,3 +257,43 @@ def test_gray_png_roundtrip(tmp_path):
     write_gray_png(p, img)
     back = np.asarray(Image.open(p))
     np.testing.assert_array_equal(back, img)
+
+
+@pytest.mark.skipif(load_library() is None, reason="native lib unavailable")
+def test_generate_lidar_depth(tmp_path):
+    from PIL import Image
+    from gaussianrpg_tpu.apps.generate_lidar_depth import \
+        generate_lidar_depth
+    from gaussianrpg_tpu.apps.waymo_converter import convert_sequence
+    rec = str(tmp_path / "seq.tfrecord")
+    write_tfrecord(rec, [make_frame(i) for i in range(2)])
+    out = str(tmp_path / "out")
+    convert_sequence(rec, out, log=lambda *_: None)
+    # replace the raw sensor bytes with decodable images sized to the
+    # calibration (640x480)
+    for f in os.listdir(os.path.join(out, "images")):
+        Image.new("RGB", (640, 480)).save(
+            os.path.join(out, "images", f), "JPEG")
+    # single camera -> pad calibration dirs for cams 1..4
+    for i in range(1, 5):
+        for sub in ("intrinsics", "extrinsics"):
+            src = os.path.join(out, sub, "0.txt")
+            dst = os.path.join(out, sub, f"{i}.txt")
+            with open(src) as a, open(dst, "w") as b:
+                b.write(a.read())
+    n = generate_lidar_depth(out, log=lambda *_: None)
+    assert n == 2
+    d = np.load(os.path.join(out, "lidar_depth", "000000_0.npy"),
+                allow_pickle=True).item()
+    assert d["mask"].shape == (480, 640)
+    assert d["mask"].sum() == 1
+    ys, xs = np.nonzero(d["mask"])
+    # converter stores the projection at (x=100, y=200)
+    assert (xs[0], ys[0]) == (100, 200)
+    # camera faces vehicle +x from (1.5, 0, 0): depth = point_x - 1.5
+    frame0 = wp.parse_frame(make_frame(0))
+    ri = wp.decode_matrix_float(
+        frame0.lasers[0].ri_return1.range_image_compressed)
+    pts, _ = wp.range_image_to_pointcloud(
+        ri, frame0.context.laser_calibrations[0])
+    assert abs(d["value"][0] - (pts[0, 0] - 1.5)) < 1e-4

@@ -1,0 +1,173 @@
+"""JAX YOLOv5 inference: graph shapes, decode semantics, NMS, letterbox,
+and torch-checkpoint weight conversion."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gaussianrpg_tpu.sim.yolo import (YoloDetector, forward, init_params,
+                                      letterbox, load_torch_checkpoint,
+                                      non_max_suppression, scale_coords,
+                                      spec_yolov5)
+
+
+def test_spec_channels():
+    spec = spec_yolov5()
+    convs = [l for l in spec if l["kind"] == "conv"]
+    # yolov5s backbone widths: 32, 64, 128, 256, 512
+    assert convs[0]["cout"] == 32 and convs[0]["k"] == 6
+    assert convs[1]["cout"] == 64
+    assert convs[4]["cout"] == 512
+    c3s = [l for l in spec if l["kind"] == "c3"]
+    assert [c["n"] for c in c3s[:4]] == [1, 2, 3, 1]  # depth 0.33
+    det = spec[-1]
+    assert det["kind"] == "detect" and det["cins"] == [128, 256, 512]
+
+
+def test_forward_shapes_and_decode_range():
+    spec = spec_yolov5()
+    params = init_params(spec, seed=0)
+    img = jnp.zeros((1, 192, 320, 3), jnp.float32)
+    pred = forward(spec, params, img)
+    # anchors: 3 * (24*40 + 12*20 + 6*10) cells
+    assert pred.shape == (1, 3 * (24 * 40 + 12 * 20 + 6 * 10), 85)
+    p = np.asarray(pred[0])
+    assert np.all(p[:, 4:] >= 0) and np.all(p[:, 4:] <= 1)
+    # decoded xy must lie within the (padded) input frame
+    assert p[:, 0].min() > -20 and p[:, 0].max() < 340
+
+
+def test_nms_merges_overlaps():
+    pred = np.zeros((3, 85), np.float32)
+    pred[0, :4] = (100, 100, 40, 40)
+    pred[1, :4] = (102, 102, 40, 40)   # overlaps 0
+    pred[2, :4] = (300, 100, 40, 40)   # separate
+    pred[:, 4] = (0.9, 0.8, 0.7)
+    pred[:, 5 + 2] = 1.0               # class 2 (car)
+    det = non_max_suppression(pred, conf_thres=0.25)
+    assert det.shape[0] == 2
+    assert det[0, 4] >= det[1, 4]
+    assert set(det[:, 5].astype(int)) == {2}
+
+
+def test_nms_class_filter():
+    pred = np.zeros((1, 85), np.float32)
+    pred[0, :4] = (50, 50, 20, 20)
+    pred[0, 4] = 0.9
+    pred[0, 5 + 9] = 1.0               # class 9: not vehicle/person
+    assert non_max_suppression(pred, classes=(0, 2)).shape[0] == 0
+    assert non_max_suppression(pred, classes=None).shape[0] == 1
+
+
+def test_letterbox_and_scale_roundtrip():
+    img = np.random.default_rng(0).uniform(0, 1, (480, 640, 3)).astype(
+        np.float32)
+    out, gain, pad = letterbox(img, (384, 640))
+    assert out.shape == (384, 640, 3)
+    assert abs(gain - 0.8) < 1e-6
+    # a box at image center maps back to the original center
+    boxes = np.array([[320 * gain + pad[0] - 10, 240 * gain + pad[1] - 10,
+                       320 * gain + pad[0] + 10, 240 * gain + pad[1] + 10]],
+                     np.float32)
+    back = scale_coords(boxes, gain, pad, (480, 640))
+    cx = (back[0, 0] + back[0, 2]) / 2
+    cy = (back[0, 1] + back[0, 3]) / 2
+    assert abs(cx - 320) < 1.0 and abs(cy - 240) < 1.0
+
+
+def test_detector_runs_end_to_end():
+    det = YoloDetector(size=(192, 320), conf_thres=0.99)
+    img = np.random.default_rng(1).uniform(0, 1, (300, 500, 3)).astype(
+        np.float32)
+    out = det(img)
+    assert out.ndim == 2 and out.shape[1] == 6
+    if out.shape[0]:
+        assert np.all(out[:, 0] <= out[:, 2] + 1e-3)
+        assert np.all(out[:, :4] >= -1e-3)
+        assert np.all(out[:, 2] <= 500 + 1e-3)
+
+
+def test_torch_checkpoint_conversion(tmp_path):
+    torch = pytest.importorskip("torch")
+    # build a state-dict-shaped checkpoint with BN layers for a few
+    # entries and verify fusion math on layer 0
+    spec = spec_yolov5(num_classes=80)
+    sd = {}
+    rng = np.random.default_rng(0)
+
+    def add_convbn(prefix, cin, cout, k):
+        sd[f"{prefix}.conv.weight"] = torch.tensor(
+            rng.standard_normal((cout, cin, k, k)).astype(np.float32))
+        sd[f"{prefix}.bn.weight"] = torch.tensor(
+            rng.uniform(0.5, 1.5, cout).astype(np.float32))
+        sd[f"{prefix}.bn.bias"] = torch.tensor(
+            rng.standard_normal(cout).astype(np.float32))
+        sd[f"{prefix}.bn.running_mean"] = torch.tensor(
+            rng.standard_normal(cout).astype(np.float32))
+        sd[f"{prefix}.bn.running_var"] = torch.tensor(
+            rng.uniform(0.5, 2.0, cout).astype(np.float32))
+
+    for i, lay in enumerate(spec):
+        base = f"model.{i}"
+        if lay["kind"] == "conv":
+            add_convbn(base, lay["cin"], lay["cout"], lay["k"])
+        elif lay["kind"] == "c3":
+            c_ = lay["cout"] // 2
+            add_convbn(f"{base}.cv1", lay["cin"], c_, 1)
+            add_convbn(f"{base}.cv2", lay["cin"], c_, 1)
+            add_convbn(f"{base}.cv3", 2 * c_, lay["cout"], 1)
+            for j in range(lay["n"]):
+                add_convbn(f"{base}.m.{j}.cv1", c_, c_, 1)
+                add_convbn(f"{base}.m.{j}.cv2", c_, c_, 3)
+        elif lay["kind"] == "sppf":
+            c_ = lay["cin"] // 2
+            add_convbn(f"{base}.cv1", lay["cin"], c_, 1)
+            add_convbn(f"{base}.cv2", 4 * c_, lay["cout"], 1)
+        elif lay["kind"] == "detect":
+            for j, cin in enumerate(lay["cins"]):
+                sd[f"{base}.m.{j}.weight"] = torch.tensor(
+                    rng.standard_normal((255, cin, 1, 1)).astype(
+                        np.float32))
+                sd[f"{base}.m.{j}.bias"] = torch.tensor(
+                    rng.standard_normal(255).astype(np.float32))
+            sd[f"{base}.anchors"] = torch.tensor(
+                np.array([[[1.25, 1.625], [2.0, 3.75], [4.125, 2.875]],
+                          [[1.875, 3.8125], [3.875, 2.8125],
+                           [3.6875, 7.4375]],
+                          [[3.625, 2.8125], [4.875, 6.1875],
+                           [11.65625, 10.1875]]], np.float32))
+
+    path = str(tmp_path / "y.pt")
+    torch.save(sd, path)
+    cspec, params = load_torch_checkpoint(path)
+    assert len(params) == len(cspec)
+    p0 = params[0]
+    assert p0["w"].shape == (6, 6, 3, 32)
+
+    # fusion: conv+BN(x) == fused_conv(x) for layer 0 on random input
+    x = torch.tensor(rng.standard_normal((1, 3, 12, 12)).astype(np.float32))
+    with torch.no_grad():
+        y_ref = torch.nn.functional.conv2d(
+            x, sd["model.0.conv.weight"], None, stride=2, padding=2)
+        g = sd["model.0.bn.weight"]
+        b = sd["model.0.bn.bias"]
+        m = sd["model.0.bn.running_mean"]
+        v = sd["model.0.bn.running_var"]
+        y_ref = (y_ref - m[None, :, None, None]) / torch.sqrt(
+            v[None, :, None, None] + 1e-3) * g[None, :, None, None] \
+            + b[None, :, None, None]
+    y_jax = jax.lax.conv_general_dilated(
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), params[0]["w"],
+        (2, 2), [(2, 2), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + params[0]["b"]
+    np.testing.assert_allclose(np.asarray(y_jax).transpose(0, 3, 1, 2),
+                               y_ref.numpy(), rtol=2e-4, atol=2e-4)
+
+    # anchors rescaled by stride into pixels
+    np.testing.assert_allclose(
+        np.asarray(params[-1]["anchors"])[0, 0], [10.0, 13.0], rtol=1e-6)
+
+    # full forward with converted weights runs
+    pred = forward(cspec, params, jnp.zeros((1, 96, 160, 3)))
+    assert pred.shape[2] == 85
