@@ -38,16 +38,19 @@ def main():
     sky = np.stack([rng.uniform(-60, 60, n_s), rng.uniform(-30, -6, n_s),
                     rng.uniform(20, 150, n_s)], -1)
     means = np.concatenate([ground, facades, sky]).astype(np.float32)
-    dist = np.linalg.norm(means, axis=1)
-    scales = np.log(np.clip(dist * 0.004 + rng.uniform(0.01, 0.05, n),
-                            1e-3, 2.0))[:, None].repeat(3, 1).astype(
-        np.float32)
+    fovx = math.radians(50.0)
+    fl = W / (2 * math.tan(fovx / 2))
+    # linear world-unit scales (the API takes activated scales, like the
+    # reference's get_scaling) calibrated to 2-6 px screen sigma —
+    # trained-scene footprint statistics; ~3.4M tile pairs at 1066x1600
+    sigma_px = rng.uniform(2.0, 6.0, n)
+    z = np.clip(means[:, 2], 1.0, None)
+    scales = (sigma_px * z / fl)[:, None].repeat(3, 1).astype(np.float32)
     q = rng.standard_normal((n, 4)).astype(np.float32)
     q /= np.linalg.norm(q, axis=-1, keepdims=True)
     opac = rng.uniform(0.6, 0.99, n).astype(np.float32)
     colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
 
-    fovx = math.radians(50.0)
     fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
     cam = make_camera(R=np.eye(3), T=np.zeros(3), K=None, width=W, height=H,
                       fovx=fovx, fovy=fovy)
@@ -65,14 +68,18 @@ def main():
         return out.color
 
     args = (cam,) + args
-    out = render(*args)
-    out.block_until_ready()
-    # timed steady state
+    jax.block_until_ready(render(*args))
+    # timed steady state: vary the inputs each rep (defeats memoization)
+    # and force completion via scalar sums — block_until_ready alone is
+    # unreliable on the axon runtime
     reps = 10
+    forced = []
     t0 = time.time()
-    for _ in range(reps):
-        out = render(*args)
-    out.block_until_ready()
+    for i in range(reps):
+        a = (args[0], args[1], args[2] * (1.0 + 1e-6 * (i + 1))) + args[3:]
+        forced.append(jnp.sum(render(*a)))
+    for f in forced:
+        float(f)
     dt = (time.time() - t0) / reps
     fps = 1.0 / dt
 

@@ -38,7 +38,8 @@ import jax.numpy as jnp
 
 from .projection import TILE_X, TILE_Y, Preprocessed
 
-G_CHUNK = 128  # pairs per blend-kernel chunk (must match pallas_blend)
+G_CHUNK = 128  # pairs per blend-kernel chunk (pallas_blend imports this;
+               # power of two, trades per-grid-step overhead vs VMEM/body)
 
 
 class PairLists(NamedTuple):

@@ -70,9 +70,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .binning import G_CHUNK  # pairs per chunk (single source of truth)
 from .projection import TILE_X, TILE_Y
-
-G_CHUNK = 128            # pairs per chunk (== binning.G_CHUNK)
 N_PIX = TILE_X * TILE_Y  # 256 pixels per tile
 
 # gdata field columns (pairs-major layout [P_pad, NF])

@@ -45,6 +45,45 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def mark_visible(means3d: jax.Array, camera) -> jax.Array:
+    """Frustum-culling mask (reference `GaussianRasterizer.markVisible`,
+    diff_gaussian_rasterization/__init__.py:186-194 / `auxiliary.h`
+    in_frustum): True where the view-space depth exceeds the 0.2 near
+    plane."""
+    from .projection import transform_point_4x3
+
+    p_view = transform_point_4x3(means3d, camera.viewmatrix)
+    return p_view[:, 2] > 0.2
+
+
+def visible_filter(
+    means3d: jax.Array,
+    *,
+    camera,
+    scales: jax.Array | None = None,
+    rotations: jax.Array | None = None,
+    cov3d_precomp: jax.Array | None = None,
+    scale_modifier: float = 1.0,
+) -> tuple[jax.Array, jax.Array]:
+    """(radii, means2d) without rendering (reference `visible_filter`,
+    diff_gaussian_rasterization/__init__.py:235-260 /
+    `rasterize_points.cu:345-392`)."""
+    n = means3d.shape[0]
+    pre = preprocess(
+        means3d,
+        scales if scales is not None else jnp.ones((n, 3), means3d.dtype),
+        rotations if rotations is not None else jnp.concatenate(
+            [jnp.ones((n, 1), means3d.dtype),
+             jnp.zeros((n, 3), means3d.dtype)], -1),
+        camera.viewmatrix, camera.projmatrix,
+        camera.width, camera.height,
+        camera.tan_fovx, camera.tan_fovy,
+        scale_modifier, cov3d_precomp,
+        camera.lim_tan_fovx, camera.lim_tan_fovy,
+    )
+    return pre.radii, pre.means2d
+
+
 def rasterize(
     means3d: jax.Array,
     opacities: jax.Array,

@@ -133,3 +133,20 @@ def test_capacity_overflow_is_detected():
     assert not bool(lists2.overflowed)
     # every real pair is placed exactly once
     assert int(jnp.sum(lists2.pair_valid)) == int(lists2.raw_total)
+
+
+def test_mark_visible_and_filter(rng):
+    import jax.numpy as jnp
+    from gaussianrpg_tpu.ops.rasterize import mark_visible, visible_filter
+    cam = make_test_camera(64, 64)
+    means = jnp.asarray(np.array(
+        [[0.0, 0.0, 5.0], [0.0, 0.0, -3.0], [0.0, 0.0, 0.1]], np.float32))
+    vis = np.asarray(mark_visible(means, cam))
+    assert vis.tolist() == [True, False, False]
+    scales = jnp.full((3, 3), 0.05)
+    rots = jnp.asarray(np.tile([1.0, 0, 0, 0], (3, 1)).astype(np.float32))
+    radii, means2d = visible_filter(means, camera=cam, scales=scales,
+                                    rotations=rots)
+    assert radii.shape == (3,) and means2d.shape == (3, 2)
+    r = np.asarray(radii)
+    assert r[0] > 0 and r[1] == 0
