@@ -69,17 +69,18 @@ def main():
 
     args = (cam,) + args
     jax.block_until_ready(render(*args))
-    # timed steady state: vary the inputs each rep (defeats memoization)
-    # and force completion via scalar sums — block_until_ready alone is
-    # unreliable on the axon runtime
+    # timed steady state: one dispatch per rep (async-pipelined; the
+    # runtime's per-dispatch overhead overlaps execution), inputs varied
+    # per rep (defeats memoization), single block at the end
     reps = 10
-    forced = []
+    varied = [args[2] * (1.0 + 1e-6 * (i + 1)) for i in range(reps)]
+    jax.block_until_ready(varied)
     t0 = time.time()
-    for i in range(reps):
-        a = (args[0], args[1], args[2] * (1.0 + 1e-6 * (i + 1))) + args[3:]
-        forced.append(jnp.sum(render(*a)))
-    for f in forced:
-        float(f)
+    outs = [render(args[0], args[1], v, *args[3:]) for v in varied]
+    # device queue is in-order: a scalar readback derived from the last
+    # output proves all reps ran (block_until_ready alone has been seen
+    # returning early on this runtime)
+    float(jnp.sum(outs[-1]))
     dt = (time.time() - t0) / reps
     fps = 1.0 / dt
 

@@ -15,6 +15,16 @@ import time
 import numpy as np
 
 
+def _make_writer(logdir: str):
+    """TensorBoard writer (reference `train.py:318-351` uses
+    SummaryWriter); gated on torch/tensorboard availability."""
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+        return SummaryWriter(logdir)
+    except Exception:
+        return None
+
+
 def main(argv=None):
     import jax
     import jax.numpy as jnp
@@ -110,6 +120,7 @@ def main(argv=None):
     ema_loss = ema_psnr = 0.0
     os.makedirs(cfg.trained_model_dir, exist_ok=True)
     os.makedirs(cfg.point_cloud_dir, exist_ok=True)
+    writer = _make_writer(os.path.join(cfg.model_path, "tensorboard"))
     t0 = time.time()
 
     for it in range(1, iters + 1):
@@ -126,6 +137,11 @@ def main(argv=None):
         ema_psnr = 0.4 * float(psnr(res.rgb, batch.gt_image)) \
             + 0.6 * ema_psnr
 
+        if writer is not None and it % 10 == 0:
+            writer.add_scalar("train/loss", float(loss), it)
+            writer.add_scalar("train/ema_psnr", ema_psnr, it)
+            for k, v in scalars.items():
+                writer.add_scalar(f"train/{k}", float(v), it)
         if it % 50 == 0:
             print(f"[{it}/{iters}] loss {ema_loss:.5f} psnr "
                   f"{ema_psnr:.2f} ({(time.time()-t0)/it:.2f}s/it)",
@@ -186,6 +202,8 @@ def main(argv=None):
             save_composite_ply(os.path.join(ply_dir, "point_cloud.ply"),
                                state.models, actor_names)
 
+    if writer is not None:
+        writer.close()
     print(f"done: {iters} iters in {time.time()-t0:.1f}s, "
           f"final ema_psnr {ema_psnr:.2f}")
     return state

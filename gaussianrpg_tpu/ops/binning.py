@@ -109,11 +109,34 @@ def build_pair_lists(
     offs = jnp.cumsum(area) - area                    # exclusive prefix
     raw_total = offs[-1] + area[-1]
 
-    # --- segment-marker expansion: pair p -> source gaussian g(p) ---
+    # --- segment-marker expansion ---------------------------------------
+    # Per-pair source/rect values are delivered by scattering a packed
+    # marker at each gaussian's first pair slot and cummax-filling the
+    # segment. Random per-pair `take`s from per-gaussian tables are
+    # PATHOLOGICAL on TPU (~75ms per 4M-element gather, measured); the
+    # fills are bandwidth-bound scans instead. Packing (g+1)<<bits|value
+    # keeps each marker monotone across segments so cummax fills exactly.
+    tb = max(int(ntx).bit_length(), int(nty).bit_length())
+    assert n < (1 << (30 - tb)), "too many gaussians for packed markers"
+    gp1 = jnp.arange(1, n + 1, dtype=jnp.int32)
     scat_idx = jnp.where(area > 0, offs, p_max)
-    marker = jnp.zeros((p_max,), jnp.int32).at[scat_idx].max(
-        jnp.arange(1, n + 1, dtype=jnp.int32), mode="drop")
-    pair_g = jax.lax.cummax(marker) - 1               # [P_max] source index
+
+    def fill(values):
+        m = jnp.zeros((p_max,), jnp.int32).at[scat_idx].max(
+            values, mode="drop")
+        return jax.lax.cummax(m)
+
+    mask_v = (1 << tb) - 1
+    assert capacity < (1 << (30 - tb)), "capacity too large for packed rw"
+    fx0 = fill((gp1 << tb) | x0.astype(jnp.int32))
+    pair_g = (fx0 >> tb) - 1                          # [P_max] source index
+    g_x0 = fx0 & mask_v
+    g_y0 = fill((gp1 << tb) | y0.astype(jnp.int32)) & mask_v
+    # offs is monotone too, so rw rides the segment-start marker
+    fsr = fill(((offs + 1) << tb) | rw.astype(jnp.int32))
+    seg_start = (fsr >> tb) - 1                       # first pair idx of g
+    g_rw = jnp.maximum(fsr & mask_v, 1)
+
     pair_idx = jnp.arange(p_max, dtype=jnp.int32)
     pair_ok = (pair_idx < raw_total) & (pair_g >= 0)
     pair_g = jnp.maximum(pair_g, 0)
@@ -124,21 +147,15 @@ def build_pair_lists(
     # Integer div/mod with a dynamic divisor is pathologically slow on TPU;
     # ranks and rect widths are far below 2^22, so the f32 +0.5 floor trick
     # computes the exact quotient on the VPU instead.
-    k = pair_idx - jnp.take(offs, pair_g)
-    g_x0 = jnp.take(x0, pair_g)
-    g_y0 = jnp.take(y0, pair_g)
-    g_rw = jnp.maximum(jnp.take(rw, pair_g), 1)
+    k = pair_idx - seg_start
     row = jnp.floor((k.astype(jnp.float32) + 0.5)
                     / g_rw.astype(jnp.float32)).astype(jnp.int32)
     col = k - row * g_rw
     tile = (g_y0 + row) * ntx + (g_x0 + col)
     tile = jnp.where(pair_ok, tile, n_tiles).astype(jnp.int32)
 
-    # --- group by tile, keeping depth order (stable sort, 32-bit keys) ---
-    tile_sorted, src_sorted = jax.lax.sort_key_val(tile, pair_g,
-                                                   is_stable=True)
-
-    # per-tile ranges + chunk-aligned placement
+    # --- per-tile counts from a keys-only sort ---------------------------
+    tile_sorted = jax.lax.sort(tile)
     starts = jnp.searchsorted(tile_sorted,
                               jnp.arange(n_tiles + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
@@ -148,7 +165,7 @@ def build_pair_lists(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts)]).astype(jnp.int32)
     padded_total = pstarts[-1]
 
-    # --- chunk metadata for the scalar-prefetch grid ---
+    # --- chunk metadata for the scalar-prefetch grid ---------------------
     cidx = jnp.arange(max_chunks, dtype=jnp.int32)
     elem = cidx * G_CHUNK
     ct = jnp.clip(
@@ -164,19 +181,27 @@ def build_pair_lists(
     chunk_meta = (chunk_tile | (chunk_first << 24) | (chunk_last << 25)
                   | (cvalid.astype(jnp.int32) << 26))
 
-    # --- aligned placement as a GATHER (a 4M-update scatter costs ~100ms
-    # on TPU; the gather form is bandwidth-bound). Each padded slot knows
-    # its tile from the chunk metadata (slot // G_CHUNK is a static shift).
-    slot_tile = jnp.broadcast_to(
-        chunk_tile[:, None], (max_chunks, G_CHUNK)).reshape(-1)
-    slot_ofs = pair_idx - jnp.take(pstarts, slot_tile)
-    slot_valid = (jnp.broadcast_to(
-        cvalid[:, None], (max_chunks, G_CHUNK)).reshape(-1)
-        & (slot_ofs >= 0) & (slot_ofs < jnp.take(counts, slot_tile)))
-    src_pos = jnp.take(starts, slot_tile) + slot_ofs
-    pair_src = jnp.where(
-        slot_valid,
-        jnp.take(src_sorted, jnp.clip(src_pos, 0, p_max - 1)), -1)
+    # --- padded placement via a second stable sort -----------------------
+    # Spare slots (pair_idx >= raw_total) are assigned the tile they pad:
+    # tile t's padding occupies spare ranks [cum_pad[t-1], cum_pad[t]), so
+    # one 6.7k-entry scatter + cummax fill labels every spare. A stable
+    # sort of (tile, src) then lands reals (depth-ordered, emitted first)
+    # followed by their tile's padding — the G_CHUNK-aligned layout
+    # directly, with no 4M gather/scatter placement pass.
+    pad_needed = pcounts - counts
+    cum_pad_excl = jnp.cumsum(pad_needed) - pad_needed
+    spare_pos = jnp.where(pad_needed > 0, raw_total + cum_pad_excl, p_max)
+    spare_fill = jax.lax.cummax(
+        jnp.zeros((p_max,), jnp.int32).at[spare_pos].max(
+            jnp.arange(1, n_tiles + 1, dtype=jnp.int32), mode="drop")) - 1
+    n_spare_used = padded_total - raw_total
+    spare_ok = (pair_idx >= raw_total) \
+        & (pair_idx < raw_total + n_spare_used) & (spare_fill >= 0)
+    key2 = jnp.where(pair_ok, tile,
+                     jnp.where(spare_ok, spare_fill, n_tiles))
+    src2 = jnp.where(pair_ok, pair_g, -1)
+    _, pair_src = jax.lax.sort_key_val(key2.astype(jnp.int32), src2,
+                                       is_stable=True)
     pair_valid = pair_src >= 0
 
     # a tile's output block is only written when its LAST chunk fits within

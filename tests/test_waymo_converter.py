@@ -297,3 +297,31 @@ def test_generate_lidar_depth(tmp_path):
     pts, _ = wp.range_image_to_pointcloud(
         ri, frame0.context.laser_calibrations[0])
     assert abs(d["value"][0] - (pts[0, 0] - 1.5)) < 1e-4
+
+
+@pytest.mark.skipif(load_library() is None, reason="native lib unavailable")
+def test_generate_sky_mask(tmp_path):
+    from PIL import Image
+    from gaussianrpg_tpu.apps.generate_sky_mask import (generate_sky_mask,
+                                                        geometric_sky_mask)
+    # unit: lidar horizon at v=200 -> sky above ~188, ground below
+    uv = np.stack([np.linspace(0, 639, 50), np.full(50, 200.0)], -1)
+    mask = geometric_sky_mask(uv, 480, 640)
+    assert mask[100, 320] and not mask[250, 320]
+    assert not mask[195, 320]  # inside the margin band
+
+    from gaussianrpg_tpu.apps.waymo_converter import convert_sequence
+    rec = str(tmp_path / "seq.tfrecord")
+    write_tfrecord(rec, [make_frame(0)])
+    out = str(tmp_path / "out")
+    convert_sequence(rec, out, log=lambda *_: None)
+    for f in os.listdir(os.path.join(out, "images")):
+        Image.new("RGB", (640, 480)).save(
+            os.path.join(out, "images", f), "JPEG")
+    n = generate_sky_mask(out, log=lambda *_: None)
+    assert n == 1
+    m = np.asarray(Image.open(
+        os.path.join(out, "sky_mask", "000000_0.png")))
+    assert m.shape == (480, 640)
+    # the single lidar return is at v=200: everything well above is sky
+    assert m[50].all() and not m[470].any()
