@@ -1,0 +1,94 @@
+"""Live render window (manual smoke tool).
+
+Equivalent of the reference's `test_render_window_cv2.py`: steps through
+the scene's camera trajectory, renders each frame, and shows it in a cv2
+window with per-frame timing. `--offscreen` writes PNG frames instead
+(headless environments); `--synthetic` runs without scene data.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+
+def main(argv=None):
+    import numpy as np
+
+    import jax
+
+    from ..config.config import load_config, make_argparser
+    from ..render.renderer import RenderOptions, render_scene
+
+    parser = make_argparser("gaussianrpg_tpu live viewer")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--offscreen", action="store_true")
+    parser.add_argument("--out", default="/tmp/gaussianrpg_view")
+    parser.add_argument("--extra_frames", type=int, default=0,
+                        help="extrapolate N frames past the last camera "
+                             "(forward motion, like the reference tool)")
+    args = parser.parse_args(argv)
+    cfg = load_config(args.config, args.opts, mode="trajectory")
+
+    if args.synthetic or not cfg.source_path:
+        from ..utils.synthetic import make_cameras, make_scene
+        models, meta, arrays = make_scene(
+            n_background=20000, bkgd_capacity=32768, n_actors=2,
+            actor_capacity=2048, n_frames=10)
+        cameras = make_cameras(n_frames=10, width=512, height=320)
+    else:
+        from ..data.waymo import WaymoScene
+        from ..models.scene_builder import build_scene_from_waymo
+        from ..models.scene_io import load_latest_checkpoint
+        scene = WaymoScene(cfg.source_path,
+                           selected_frames=cfg.data.selected_frames or None,
+                           cameras=tuple(cfg.data.cameras))
+        models, meta, arrays, _ = build_scene_from_waymo(scene, cfg)
+        models = load_latest_checkpoint(cfg.trained_model_dir, models)
+        cameras = [c for c, _ in scene.build_cameras("all")]
+
+    opts = RenderOptions(capacity=cfg.render.capacity)
+    render = jax.jit(render_scene, static_argnames=(
+        "active_sh_degree", "include_background", "include_objects",
+        "train_mode"))
+
+    window = None
+    if not args.offscreen:
+        try:
+            import cv2
+            window = "gaussianrpg_tpu"
+            cv2.namedWindow(window, cv2.WINDOW_GUI_NORMAL)
+        except Exception as e:  # headless / no display
+            print(f"cv2 window unavailable ({e}); falling back to "
+                  f"--offscreen {args.out}")
+    if window is None:
+        os.makedirs(args.out, exist_ok=True)
+
+    times = []
+    for idx, cam in enumerate(cameras):
+        t0 = time.perf_counter()
+        res = render(models, meta, arrays, cam,
+                     active_sh_degree=meta.bkgd_sh_degree, options=opts)
+        rgb = np.clip(np.asarray(res.rgb), 0, 1)
+        img = (rgb.transpose(1, 2, 0) * 255).astype(np.uint8)
+        dt = time.perf_counter() - t0
+        times.append(dt * 1000)
+        if window is not None:
+            import cv2
+            cv2.imshow(window, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+            if cv2.waitKey(1) & 0xFF == 27:   # ESC quits
+                break
+        else:
+            from PIL import Image
+            Image.fromarray(img).save(
+                os.path.join(args.out, f"{idx:06d}.png"))
+        print(f"frame {idx}: {dt*1000:.1f} ms", flush=True)
+
+    if window is not None:
+        import cv2
+        cv2.destroyAllWindows()
+    if len(times) > 1:
+        print(f"average render time: {sum(times[1:])/len(times[1:]):.1f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,20 @@ def load_checkpoint(path: str, state_template):
     return state, int(data["__step__"]), int(data["__sh_degree__"])
 
 
+def load_latest_checkpoint(dirname: str, models_template):
+    """Restore the latest `iteration_*.npz` models (Scene non-train path,
+    `lib/models/scene.py:19-49`); returns the template unchanged when no
+    checkpoint exists."""
+    from ..train.trainer import init_train_state
+    it = search_max_iteration(dirname)
+    if it is None:
+        return models_template
+    state, _, _ = load_checkpoint(
+        os.path.join(dirname, f"iteration_{it}.npz"),
+        init_train_state(models_template))
+    return state.models
+
+
 def search_max_iteration(dirname: str) -> Optional[int]:
     """`system_utils.searchForMaxIteration` analog."""
     if not os.path.isdir(dirname):
