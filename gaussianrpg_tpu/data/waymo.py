@@ -245,6 +245,11 @@ class WaymoScene:
         return os.path.join(self.datadir, "images",
                             f"{frame:06d}_{cam}.png")
 
+    def camera_to_world(self, frame: int, cam: int) -> np.ndarray:
+        """c2w (recentered world) = per-camera ego pose @ cam->ego
+        extrinsic (the converter bakes the OpenCV axis swap in)."""
+        return self.ego_cam_poses[cam, frame] @ self.extrinsics[cam]
+
     def load_image(self, frame: int, cam: int):
         from PIL import Image
         img = Image.open(self.image_path(frame, cam))

@@ -103,3 +103,40 @@ def test_composite_ply_save(tmp_path):
     assert "vertex_background" in elems
     assert "vertex_obj_000" in elems and "vertex_obj_001" in elems
     assert len(elems["vertex_background"]) == 100
+
+
+def test_colmap_known_pose_model(tmp_path):
+    import json
+
+    from gaussianrpg_tpu.apps.colmap_triangulate import (
+        write_known_pose_model, write_rig_config)
+
+    c2w = np.eye(4)
+    c2w[:3, 3] = (1.0, 2.0, 3.0)
+    images = [{"id": 1, "name": "cam_0/000000.png", "c2w": c2w, "cam": 0}]
+    cams = {0: {"K": np.array([[500.0, 0, 320], [0, 500, 240], [0, 0, 1]]),
+                "width": 640, "height": 480}}
+    d = str(tmp_path / "model")
+    write_known_pose_model(d, images, cams)
+
+    lines = open(f"{d}/images.txt").read().split()
+    # id qw qx qy qz tx ty tz cam name — identity rotation, -t translation
+    assert lines[0] == "1"
+    np.testing.assert_allclose([float(x) for x in lines[1:5]],
+                               [1, 0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose([float(x) for x in lines[5:8]],
+                               [-1, -2, -3], atol=1e-5)
+    cam_line = open(f"{d}/cameras.txt").read().split()
+    assert cam_line[1] == "SIMPLE_PINHOLE" and cam_line[2] == "640"
+    assert float(cam_line[4]) == 500.0
+    assert open(f"{d}/points3D.txt").read() == ""
+
+    rig_path = str(tmp_path / "rig.json")
+    ext = {0: np.eye(4), 1: np.diag([1.0, -1, -1, 1])}
+    write_rig_config(rig_path, ext, ref_cam=0)
+    rig = json.load(open(rig_path))[0]
+    assert rig["ref_camera_id"] == 0
+    cam1 = [c for c in rig["cameras"] if c["camera_id"] == 1][0]
+    # 180-degree rotation about x between the two extrinsics
+    np.testing.assert_allclose(
+        np.abs(cam1["cam_from_rig_rotation"]), [0, 1, 0, 0], atol=1e-6)

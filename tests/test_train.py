@@ -112,3 +112,31 @@ def test_actor_pose_interpolation_consistency():
     expect = 0.5 * (np.asarray(pose.input_trans[1, 0])
                     + np.asarray(pose.input_trans[2, 0]))
     np.testing.assert_allclose(np.asarray(tm[0]), expect, atol=1e-4)
+
+
+def test_load_latest_checkpoint(tmp_path):
+    import jax.numpy as jnp
+
+    from gaussianrpg_tpu.models.scene_io import (load_latest_checkpoint,
+                                                 save_checkpoint)
+    from gaussianrpg_tpu.train.trainer import init_train_state
+    from gaussianrpg_tpu.utils.synthetic import make_scene
+
+    models, meta, arrays = make_scene(
+        n_background=50, bkgd_capacity=64, n_actors=1, actor_capacity=32,
+        n_frames=2)
+    state = init_train_state(models)
+    state = state.replace(models=state.models.replace(
+        background=state.models.background.replace(
+            xyz=state.models.background.xyz + 1.25)))
+    d = str(tmp_path)
+    save_checkpoint(f"{d}/iteration_40.npz", state, 40, 1)
+    save_checkpoint(f"{d}/iteration_100.npz", state, 100, 2)
+
+    restored = load_latest_checkpoint(d, models)
+    np.testing.assert_allclose(np.asarray(restored.background.xyz),
+                               np.asarray(models.background.xyz) + 1.25,
+                               rtol=1e-6)
+    # missing dir -> template unchanged
+    same = load_latest_checkpoint(f"{d}/nope", models)
+    assert same is models
