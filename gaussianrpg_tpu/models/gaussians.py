@@ -222,6 +222,9 @@ def densify_and_prune(
     cfg: DensifyConfig,
     sphere_center: jax.Array | None = None,
     sphere_radius: jax.Array | None = None,
+    extent: jax.Array | None = None,
+    bbox_min: jax.Array | None = None,
+    bbox_max: jax.Array | None = None,
 ):
     """One densification round within fixed capacity.
 
@@ -229,6 +232,14 @@ def densify_and_prune(
     New points fill inactive slots; if capacity would overflow, the
     lowest-priority new points are dropped (callers watch `n_active`
     saturation and re-run with a larger capacity).
+
+    `extent` (traced) overrides `cfg.extent` — actors pass their
+    bbox-derived extent (`gaussian_model_actor.py:41-42,220`) so the same
+    jitted/vmapped function serves every sub-model. `bbox_min`/`bbox_max`
+    [3] enable the actor outside-bbox sampled prune
+    (`gaussian_model_actor.py:232-252`): 2 points are sampled from each
+    Gaussian's N(xyz, scale) (rotated); the Gaussian is pruned when any
+    sample falls outside the tracking box.
 
     Implementation: build a keep/emit decision per slot, compact via
     argsort on keep-rank (stable), and scatter cloned/split entries after
@@ -238,6 +249,7 @@ def densify_and_prune(
     from ..ops.math3d import quaternion_to_matrix
 
     cap = params.capacity
+    ext = cfg.extent if extent is None else extent
     act = active_mask(params, aux)
     grads_accum = jnp.where(
         cfg.use_abs_grad, aux.xyz_gradient_accum[:, 1], aux.xyz_gradient_accum[:, 0])
@@ -250,18 +262,31 @@ def densify_and_prune(
     opacity = jax.nn.sigmoid(params.opacity[:, 0])
 
     hi_grad = grads >= cfg.grad_threshold
-    small = max_scale <= cfg.percent_dense * cfg.extent
+    small = max_scale <= cfg.percent_dense * ext
     clone_mask = act & hi_grad & small
     split_mask = act & hi_grad & (~small)
 
     # prune: low opacity, optionally big world-space points
     prune = opacity < cfg.min_opacity
     if cfg.prune_big_points:
-        big_ws = max_scale > cfg.extent * cfg.percent_big_ws
+        big_ws = max_scale > ext * cfg.percent_big_ws
         if sphere_center is not None:
             dist = jnp.linalg.norm(params.xyz - sphere_center, axis=-1)
             big_ws = big_ws & (dist <= 2.0 * sphere_radius)
         prune = prune | big_ws
+        if bbox_min is not None:
+            # actor outside-bbox prune via 2 sampled points per Gaussian
+            key, bkey = jax.random.split(key)
+            samples = scaling[:, None, :] * jax.random.normal(
+                bkey, (cap, 2, 3))
+            rots = quaternion_to_matrix(
+                params.rotation
+                / jnp.linalg.norm(params.rotation, axis=-1, keepdims=True))
+            pts = params.xyz[:, None, :] + jnp.einsum(
+                "nij,nmj->nmi", rots, samples)
+            inside = jnp.all((pts >= bbox_min) & (pts <= bbox_max),
+                             axis=(1, 2))
+            prune = prune | (~inside)
     # split sources are pruned after splitting (densify_and_split:491-492)
     keep = act & (~prune) & (~split_mask)
 
@@ -332,6 +357,58 @@ def densify_and_prune(
     stats = dict(n_keep=n_keep, n_clone=n_clone, n_split=n_split,
                  n_active=n_new)
     return params_k, aux_new, adam_new, stats
+
+
+def box_reg_loss(params: GaussianParams, aux: GaussianAux,
+                 extent, percent_dense: float) -> jax.Array:
+    """Actor box regularization (`gaussian_model_actor.py:268-273`): mean
+    over active Gaussians of max-scale/extent, zeroed below the
+    percent_dense threshold."""
+    act = active_mask(params, aux)
+    smax = jnp.max(jnp.exp(params.scaling), axis=-1)
+    smax = jnp.where(smax > extent * percent_dense, smax, 0.0)
+    smax = jnp.where(act, smax, 0.0)
+    return jnp.sum(smax / extent) / jnp.maximum(
+        jnp.sum(act.astype(jnp.float32)), 1.0)
+
+
+def grow_capacity(params: GaussianParams, aux: GaussianAux,
+                  adam: AdamState, new_capacity: int):
+    """Grow the padded capacity (host-side; changes array shapes, so the
+    caller must rebuild jitted steps). The TPU analog of the CUDA
+    resize-closure buffer growth (`rasterizer_impl.cu:155-193`): densify
+    events that would saturate `n_active` call this between steps.
+
+    New slots are inactive (opacity/scaling logits at -20 render nothing);
+    Adam moments pad with zeros (`cat_optimizer:396-397` semantics).
+    """
+    old = params.capacity
+    assert new_capacity >= old
+    pad_n = new_capacity - old
+
+    def pad(x, fill=0.0):
+        widths = [(0, pad_n)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    params = GaussianParams(
+        xyz=pad(params.xyz),
+        features_dc=pad(params.features_dc),
+        features_rest=pad(params.features_rest),
+        scaling=pad(params.scaling, -20.0),
+        rotation=pad(params.rotation).at[old:, 0].set(1.0),
+        opacity=pad(params.opacity, -20.0),
+        semantic=pad(params.semantic),
+    )
+    aux = GaussianAux(
+        n_active=aux.n_active,
+        xyz_gradient_accum=pad(aux.xyz_gradient_accum),
+        denom=pad(aux.denom),
+        max_radii2d=pad(aux.max_radii2d),
+    )
+    adam = AdamState(mu=jax.tree.map(pad, adam.mu),
+                     nu=jax.tree.map(pad, adam.nu),
+                     count=adam.count)
+    return params, aux, adam
 
 
 def reset_opacity(params: GaussianParams, adam: AdamState,

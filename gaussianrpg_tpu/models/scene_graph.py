@@ -57,6 +57,7 @@ class SceneMeta:
     use_pose_correction: bool = struct.field(pytree_node=False,
                                              default=False)
     include_sky: bool = struct.field(pytree_node=False, default=False)
+    box_scale: float = struct.field(pytree_node=False, default=1.0)
 
 
 @struct.dataclass
@@ -110,6 +111,33 @@ class ComposedScene:
     rotations: jax.Array  # [N, 4] normalized
     semantics: Optional[jax.Array]  # [N, C] or None
     mask: jax.Array       # [N] bool: active AND alive at this camera
+
+
+def actor_extents(arrays: SceneArrays, box_scale: float = 1.0) -> jax.Array:
+    """Per-actor spatial extent = max(l*1.5/box_scale, w*1.5/box_scale,
+    h)/2 (`gaussian_model_actor.py:41-42`); doubles as the actor's
+    spatial_lr_scale (`:51`) and densify extent (`:220`)."""
+    b = arrays.actor_bbox
+    return jnp.maximum(
+        jnp.maximum(b[:, 0] * 1.5 / box_scale, b[:, 1] * 1.5 / box_scale),
+        b[:, 2]) / 2.0
+
+
+def scene_normals(scene: ComposedScene, cam_center) -> jax.Array:
+    """Per-Gaussian world-space normals from the composed scene: the
+    rotation-matrix column of the smallest scale axis, sign-flipped toward
+    the camera (`gaussian_model.get_normals`, `gaussian_model.py:256-270`;
+    actor local->world composition already happened in `compose`, matching
+    `street_gaussian_model.get_normals:463-481`)."""
+    rmat = quaternion_to_matrix(scene.rotations)        # [N, 3, 3]
+    amin = jnp.argmin(scene.scales, axis=-1)            # [N]
+    normals = jnp.take_along_axis(
+        rmat, amin[:, None, None].repeat(3, axis=1), axis=2)[..., 0]
+    dirs = scene.means3d - cam_center
+    dirs = dirs / jnp.maximum(
+        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    dot = jnp.sum(-dirs * normals, axis=-1, keepdims=True)
+    return jnp.where(dot >= 0, normals, -normals)
 
 
 def _actor_alive(arrays: SceneArrays, timestamp) -> jax.Array:

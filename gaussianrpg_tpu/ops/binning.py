@@ -36,10 +36,14 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .pallas_scan import fused_cummax
 from .projection import TILE_X, TILE_Y, Preprocessed
 
 G_CHUNK = 128  # pairs per blend-kernel chunk (pallas_blend imports this;
                # power of two, trades per-grid-step overhead vs VMEM/body)
+
+USE_PALLAS_FILLS = True  # single-pass Pallas scan for the marker fills
+                         # (perf A/B knob; False = XLA lax.cummax)
 
 
 class PairLists(NamedTuple):
@@ -60,6 +64,14 @@ class PairLists(NamedTuple):
     n_tiles_x: int
     n_tiles_y: int
     capacity: int            # P_pad
+    # training extras (ride_gm=True): machinery for the sort-free backward
+    # pair-gradient aggregation (segment-sum via cumsum + boundary diff
+    # instead of the CUDA atomicAdd / XLA scatter-add)
+    pair_gm: jax.Array | None = None   # [P_pad] i32 expansion-order index
+                                       # of each tile-major slot (-1 = pad)
+    seg_offs: jax.Array | None = None  # [N] i32 first expansion slot per
+                                       # depth-sorted gaussian
+    seg_area: jax.Array | None = None  # [N] i32 pairs per gaussian
 
     @property
     def overflowed(self):
@@ -88,6 +100,7 @@ def build_pair_lists(
     width: int,
     height: int,
     capacity: int,         # P_pad: static padded-pair capacity (mult of 128)
+    ride_gm: bool = False,  # also produce pair_gm/seg_offs/seg_area
 ) -> PairLists:
     """Expand depth-sorted Gaussians into tile-grouped pair lists.
 
@@ -128,12 +141,28 @@ def build_pair_lists(
 
     mask_v = (1 << tb) - 1
     assert capacity < (1 << (30 - tb)), "capacity too large for packed rw"
-    fx0 = fill((gp1 << tb) | x0.astype(jnp.int32))
+
+    def scat(values):
+        return jnp.zeros((p_max,), jnp.int32).at[scat_idx].max(
+            values, mode="drop")
+
+    # the three marker fills run as ONE single-pass Pallas scan
+    # (ops/pallas_scan.fused_cummax) when the capacity allows; XLA's
+    # multi-pass cummax otherwise
+    if USE_PALLAS_FILLS and p_max % 65536 == 0:
+        fx0, fy0, fsr = fused_cummax((
+            scat((gp1 << tb) | x0.astype(jnp.int32)),
+            scat((gp1 << tb) | y0.astype(jnp.int32)),
+            scat(((offs + 1) << tb) | rw.astype(jnp.int32)),
+        ))
+    else:
+        fx0 = fill((gp1 << tb) | x0.astype(jnp.int32))
+        fy0 = fill((gp1 << tb) | y0.astype(jnp.int32))
+        fsr = fill(((offs + 1) << tb) | rw.astype(jnp.int32))
     pair_g = (fx0 >> tb) - 1                          # [P_max] source index
     g_x0 = fx0 & mask_v
-    g_y0 = fill((gp1 << tb) | y0.astype(jnp.int32)) & mask_v
+    g_y0 = fy0 & mask_v
     # offs is monotone too, so rw rides the segment-start marker
-    fsr = fill(((offs + 1) << tb) | rw.astype(jnp.int32))
     seg_start = (fsr >> tb) - 1                       # first pair idx of g
     g_rw = jnp.maximum(fsr & mask_v, 1)
 
@@ -191,17 +220,27 @@ def build_pair_lists(
     pad_needed = pcounts - counts
     cum_pad_excl = jnp.cumsum(pad_needed) - pad_needed
     spare_pos = jnp.where(pad_needed > 0, raw_total + cum_pad_excl, p_max)
-    spare_fill = jax.lax.cummax(
-        jnp.zeros((p_max,), jnp.int32).at[spare_pos].max(
-            jnp.arange(1, n_tiles + 1, dtype=jnp.int32), mode="drop")) - 1
+    spare_marks = jnp.zeros((p_max,), jnp.int32).at[spare_pos].max(
+        jnp.arange(1, n_tiles + 1, dtype=jnp.int32), mode="drop")
+    if USE_PALLAS_FILLS and p_max % 65536 == 0:
+        spare_fill = fused_cummax((spare_marks,))[0] - 1
+    else:
+        spare_fill = jax.lax.cummax(spare_marks) - 1
     n_spare_used = padded_total - raw_total
     spare_ok = (pair_idx >= raw_total) \
         & (pair_idx < raw_total + n_spare_used) & (spare_fill >= 0)
     key2 = jnp.where(pair_ok, tile,
                      jnp.where(spare_ok, spare_fill, n_tiles))
     src2 = jnp.where(pair_ok, pair_g, -1)
-    _, pair_src = jax.lax.sort_key_val(key2.astype(jnp.int32), src2,
-                                       is_stable=True)
+    pair_gm = None
+    if ride_gm:
+        gm_idx = jnp.where(pair_ok, pair_idx, -1)
+        _, pair_src, pair_gm = jax.lax.sort(
+            (key2.astype(jnp.int32), src2, gm_idx), num_keys=1,
+            is_stable=True)
+    else:
+        _, pair_src = jax.lax.sort_key_val(key2.astype(jnp.int32), src2,
+                                           is_stable=True)
     pair_valid = pair_src >= 0
 
     # a tile's output block is only written when its LAST chunk fits within
@@ -219,4 +258,7 @@ def build_pair_lists(
         n_tiles_x=ntx,
         n_tiles_y=nty,
         capacity=capacity,
+        pair_gm=pair_gm,
+        seg_offs=offs if ride_gm else None,
+        seg_area=area if ride_gm else None,
     )

@@ -55,6 +55,12 @@ class RasterOut(NamedTuple):
     semantic: jax.Array   # [S, H, W] (S may be 0)
     radii: jax.Array      # [N] int32
     means2d: jax.Array    # [N, 2] pixel-space means
+    # pair-capacity telemetry (the analog of the CUDA `num_rendered`
+    # readback + resize closures, `rasterizer_impl.cu:155-193,282-284`):
+    # callers must check `overflow` and re-run with a larger `capacity`
+    # (recompile) — on overflow the affected tiles render as background.
+    overflow: jax.Array = jnp.zeros((), bool)   # [] bool
+    n_pairs: jax.Array = jnp.zeros((), jnp.int32)  # [] i32 padded pair count
 
 
 def _straight_through_min(x, cap):

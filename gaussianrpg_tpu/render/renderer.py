@@ -31,6 +31,9 @@ class RenderResult(NamedTuple):
     radii: jax.Array               # [N_total]
     visibility: jax.Array          # [N_total] bool
     viewspace_grad_sink: Any       # pytree of hook arrays (train only)
+    overflow: jax.Array = jnp.zeros((), bool)  # pair capacity exceeded
+    n_pairs: jax.Array = jnp.zeros((), jnp.int32)
+    normals: Optional[jax.Array] = None  # [3, H, W] camera-space normals
 
 
 @struct.dataclass
@@ -41,6 +44,9 @@ class RenderOptions:
     interpret: bool = struct.field(pytree_node=False, default=False)
     backend: str = struct.field(pytree_node=False, default="pallas")
     clamp_output: bool = struct.field(pytree_node=False, default=True)
+    # pack per-Gaussian normals as extra feature planes (the reference's
+    # cfg.render.render_normal path, street_gaussian_renderer.py:200-220)
+    render_normals: bool = struct.field(pytree_node=False, default=False)
 
 
 def render_scene(
@@ -74,6 +80,18 @@ def render_scene(
                     train_mode=train_mode)
 
     bg = jnp.ones(3) if options.white_background else jnp.zeros(3)
+
+    # feature-plane packing: [normals?, semantics?] ride the rasterizer's
+    # generic semantic channels (street_gaussian_renderer.py:198-220)
+    features = scene.semantics
+    n_normal_ch = 0
+    if options.render_normals:
+        from ..models.scene_graph import scene_normals
+        normals = scene_normals(scene, camera.cam_center)
+        n_normal_ch = 3
+        features = (normals if features is None
+                    else jnp.concatenate([normals, features], axis=-1))
+
     out = rasterize(
         scene.means3d,
         scene.opacity,
@@ -82,7 +100,7 @@ def render_scene(
         colors=scene.colors,
         scales=scene.scales,
         rotations=scene.rotations,
-        semantics=scene.semantics,
+        semantics=features,
         scale_modifier=options.scaling_modifier,
         means2d_offset=means2d_offset,
         absgrad_sink=absgrad_sink,
@@ -106,7 +124,14 @@ def render_scene(
     if options.clamp_output and not train_mode:
         rgb = jnp.clip(rgb, 0.0, 1.0)
 
-    sem = out.semantic if (scene.semantics is not None) else None
+    rendered_normals = None
+    sem_planes = out.semantic
+    if n_normal_ch:
+        raw_n = sem_planes[:3]
+        rendered_normals = raw_n / jnp.maximum(
+            jnp.linalg.norm(raw_n, axis=0, keepdims=True), 1e-12)
+        sem_planes = sem_planes[3:]
+    sem = sem_planes if (scene.semantics is not None) else None
     return RenderResult(
         rgb=rgb,
         acc=acc,
@@ -115,4 +140,7 @@ def render_scene(
         radii=out.radii,
         visibility=out.radii > 0,
         viewspace_grad_sink=None,
+        overflow=out.overflow,
+        n_pairs=out.n_pairs,
+        normals=rendered_normals,
     )

@@ -49,15 +49,42 @@ class OptimConfig:
     pose_correction_lr: float = 5e-6
     spatial_lr_scale: float = 1.0
 
+    # per-object LR overrides (`gaussian_model_actor.training_setup:
+    # 165-204` reads `<name>_lr_obj` with fallback to the global value;
+    # None = fallback). Actor xyz LRs additionally scale by the per-actor
+    # bbox extent (spatial_lr_scale, `gaussian_model_actor.py:51`).
+    position_lr_init_obj: Optional[float] = struct.field(
+        pytree_node=False, default=None)
+    position_lr_final_obj: Optional[float] = struct.field(
+        pytree_node=False, default=None)
+    feature_lr_obj: Optional[float] = struct.field(
+        pytree_node=False, default=None)
+    feature_rest_lr_obj: Optional[float] = struct.field(
+        pytree_node=False, default=None)
+    scaling_lr_obj: Optional[float] = struct.field(
+        pytree_node=False, default=None)
+    rotation_lr_obj: Optional[float] = struct.field(
+        pytree_node=False, default=None)
+    opacity_lr_obj: Optional[float] = struct.field(
+        pytree_node=False, default=None)
+    semantic_lr_obj: Optional[float] = struct.field(
+        pytree_node=False, default=None)
+
     lambda_l1: float = 1.0
     lambda_dssim: float = 0.2
     lambda_sky: float = 0.0
+    # per-camera sky-loss scale (`train.py:124-126` lambda_sky_scale)
+    lambda_sky_scale: tuple = struct.field(pytree_node=False, default=())
     lambda_semantic: float = 0.0
     lambda_depth_lidar: float = 0.0
     lambda_color_correction: float = 0.0
     lambda_pose_correction: float = 0.0
     lambda_scale_flatten: float = 0.0
     lambda_opacity_sparse: float = 0.0
+    # object accumulation-entropy loss inside obj_bound + box
+    # regularization (`train.py:145-162`, `gaussian_model_actor.py:268`)
+    lambda_reg: float = 0.0
+    lambda_normal_mono: float = 0.0
 
     densify_from_iter: int = struct.field(pytree_node=False, default=500)
     densify_until_iter: int = struct.field(pytree_node=False, default=15000)
@@ -68,6 +95,10 @@ class OptimConfig:
     densify_grad_threshold: float = 2e-4
     densify_grad_abs_bkgd: bool = struct.field(pytree_node=False,
                                                default=False)
+    densify_grad_threshold_obj: Optional[float] = struct.field(
+        pytree_node=False, default=None)
+    densify_grad_abs_obj: bool = struct.field(pytree_node=False,
+                                              default=False)
     min_opacity: float = 0.005
     percent_dense: float = 0.01
     percent_big_ws: float = 0.1
@@ -81,6 +112,9 @@ class Batch(NamedTuple):
     sky_mask: Optional[jax.Array] = None
     lidar_depth: Optional[jax.Array] = None
     gt_semantic: Optional[jax.Array] = None  # [1, H, W] i32, -1 = ignore
+    obj_bound: Optional[jax.Array] = None    # [1, H, W] bool (obj 2D bound)
+    mono_normal: Optional[jax.Array] = None  # [3, H, W] camera-space
+    sky_scale: Optional[jax.Array] = None    # [] per-camera sky-loss scale
 
 
 @struct.dataclass
@@ -132,9 +166,11 @@ def _with_learnables(models: SceneModels, lrn) -> SceneModels:
     return models
 
 
-def _lr_tree(lrn, cfg: OptimConfig, step):
+def _lr_tree(lrn, cfg: OptimConfig, step, actor_extent=None):
     """Per-leaf learning rates (the reference's per-group Adam LRs with the
-    log-lerp xyz schedule, `gaussian_model.py:292-310,320-325`)."""
+    log-lerp xyz schedule, `gaussian_model.py:292-310,320-325`; actors use
+    the `_obj` overrides and per-actor bbox spatial scale,
+    `gaussian_model_actor.training_setup:165-204`)."""
     xyz_lr = exp_lr_schedule(
         cfg.position_lr_init * cfg.spatial_lr_scale,
         cfg.position_lr_final * cfg.spatial_lr_scale,
@@ -153,8 +189,29 @@ def _lr_tree(lrn, cfg: OptimConfig, step):
             semantic=cfg.semantic_lr,
         )
 
+    def actor_lrs(g: G.GaussianParams):
+        ov = lambda o, d: d if o is None else o
+        p_init = ov(cfg.position_lr_init_obj, cfg.position_lr_init)
+        p_final = ov(cfg.position_lr_final_obj, cfg.position_lr_final)
+        spatial = (actor_extent[:, None, None] if actor_extent is not None
+                   else cfg.spatial_lr_scale)
+        xyz = exp_lr_schedule(
+            p_init, p_final, cfg.position_lr_max_steps,
+            lr_delay_mult=cfg.position_lr_delay_mult,
+            lr_delay_steps=0)(step) * spatial         # [O,1,1] broadcast
+        f_lr = ov(cfg.feature_lr_obj, cfg.feature_lr)
+        return G.GaussianParams(
+            xyz=xyz,
+            features_dc=f_lr,
+            features_rest=ov(cfg.feature_rest_lr_obj, f_lr / 20.0),
+            scaling=ov(cfg.scaling_lr_obj, cfg.scaling_lr),
+            rotation=ov(cfg.rotation_lr_obj, cfg.rotation_lr),
+            opacity=ov(cfg.opacity_lr_obj, cfg.opacity_lr),
+            semantic=ov(cfg.semantic_lr_obj, cfg.semantic_lr),
+        )
+
     out = dict(background=gauss_lrs(lrn["background"]),
-               actors=gauss_lrs(lrn["actors"]))
+               actors=actor_lrs(lrn["actors"]))
     if "actor_pose" in lrn:
         out["actor_pose"] = dict(opt_trans=cfg.track_position_lr,
                                  opt_rots=cfg.track_rotation_lr)
@@ -170,7 +227,7 @@ def _lr_tree(lrn, cfg: OptimConfig, step):
 
 
 def compute_losses(result, batch: Batch, models, meta, cfg: OptimConfig,
-                   visibility, scene_opacity):
+                   visibility, scene_opacity, camera=None):
     """Assemble the training loss; mirrors `train.py:116-225`."""
     scalars = {}
     mask = batch.mask
@@ -185,6 +242,9 @@ def compute_losses(result, batch: Batch, models, meta, cfg: OptimConfig,
         acc = jnp.clip(result.acc, 1e-6, 1 - 1e-6)
         sky_loss = jnp.where(batch.sky_mask, -jnp.log(1 - acc),
                              -jnp.log(acc)).mean()
+        if batch.sky_scale is not None:
+            # per-camera weighting (train.py:124-126 lambda_sky_scale)
+            sky_loss = sky_loss * batch.sky_scale
         loss = loss + cfg.lambda_sky * sky_loss
         scalars["sky"] = sky_loss
 
@@ -245,6 +305,27 @@ def compute_losses(result, batch: Batch, models, meta, cfg: OptimConfig,
         loss = loss + cfg.lambda_opacity_sparse * sparse
         scalars["opacity_sparse"] = sparse
 
+    # mono-normal loss (train.py:209-225): L1 + cosine against the
+    # monocular normal prior rotated to world space; masked to non-sky
+    # pixels below row 50
+    if (cfg.lambda_normal_mono > 0 and batch.mono_normal is not None
+            and result.normals is not None and camera is not None):
+        nmask = jnp.ones(result.normals.shape[1:], bool) \
+            if mask is None else mask[0]
+        if batch.sky_mask is not None:
+            nmask = nmask & (~batch.sky_mask[0])
+        nmask = nmask & (jnp.arange(nmask.shape[0])[:, None] >= 50)
+        r_c2w = camera.viewmatrix[:3, :3].T
+        n_gt = jnp.einsum("ij,jhw->ihw", r_c2w, batch.mono_normal)
+        diff = jnp.abs(result.normals - n_gt)
+        cosd = 1.0 - jnp.sum(result.normals * n_gt, axis=0)
+        cnt = jnp.maximum(jnp.sum(nmask), 1)
+        n_l1 = jnp.sum(jnp.where(nmask[None], diff, 0.0)) / (3 * cnt)
+        n_cos = jnp.sum(jnp.where(nmask, cosd, 0.0)) / cnt
+        loss = loss + cfg.lambda_normal_mono * (n_l1 + n_cos)
+        scalars["normal_l1"] = n_l1
+        scalars["normal_cos"] = n_cos
+
     scalars["total"] = loss
     return loss, scalars
 
@@ -258,10 +339,13 @@ def make_train_step(meta: SceneMeta, arrays: SceneArrays,
     1000 iters (`oneupSHdegree`), costing at most max_sh_degree recompiles.
     """
 
+    from ..models.scene_graph import actor_extents
+
     @functools.partial(jax.jit, static_argnames=("active_sh_degree",))
     def train_step(state: TrainState, camera, batch: Batch, key: jax.Array,
                    active_sh_degree: int):
         lrn = _learnables(state.models)
+        a_ext = actor_extents(arrays, meta.box_scale)    # [O]
 
         def loss_fn(lrn, off, sink):
             models = _with_learnables(state.models, lrn)
@@ -275,7 +359,34 @@ def make_train_step(meta: SceneMeta, arrays: SceneArrays,
                 [models.background.opacity[:, 0],
                  models.actors.opacity[..., 0].reshape(-1)])))
             loss, scalars = compute_losses(
-                res, batch, models, meta, cfg, res.visibility, scene_op)
+                res, batch, models, meta, cfg, res.visibility, scene_op,
+                camera=camera)
+
+            # object accumulation-entropy + box regularization
+            # (train.py:145-162; active from densify_until_iter on)
+            if cfg.lambda_reg > 0 and meta.num_actors > 0:
+                res_obj = render_scene(
+                    models, meta, arrays, camera,
+                    active_sh_degree=active_sh_degree, options=options,
+                    include_background=False, train_mode=True,
+                    rng_key=key)
+                acc_obj = jnp.clip(res_obj.acc, 1e-6, 1 - 1e-6)
+                ent = -(acc_obj * jnp.log(acc_obj)
+                        + (1 - acc_obj) * jnp.log(1 - acc_obj))
+                outside = -jnp.log(1 - acc_obj)
+                ob = (batch.obj_bound if batch.obj_bound is not None
+                      else jnp.zeros_like(acc_obj, bool))
+                obj_acc = jnp.where(ob, ent, outside).mean()
+                gate = (state.step + 1
+                        >= cfg.densify_until_iter).astype(jnp.float32)
+                loss = loss + cfg.lambda_reg * gate * obj_acc
+                scalars["obj_acc"] = obj_acc
+                box_reg = jnp.mean(jax.vmap(
+                    G.box_reg_loss, in_axes=(0, 0, 0, None))(
+                        models.actors, state.models.actors_aux, a_ext,
+                        cfg.percent_dense))
+                loss = loss + cfg.lambda_reg * box_reg
+                scalars["box_reg"] = box_reg
             return loss, (scalars, res)
 
         off0 = jnp.zeros((n_total, 2))
@@ -284,9 +395,11 @@ def make_train_step(meta: SceneMeta, arrays: SceneArrays,
             loss_fn, argnums=(0, 1, 2), has_aux=True)(lrn, off0, sink0)
         g_lrn, g_off, g_sink = grads
 
-        lrs = _lr_tree(lrn, cfg, state.step)
+        lrs = _lr_tree(lrn, cfg, state.step, actor_extent=a_ext)
         new_lrn, new_adam = G.adam_update(lrn, g_lrn, state.adam, lrs)
         models = _with_learnables(state.models, new_lrn)
+        scalars["overflow"] = res.overflow
+        scalars["n_pairs"] = res.n_pairs
 
         # densification stats (background slice + per-actor slices)
         bcap = state.models.background.capacity
