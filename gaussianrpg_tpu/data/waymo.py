@@ -66,9 +66,15 @@ def load_camera_info(datadir: str):
     frame_poses = np.array(frame_poses)
     center = frame_poses[:, :3, 3].mean(axis=0)
     frame_poses[:, :3, 3] -= center
-    cam_poses_arr = np.array([np.array(c) for c in cam_poses])
-    if cam_poses_arr.size:
-        cam_poses_arr[:, :, :3, 3] -= center
+    # cameras without saved per-cam poses (single-camera converts) fall
+    # back to the per-frame ego pose
+    per_cam = []
+    for c in cam_poses:
+        arr = np.array(c) if c else frame_poses.copy()
+        if c:
+            arr[:, :3, 3] -= center
+        per_cam.append(arr)
+    cam_poses_arr = np.array(per_cam)
     return intrinsics, extrinsics, frame_poses, cam_poses_arr, center
 
 
@@ -307,15 +313,38 @@ class WaymoScene:
                 ), gt))
         return cams
 
-    def load_init_pointclouds(self):
+    def load_init_pointclouds(self, auto_build: bool = True):
         """Background + per-object init PLYs written by the data-prep
-        toolchain (`waymo_utils.py:703-711`)."""
+        toolchain (`waymo_utils.py:703-711`). When absent but the
+        converter's `pointcloud.npz` exists, the LiDAR init pipeline
+        (`data/lidar_init.py`, reference `waymo_utils.py:452-712`) builds
+        them on demand — the reference's `build_pointcloud` trigger in
+        `generate_dataparser_outputs`."""
         from .ply import fetch_pointcloud
         out = {}
         ply_dir = os.path.join(self.datadir, "input_ply")
         bkgd = os.path.join(ply_dir, "points3D_bkgd.ply")
+        if not os.path.exists(bkgd) and auto_build and os.path.exists(
+                os.path.join(self.datadir, "pointcloud.npz")):
+            from .lidar_init import build_init_pointclouds
+            colmap_xyz = colmap_rgb = None
+            cpath = os.path.join(self.datadir, "colmap",
+                                 "triangulated/sparse/model/points3D.bin")
+            if os.path.exists(cpath):
+                from .colmap import read_points3D_binary
+                pts3d = read_points3D_binary(cpath)
+                if pts3d:
+                    colmap_xyz = np.stack(
+                        [p.xyz for p in pts3d.values()]).astype(np.float32)
+                    colmap_rgb = np.stack(
+                        [p.rgb for p in pts3d.values()]).astype(np.float32)
+            build_init_pointclouds(self, colmap_xyz=colmap_xyz,
+                                   colmap_rgb=colmap_rgb)
         if os.path.exists(bkgd):
             out["background"] = fetch_pointcloud(bkgd)
+        lidar = os.path.join(ply_dir, "points3D_lidar.ply")
+        if os.path.exists(lidar):
+            out["lidar"] = fetch_pointcloud(lidar)
         for tid in self.objects_info:
             p = os.path.join(ply_dir, f"points3D_obj_{tid:03d}.ply")
             if os.path.exists(p):

@@ -53,6 +53,27 @@ def build_scene_from_waymo(scene: WaymoScene, cfg) -> tuple:
         rng = np.random.default_rng(0)
         pts = rng.uniform(-50, 50, (100_000, 3)).astype(np.float32)
         cols = rng.random((100_000, 3)).astype(np.float32)
+
+    # scene extent: nerf++ camera norm, floored at 10, overridable by
+    # cfg.data.extent (`waymo_full_readers.py:206-225`)
+    cam_centers = np.stack(
+        [scene.camera_to_world(scene.start_frame + fi, cam)[:3, 3]
+         for fi in range(scene.num_frames) for cam in scene.cameras])
+    scene_c = cam_centers.mean(axis=0).astype(np.float32)
+    scene_r = max(
+        float(np.linalg.norm(cam_centers - scene_c, axis=-1).max()) * 1.1,
+        10.0)
+    if cfg.data.get("extent", False):
+        scene_r = float(cfg.data.extent)
+
+    # sphere normalization from the LiDAR cloud
+    # (`waymo_full_readers.py:228-237` sphere norm from points3D_lidar.ply)
+    sphere_c, sphere_r = scene_c, scene_r
+    sphere_src = pcds.get("lidar", pcds.get("background"))
+    if sphere_src is not None:
+        from ..data.lidar_init import sphere_norm
+        sphere_c, sphere_r = sphere_norm(
+            sphere_src[0], cfg.data.get("sphere_scale", 1.0))
     bkgd, bkgd_aux = G.init_from_points(
         pts, cols, _round_pow2(pts.shape[0] * 4), sh_degree,
         num_classes=num_classes)
@@ -121,10 +142,10 @@ def build_scene_from_waymo(scene: WaymoScene, cfg) -> tuple:
                                                 bool)),
         actor_class=jnp.asarray(np.asarray(classes if classes else [0],
                                            np.int32)),
-        scene_center=jnp.zeros(3),
-        scene_radius=jnp.asarray(float(cfg.data.get("extent", 20.0))),
-        sphere_center=jnp.zeros(3),
-        sphere_radius=jnp.asarray(float(cfg.data.get("extent", 20.0))),
+        scene_center=jnp.asarray(scene_c),
+        scene_radius=jnp.asarray(scene_r),
+        sphere_center=jnp.asarray(sphere_c),
+        sphere_radius=jnp.asarray(sphere_r),
     )
 
     num_images = scene.num_frames * len(scene.cameras)

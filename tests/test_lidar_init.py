@@ -1,0 +1,172 @@
+"""LiDAR -> init point-cloud pipeline (`data/lidar_init.py`; reference
+`waymo_utils.py:452-712`): unit tests for the o3d-free voxel/outlier ops
+and an end-to-end run synthetic TFRecord -> converter -> init PLYs ->
+scene builder consuming them (no random-shell fallback)."""
+import os
+
+import numpy as np
+import pytest
+
+from gaussianrpg_tpu.data.lidar_init import (radius_outlier_removal,
+                                             sphere_norm, voxel_downsample)
+from gaussianrpg_tpu.data.native import load_library
+
+from .test_waymo_converter import (enc_matrix_float, enc_matrix_int32,
+                                   enc_transform, f_bytes, f_double, f_msg,
+                                   f_packed_doubles, f_varint,
+                                   write_tfrecord)
+from gaussianrpg_tpu.data import waymo_proto as wp
+
+import struct  # noqa: E402  (used by helpers above at import time)
+import zlib
+
+
+def test_voxel_downsample_averages():
+    xyz = np.array([[0.01, 0.01, 0.01], [0.05, 0.05, 0.05],  # same voxel
+                    [1.0, 1.0, 1.0]])
+    rgb = np.array([[1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]])
+    oxyz, orgb = voxel_downsample(xyz, rgb, 0.15)
+    assert oxyz.shape == (2, 3)
+    merged = oxyz[np.argmin(np.linalg.norm(oxyz, axis=1))]
+    np.testing.assert_allclose(merged, [0.03, 0.03, 0.03], atol=1e-6)
+    merged_rgb = orgb[np.argmin(np.linalg.norm(oxyz, axis=1))]
+    np.testing.assert_allclose(merged_rgb, [0.5, 0.5, 0.0], atol=1e-6)
+
+
+def test_radius_outlier_removal():
+    rng = np.random.default_rng(0)
+    cluster = rng.normal(0, 0.05, (50, 3))
+    outlier = np.array([[10.0, 10.0, 10.0]])
+    xyz = np.concatenate([cluster, outlier])
+    rgb = np.zeros_like(xyz)
+    kept, _ = radius_outlier_removal(xyz, rgb, nb_points=10, radius=0.5)
+    assert kept.shape[0] == 50
+    assert np.abs(kept).max() < 1.0
+
+
+def test_sphere_norm():
+    xyz = np.array([[-1.0, -1, -1], [1.0, 1, 1]])
+    c, r = sphere_norm(xyz)
+    np.testing.assert_allclose(c, [0, 0, 0], atol=1e-6)
+    assert abs(r - np.sqrt(3)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: synthetic TFRecord with a dense-enough LiDAR sweep
+
+
+def make_lidar_frame(frame_id):
+    """Like test_waymo_converter.make_frame but with a 5x65 range image:
+    azimuth column 32 is exactly forward (+x), row 0 is inclination 0.1.
+    One return lands inside the tracked box; a ring of far returns forms
+    the background."""
+    cam2vehicle = np.eye(4)
+    cam2vehicle[0, 3] = 1.5
+    calib = (f_varint(1, wp.CAMERA_FRONT)
+             + f_packed_doubles(2, [500.0, 500.0, 320.0, 240.0,
+                                    0, 0, 0, 0, 0])
+             + f_msg(3, enc_transform(cam2vehicle))
+             + f_varint(4, 640) + f_varint(5, 480))
+    laser_calib = (f_varint(1, wp.LASER_TOP)
+                   + f_double(3, -0.3) + f_double(4, 0.1)
+                   + f_msg(5, enc_transform(np.eye(4))))
+    context = f_msg(2, calib) + f_msg(3, laser_calib)
+
+    ego = np.eye(4)
+    ego[0, 3] = 2.0 * frame_id
+
+    jpeg = b"\xff\xd8fakejpegdata\xff\xd9"
+    image = (f_varint(1, wp.CAMERA_FRONT) + f_bytes(2, jpeg)
+             + f_msg(3, enc_transform(ego))
+             + f_double(5, 0.1 * frame_id + 0.05))
+
+    # dense sweep so the background ring survives the 10-neighbor/0.5 m
+    # outlier filter (~0.2 m vertical x ~0.37 m azimuthal spacing at 30 m)
+    h, w = 64, 513
+    ri = np.zeros((h, w, 4), np.float32)
+    cp = np.zeros((h, w, 6), np.int64)
+    ri[:, :, 0] = 30.0
+    cp[:, :, 0] = wp.CAMERA_FRONT
+    cp[:, :, 1] = 320
+    cp[:, :, 2] = 240
+    # in-box return: row 0 = inclination 0.1, col 256 = azimuth 0
+    #   -> point (cos(.1)*8.05, 0, sin(.1)*8.05) ~ (8.01, 0, 0.80),
+    #   inside box center (8, 0.5*f, 1) l=4.5 w=2.0 h=1.8 at frame 0
+    ri[0, 256, 0] = 8.05
+    ri_msg = (f_bytes(2, zlib.compress(enc_matrix_float(ri)))
+              + f_bytes(3, zlib.compress(enc_matrix_int32(cp))))
+    laser = f_varint(1, wp.LASER_TOP) + f_msg(2, ri_msg)
+
+    box = (f_double(1, 8.0) + f_double(2, 0.5 * frame_id) + f_double(3, 1.0)
+           + f_double(4, 2.0) + f_double(5, 4.5) + f_double(6, 1.8)
+           + f_double(7, 0.0))
+    meta = f_double(1, 3.0) + f_double(2, 0.0)
+    label = (f_msg(1, box) + f_msg(2, meta)
+             + f_varint(3, wp.TYPE_VEHICLE)
+             + f_bytes(4, b"obj-abc"))
+
+    frame = (f_msg(1, context) + f_varint(2, 1000000 + frame_id * 100000)
+             + f_msg(3, enc_transform(ego)) + f_msg(4, image)
+             + f_msg(5, laser) + f_msg(6, label))
+    return frame
+
+
+@pytest.mark.skipif(load_library() is None, reason="native lib unavailable")
+def test_lidar_init_end_to_end(tmp_path):
+    from PIL import Image
+    from gaussianrpg_tpu.apps.waymo_converter import convert_sequence
+    from gaussianrpg_tpu.config.config import load_config
+    from gaussianrpg_tpu.data.waymo import WaymoScene
+    from gaussianrpg_tpu.models.scene_builder import build_scene_from_waymo
+
+    rec = str(tmp_path / "seq.tfrecord")
+    write_tfrecord(rec, [make_lidar_frame(i) for i in range(3)])
+    out = str(tmp_path / "out")
+    convert_sequence(rec, out, log=lambda *_: None)
+
+    # decodable solid-red images (colors for projected points)
+    for f in os.listdir(os.path.join(out, "images")):
+        Image.new("RGB", (640, 480), (255, 0, 0)).save(
+            os.path.join(out, "images", f), "JPEG")
+    # single camera -> pad calibration for cams 1..4
+    for i in range(1, 5):
+        for sub in ("intrinsics", "extrinsics"):
+            with open(os.path.join(out, sub, "0.txt")) as a, \
+                    open(os.path.join(out, sub, f"{i}.txt"), "w") as b:
+                b.write(a.read())
+
+    scene = WaymoScene(out, cameras=(0,))
+    assert 0 in scene.objects_info  # dynamic vehicle survived
+
+    # no voxel merge surprises at this scale; keep every point
+    pcds = scene.load_init_pointclouds()  # auto-builds input_ply/
+    ply_dir = os.path.join(out, "input_ply")
+    assert os.path.exists(os.path.join(ply_dir, "points3D_bkgd.ply"))
+    assert os.path.exists(os.path.join(ply_dir, "points3D_lidar.ply"))
+    assert os.path.exists(os.path.join(ply_dir, "points3D_obj_000.ply"))
+
+    # object cloud: local frame, inside the tracked box
+    oxyz, orgb, _ = pcds[0]
+    assert oxyz.shape[0] >= 1
+    assert (np.abs(oxyz[:, 0]) <= 2.26).all()
+    assert (np.abs(oxyz[:, 1]) <= 1.01).all()
+    assert (np.abs(oxyz[:, 2]) <= 0.91).all()
+    # colored from the solid-red image
+    np.testing.assert_allclose(orgb[0], [1.0, 0, 0], atol=0.05)
+
+    # background: world-frame ring at ~30 m radius, recentered; in-box
+    # returns routed away from it
+    bxyz, brgb, _ = pcds["background"]
+    assert bxyz.shape[0] > 30
+    r_xy = np.linalg.norm(bxyz[:, :2], axis=-1)
+    assert r_xy.max() > 20.0
+    np.testing.assert_allclose(brgb[0], [1.0, 0, 0], atol=0.05)
+
+    # scene builder consumes the real PLYs (no 100k random-shell fallback)
+    cfg = load_config(None, ["source_path", out, "data.extent", "0"])
+    models, meta, arrays, actor_names = build_scene_from_waymo(scene, cfg)
+    n_bkgd = int(models.bkgd_aux.n_active)
+    assert n_bkgd == bxyz.shape[0]
+    assert meta.num_actors == 1 and actor_names == ["obj_000"]
+    # sphere norm came from the lidar cloud (~30 m ring), not the default
+    assert 20.0 < float(arrays.sphere_radius) < 80.0
