@@ -25,14 +25,46 @@ def _make_writer(logdir: str):
         return None
 
 
+def evaluate_views(models, meta, arrays, cam_gt, opts, active_sh,
+                   max_views: int = 8):
+    """Periodic test-view evaluation (reference `train.py:353-399`
+    training_report): render up to `max_views` held-out views in eval mode
+    and return mean PSNR / L1."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..render.renderer import render_scene
+    from ..train.losses import l1_loss, psnr
+
+    render = jax.jit(render_scene, static_argnames=(
+        "active_sh_degree", "include_background", "include_objects",
+        "train_mode"))
+    psnrs, l1s = [], []
+    for cam, gt in cam_gt[:max_views]:
+        if gt is None:
+            continue
+        res = render(models, meta, arrays, cam,
+                     active_sh_degree=active_sh, options=opts)
+        rgb = jnp.clip(res.rgb, 0.0, 1.0)
+        psnrs.append(float(psnr(rgb, jnp.asarray(gt))))
+        l1s.append(float(l1_loss(rgb, jnp.asarray(gt))))
+    if not psnrs:
+        return None
+    return {"psnr": sum(psnrs) / len(psnrs), "l1": sum(l1s) / len(l1s),
+            "n_views": len(psnrs)}
+
+
 def main(argv=None):
+    import functools
+
     import jax
     import jax.numpy as jnp
 
     from ..config.config import load_config, make_argparser
     from ..models import gaussians as G
-    from ..models.scene_graph import total_capacity
-    from ..models.scene_io import save_checkpoint, save_composite_ply
+    from ..models.scene_graph import actor_extents, total_capacity
+    from ..models.scene_io import (load_checkpoint, save_checkpoint,
+                                   save_composite_ply, search_max_iteration)
     from ..render.renderer import RenderOptions
     from ..train.trainer import (Batch, OptimConfig, init_train_state,
                                  make_train_step)
@@ -97,16 +129,32 @@ def main(argv=None):
         opacity_lr=cfg.optim.opacity_lr,
         scaling_lr=cfg.optim.scaling_lr,
         rotation_lr=cfg.optim.rotation_lr,
+        position_lr_init_obj=cfg.optim.get("position_lr_init_obj"),
+        position_lr_final_obj=cfg.optim.get("position_lr_final_obj"),
+        feature_lr_obj=cfg.optim.get("feature_lr_obj"),
+        feature_rest_lr_obj=cfg.optim.get("feature_rest_lr_obj"),
+        scaling_lr_obj=cfg.optim.get("scaling_lr_obj"),
+        rotation_lr_obj=cfg.optim.get("rotation_lr_obj"),
+        opacity_lr_obj=cfg.optim.get("opacity_lr_obj"),
+        semantic_lr_obj=cfg.optim.get("semantic_lr_obj"),
         lambda_l1=cfg.optim.lambda_l1,
         lambda_dssim=cfg.optim.lambda_dssim,
         lambda_sky=cfg.optim.lambda_sky,
         lambda_semantic=cfg.optim.lambda_semantic,
         lambda_depth_lidar=cfg.optim.lambda_depth_lidar,
+        lambda_reg=cfg.optim.get("lambda_reg", 0.0),
+        lambda_normal_mono=cfg.optim.get("lambda_normal_mono", 0.0),
+        lambda_scale_flatten=cfg.optim.get("lambda_scale_flatten", 0.0),
+        lambda_opacity_sparse=cfg.optim.get("lambda_opacity_sparse", 0.0),
         densify_from_iter=cfg.optim.densify_from_iter,
         densify_until_iter=cfg.optim.densify_until_iter,
         densification_interval=cfg.optim.densification_interval,
         opacity_reset_interval=cfg.optim.opacity_reset_interval,
         densify_grad_threshold=cfg.optim.densify_grad_threshold,
+        densify_grad_abs_bkgd=cfg.optim.get("densify_grad_abs_bkgd", False),
+        densify_grad_threshold_obj=cfg.optim.get(
+            "densify_grad_threshold_obj"),
+        densify_grad_abs_obj=cfg.optim.get("densify_grad_abs_obj", False),
         min_opacity=cfg.optim.min_opacity,
         percent_dense=cfg.optim.percent_dense,
         percent_big_ws=cfg.optim.percent_big_ws,
@@ -115,15 +163,36 @@ def main(argv=None):
     step_fn = make_train_step(meta, arrays, ocfg, opts, n_total)
     state = init_train_state(models)
 
+    # best-effort resume from the latest checkpoint (`train.py:36-47`)
+    start_it = 0
+    if cfg.get("resume", True):
+        it0 = search_max_iteration(cfg.trained_model_dir)
+        if it0 is not None:
+            try:
+                state, start_it, active_sh_ckpt = load_checkpoint(
+                    os.path.join(cfg.trained_model_dir,
+                                 f"iteration_{it0}.npz"), state)
+                print(f"resumed from iteration {it0}", flush=True)
+            except Exception as e:   # shape mismatch, corrupt file, ...
+                print(f"resume from iteration {it0} failed ({e}); "
+                      "training from scratch", flush=True)
+                start_it = 0
+
     active_sh = 0
     max_sh = meta.bkgd_sh_degree
+    if start_it > 0:
+        active_sh = min(active_sh_ckpt, max_sh)
     ema_loss = ema_psnr = 0.0
     os.makedirs(cfg.trained_model_dir, exist_ok=True)
     os.makedirs(cfg.point_cloud_dir, exist_ok=True)
     writer = _make_writer(os.path.join(cfg.model_path, "tensorboard"))
+    test_cam_gt = []
+    if not (args.synthetic or not cfg.source_path):
+        test_cam_gt = scene.build_cameras("test")
+    test_iters = set(cfg.train.get("test_iterations", [])) | {iters}
     t0 = time.time()
 
-    for it in range(1, iters + 1):
+    for it in range(start_it + 1, iters + 1):
         if it % 1000 == 0 and active_sh < max_sh:
             active_sh += 1
         ci = int(rng.integers(len(cam_gt)))
@@ -147,6 +216,14 @@ def main(argv=None):
                   f"{ema_psnr:.2f} ({(time.time()-t0)/it:.2f}s/it)",
                   flush=True)
 
+        # pair-capacity overflow: the CUDA resize-closure analog
+        # (`rasterizer_impl.cu:155-193`) — grow + recompile
+        if bool(scalars.get("overflow", False)):
+            opts = opts.replace(capacity=opts.capacity * 2)
+            print(f"  pair overflow at iter {it}: growing capacity to "
+                  f"{opts.capacity} (recompile)", flush=True)
+            step_fn = make_train_step(meta, arrays, ocfg, opts, n_total)
+
         # densification (host-side interval events, train.py:276-301)
         if (ocfg.densify_from_iter < it < ocfg.densify_until_iter
                 and it % ocfg.densification_interval == 0):
@@ -156,6 +233,7 @@ def main(argv=None):
                 percent_dense=ocfg.percent_dense,
                 percent_big_ws=ocfg.percent_big_ws,
                 extent=float(arrays.scene_radius),
+                use_abs_grad=ocfg.densify_grad_abs_bkgd,
                 prune_big_points=it > ocfg.opacity_reset_interval)
             p2, aux2, adam_mu_nu, stats = G.densify_and_prune(
                 state.models.background, state.models.bkgd_aux,
@@ -176,6 +254,67 @@ def main(argv=None):
                   f"(+{int(stats['n_clone'])}c/+{int(stats['n_split'])}s)",
                   flush=True)
 
+            # actor densify/prune (`gaussian_model_actor.py:206-263` via
+            # `street_gaussian_model.densify_and_prune` fan-out)
+            if meta.num_actors > 0:
+                dcfg_obj = G.DensifyConfig(
+                    grad_threshold=(ocfg.densify_grad_threshold_obj
+                                    or ocfg.densify_grad_threshold),
+                    min_opacity=ocfg.min_opacity,
+                    percent_dense=ocfg.percent_dense,
+                    percent_big_ws=ocfg.percent_big_ws,
+                    use_abs_grad=ocfg.densify_grad_abs_obj,
+                    prune_big_points=it > ocfg.opacity_reset_interval)
+                a_ext = actor_extents(arrays, meta.box_scale)
+                half = arrays.actor_bbox / 2.0
+                keys = jax.random.split(
+                    jax.random.PRNGKey(20000 + it), meta.num_actors)
+                a_adam = G.AdamState(mu=state.adam.mu["actors"],
+                                     nu=state.adam.nu["actors"],
+                                     count=state.adam.count)
+                dp = functools.partial(G.densify_and_prune, cfg=dcfg_obj)
+                ap2, aaux2, aadam2, astats = jax.vmap(
+                    lambda p, aux, mu_, nu_, key, ext, h: dp(
+                        p, aux,
+                        G.AdamState(mu=mu_, nu=nu_, count=a_adam.count),
+                        key, extent=ext, bbox_min=-h, bbox_max=h))(
+                    state.models.actors, state.models.actors_aux,
+                    a_adam.mu, a_adam.nu, keys, a_ext, half)
+                mu = dict(state.adam.mu)
+                nu = dict(state.adam.nu)
+                mu["actors"] = aadam2.mu
+                nu["actors"] = aadam2.nu
+                state = state.replace(
+                    models=state.models.replace(actors=ap2,
+                                                actors_aux=aaux2),
+                    adam=state.adam.replace(mu=mu, nu=nu))
+                print(f"  actor densify: active "
+                      f"{np.asarray(astats['n_active']).tolist()}",
+                      flush=True)
+
+            # grow background capacity when densify saturates it (the
+            # `emit()` silent-drop guard; shape change -> recompile)
+            bcap = state.models.background.capacity
+            if int(stats["n_active"]) > 0.9 * bcap:
+                gp, gaux, gadam = G.grow_capacity(
+                    state.models.background, state.models.bkgd_aux,
+                    G.AdamState(mu=state.adam.mu["background"],
+                                nu=state.adam.nu["background"],
+                                count=state.adam.count), bcap * 2)
+                mu = dict(state.adam.mu)
+                nu = dict(state.adam.nu)
+                mu["background"] = gadam.mu
+                nu["background"] = gadam.nu
+                state = state.replace(
+                    models=state.models.replace(background=gp,
+                                                bkgd_aux=gaux),
+                    adam=state.adam.replace(mu=mu, nu=nu))
+                n_total = total_capacity(state.models)
+                print(f"  background capacity grown to {bcap * 2} "
+                      "(recompile)", flush=True)
+                step_fn = make_train_step(meta, arrays, ocfg, opts,
+                                          n_total)
+
         if (it < ocfg.densify_until_iter
                 and it % ocfg.opacity_reset_interval == 0):
             p2, adam2 = G.reset_opacity(
@@ -190,6 +329,21 @@ def main(argv=None):
             state = state.replace(
                 models=state.models.replace(background=p2),
                 adam=state.adam.replace(mu=mu, nu=nu))
+
+        # periodic test-view evaluation (`train.py:353-399`)
+        if it in test_iters:
+            for split, cams in (("test", test_cam_gt),
+                                ("train", cam_gt[:4])):
+                rep = evaluate_views(state.models, meta, arrays, cams,
+                                     opts, active_sh)
+                if rep is None:
+                    continue
+                print(f"  [eval {split}] iter {it}: psnr {rep['psnr']:.2f} "
+                      f"l1 {rep['l1']:.4f} ({rep['n_views']} views)",
+                      flush=True)
+                if writer is not None:
+                    writer.add_scalar(f"eval_{split}/psnr", rep["psnr"], it)
+                    writer.add_scalar(f"eval_{split}/l1", rep["l1"], it)
 
         if it in set(cfg.train.checkpoint_iterations) | {iters}:
             path = os.path.join(cfg.trained_model_dir,

@@ -287,7 +287,13 @@ def densify_and_prune(
             inside = jnp.all((pts >= bbox_min) & (pts <= bbox_max),
                              axis=(1, 2))
             prune = prune | (~inside)
-    # split sources are pruned after splitting (densify_and_split:491-492)
+    # split sources are pruned after splitting (densify_and_split:491-492);
+    # pruned points emit no clones/splits either — the reference computes
+    # its prune mask AFTER cloning on the updated tensors
+    # (`gaussian_model_actor.py:221-253`), so a clone of a pruned point
+    # would be pruned by the same verdict
+    clone_mask = clone_mask & (~prune)
+    split_mask = split_mask & (~prune)
     keep = act & (~prune) & (~split_mask)
 
     # --- compact survivors to the front ---

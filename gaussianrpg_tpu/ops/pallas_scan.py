@@ -125,6 +125,67 @@ def fused_cummax(xs, interpret: bool = False):
     return res
 
 
+def _make_carry_rows_kernel(rows, cols):
+    def kernel(m_ref, x_ref, o_ref, carry):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _():
+            carry[...] = jnp.zeros((1, cols), jnp.float32)
+
+        m = m_ref[...]                              # (rows, 1) i32 marks
+        v = x_ref[...]                              # (rows, cols)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+        s = 1
+        while s < rows:
+            pm = jnp.where(ri >= s, pltpu.roll(m, s, axis=0), 0)
+            pv = jnp.where(ri >= s, pltpu.roll(v, s, axis=0), 0.0)
+            keep = m > 0                            # (rows, 1)
+            m = jnp.maximum(m, pm)
+            v = jnp.where(keep, v, pv)
+            s *= 2
+        v = jnp.where(m > 0, v, carry[...])
+        o_ref[...] = v
+        carry[...] = v[rows - 1:rows, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def segment_carry_rows(marks, x, interpret: bool = False):
+    """Forward-fill rows: out[i] = x[j] for the last j <= i with
+    marks[j] > 0 (zeros before the first mark). One HBM pass.
+
+    marks: [P] i32 (>0 exactly at segment starts); x: [P, C] f32 with the
+    segment payload stored at start slots. This is the TPU-native pair
+    expansion: the CUDA peer reads per-Gaussian tables at random
+    (`forward.cu:378-407` shared-memory staging); random row gathers are
+    latency-bound ~10 ns/row on TPU (~74 ms for 3.7M pairs, measured), so
+    the payload is scattered once to monotone segment starts and carried
+    forward with this single linear pass instead.
+    """
+    p, c = x.shape
+    rows = 512
+    assert p % rows == 0, f"P={p} must be a multiple of {rows}"
+
+    if jax.default_backend() == "cpu" and not interpret:
+        idx = jax.lax.cummax(
+            jnp.where(marks > 0, jnp.arange(p, dtype=jnp.int32), 0))
+        seen = jax.lax.cummax((marks > 0).astype(jnp.int32)) > 0
+        return jnp.where(seen[:, None], jnp.take(x, idx, axis=0), 0.0)
+
+    return pl.pallas_call(
+        _make_carry_rows_kernel(rows, c),
+        grid=(p // rows,),
+        in_specs=[pl.BlockSpec((rows, 1), lambda i: (i, 0)),
+                  pl.BlockSpec((rows, c), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((p, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, c), jnp.float32)],
+        interpret=interpret,
+    )(marks.reshape(p, 1), x)
+
+
 def _make_cumsum_rows_kernel(rows, cols):
     def kernel(x_ref, o_ref, carry):
         step = pl.program_id(0)

@@ -140,3 +140,137 @@ def test_load_latest_checkpoint(tmp_path):
     # missing dir -> template unchanged
     same = load_latest_checkpoint(f"{d}/nope", models)
     assert same is models
+
+
+def test_actor_densify_bbox_prune_and_boxreg():
+    """Actor adaptive density control (`gaussian_model_actor.py:206-263`):
+    vmapped clone/split within the per-actor extent plus the sampled
+    outside-bbox prune; box_reg_loss penalizes oversized scales."""
+    import functools
+
+    from gaussianrpg_tpu.models.scene_graph import actor_extents
+
+    models, meta, arrays = _tiny_scene()
+    actors, aux = models.actors, models.actors_aux
+    o = actors.xyz.shape[0]
+    # hot gradients on the first 20 slots of each actor
+    aux = aux.replace(
+        xyz_gradient_accum=aux.xyz_gradient_accum.at[:, :20, :].set(1.0),
+        denom=aux.denom.at[:, :, 0].set(1.0))
+    # move slot 0 far outside the bbox -> sampled prune must remove it
+    actors = actors.replace(xyz=actors.xyz.at[:, 0].set(
+        jnp.asarray([100.0, 100.0, 100.0])))
+    a_ext = actor_extents(arrays, 1.0)
+    half = arrays.actor_bbox / 2.0
+    adam = G.adam_init(actors)
+    cfg = G.DensifyConfig(grad_threshold=0.5, prune_big_points=True,
+                          min_opacity=0.005)
+    dp = functools.partial(G.densify_and_prune, cfg=cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), o)
+    p2, aux2, adam2, stats = jax.vmap(
+        lambda p, a, mu, nu, k, e, h: dp(
+            p, a, G.AdamState(mu=mu, nu=nu, count=adam.count), k,
+            extent=e, bbox_min=-h, bbox_max=h))(
+        actors, aux, adam.mu, adam.nu, keys, a_ext, half)
+    assert int(stats["n_clone"].sum()) + int(stats["n_split"].sum()) > 0
+    # the far-outside point is gone: all survivors within ~2x bbox
+    act = G.active_mask(
+        jax.tree.map(lambda x: x[0], p2), jax.tree.map(lambda x: x[0], aux2))
+    kept_xyz = np.asarray(p2.xyz[0])[np.asarray(act)]
+    assert (np.abs(kept_xyz) < 50.0).all()
+
+    # box_reg_loss: inflating scales raises the penalty
+    r0 = float(G.box_reg_loss(jax.tree.map(lambda x: x[0], p2),
+                              jax.tree.map(lambda x: x[0], aux2),
+                              a_ext[0], 0.01))
+    big = jax.tree.map(lambda x: x[0], p2)
+    big = big.replace(scaling=big.scaling + 3.0)
+    r1 = float(G.box_reg_loss(big, jax.tree.map(lambda x: x[0], aux2),
+                              a_ext[0], 0.01))
+    assert r1 > r0
+
+
+def test_overflow_flag_and_capacity_growth_recovers():
+    """Pair-capacity overflow is surfaced (RasterOut.overflow) and a grown
+    re-run matches the generously-sized render (the CUDA resize-closure
+    analog, `rasterizer_impl.cu:155-193`)."""
+    models, meta, arrays = _tiny_scene()
+    cams = make_cameras(n_frames=4, width=64, height=48)
+
+    small = RenderOptions(capacity=256, interpret=True, backend="pallas")
+    res_small = render_scene(models, meta, arrays, cams[1],
+                             active_sh_degree=1, options=small)
+    assert bool(res_small.overflow)
+
+    big = RenderOptions(capacity=65536, interpret=True, backend="pallas")
+    res_big = render_scene(models, meta, arrays, cams[1],
+                           active_sh_degree=1, options=big)
+    assert not bool(res_big.overflow)
+    assert int(res_big.n_pairs) <= 65536
+
+    # grow-and-rerun recovers exactly: doubling from the undersized run
+    cap = 256
+    while True:
+        opts = RenderOptions(capacity=cap, interpret=True, backend="pallas")
+        res = render_scene(models, meta, arrays, cams[1],
+                           active_sh_degree=1, options=opts)
+        if not bool(res.overflow):
+            break
+        cap *= 2
+    np.testing.assert_allclose(np.asarray(res.rgb), np.asarray(res_big.rgb),
+                               atol=1e-6)
+
+
+def test_grow_capacity_continues_training():
+    """Background capacity growth (`G.grow_capacity`) preserves the render
+    and supports further train steps at the new static shapes."""
+    from gaussianrpg_tpu.models.scene_graph import total_capacity
+
+    models, meta, arrays = _tiny_scene()
+    cams = make_cameras(n_frames=4, width=64, height=48)
+    gt = np.asarray(render_scene(models, meta, arrays, cams[0],
+                                 active_sh_degree=1, options=OPTS).rgb)
+
+    state = init_train_state(models)
+    gp, gaux, gadam = G.grow_capacity(
+        state.models.background, state.models.bkgd_aux,
+        G.AdamState(mu=state.adam.mu["background"],
+                    nu=state.adam.nu["background"], count=state.adam.count),
+        state.models.background.capacity * 2)
+    mu = dict(state.adam.mu)
+    nu = dict(state.adam.nu)
+    mu["background"] = gadam.mu
+    nu["background"] = gadam.nu
+    state = state.replace(
+        models=state.models.replace(background=gp, bkgd_aux=gaux),
+        adam=state.adam.replace(mu=mu, nu=nu))
+
+    # render unchanged by the inactive padding slots
+    res = render_scene(state.models, meta, arrays, cams[0],
+                       active_sh_degree=1, options=OPTS)
+    np.testing.assert_allclose(np.asarray(res.rgb), gt, atol=1e-5)
+
+    # a train step at the grown shapes works and stays finite
+    cfg = OptimConfig(lambda_dssim=0.0)
+    step_fn = make_train_step(meta, arrays, cfg, OPTS,
+                              total_capacity(state.models))
+    state2, loss, scalars, _ = step_fn(
+        state, cams[0], Batch(gt_image=jnp.asarray(gt)),
+        jax.random.PRNGKey(0), 1)
+    assert np.isfinite(float(loss))
+    assert not bool(scalars["overflow"])
+
+
+def test_render_normals_planes():
+    """Normals feature planes (`street_gaussian_renderer.py:200-220`):
+    rendered normals are unit-length where covered."""
+    models, meta, arrays = _tiny_scene()
+    cams = make_cameras(n_frames=4, width=64, height=48)
+    opts = OPTS.replace(render_normals=True)
+    res = render_scene(models, meta, arrays, cams[1], active_sh_degree=1,
+                       options=opts)
+    assert res.normals is not None and res.normals.shape == (3, 48, 64)
+    norms = np.linalg.norm(np.asarray(res.normals), axis=0)
+    covered = np.asarray(res.acc[0]) > 0.5
+    if covered.any():
+        np.testing.assert_allclose(norms[covered], 1.0, atol=1e-3)
