@@ -155,6 +155,190 @@ def visible_filter(
     return pre.radii, pre.means2d
 
 
+class FieldSet(NamedTuple):
+    """Per-Gaussian pair-ready fields — the output of the O(N) primitive
+    stage, and the unit that the 'model' mesh axis all-gathers (each shard
+    computes its own slice; the transpose of the gather is the
+    reduce-scatter that hands each shard its parameter gradients)."""
+
+    fields: jax.Array     # [N, NF] blend-kernel field columns
+    rect_min: jax.Array   # [N, 2] coarse-tile rect
+    rect_max: jax.Array   # [N, 2]
+    radii: jax.Array      # [N] i32 (0 = culled)
+    depths: jax.Array     # [N] view depth
+    sink: jax.Array       # [N] absgrad sink channel
+    means2d: jax.Array    # [N, 2]
+    s_ch: int             # semantic channel count (static)
+
+
+def primitive_fields(
+    means3d: jax.Array,
+    opacities: jax.Array,
+    *,
+    camera,
+    colors: jax.Array | None = None,
+    shs: jax.Array | None = None,
+    sh_degree: int = 0,
+    semantics: jax.Array | None = None,
+    scales: jax.Array | None = None,
+    rotations: jax.Array | None = None,
+    cov3d_precomp: jax.Array | None = None,
+    scale_modifier: float = 1.0,
+    means2d_offset: jax.Array | None = None,
+    absgrad_sink: jax.Array | None = None,
+    active_mask: jax.Array | None = None,
+) -> FieldSet:
+    """O(N) per-primitive stage: preprocess + SH + field-column assembly
+    (`forward.cu:155-256` + color). Safe to run on a Gaussian shard."""
+    H, W = camera.height, camera.width
+    n = means3d.shape[0]
+    opacities = opacities.reshape(-1)
+
+    pre = preprocess(
+        means3d,
+        scales if scales is not None else jnp.ones((n, 3), means3d.dtype),
+        rotations if rotations is not None else
+        jnp.concatenate(
+            [jnp.ones((n, 1), means3d.dtype),
+             jnp.zeros((n, 3), means3d.dtype)], -1),
+        camera.viewmatrix,
+        camera.projmatrix,
+        W, H,
+        camera.tan_fovx,
+        camera.tan_fovy,
+        scale_modifier,
+        cov3d_precomp,
+        camera.lim_tan_fovx,
+        camera.lim_tan_fovy,
+    )
+
+    if colors is None:
+        assert shs is not None
+        dirs = means3d - camera.cam_center
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        colors, _ = sh_to_rgb_clamped(sh_degree, shs, dirs)
+
+    means2d = pre.means2d
+    if means2d_offset is not None:
+        means2d = means2d + means2d_offset * jnp.asarray(
+            [0.5 * W, 0.5 * H], means2d.dtype)
+
+    radii = pre.radii
+    if active_mask is not None:
+        # capacity-padding / scene-graph aliveness mask (models layer)
+        radii = jnp.where(active_mask, radii, 0)
+        pre = pre._replace(radii=radii)
+
+    s_ch = 0
+    sem_list = []
+    if semantics is not None and semantics.shape[-1] > 0:
+        s_ch = semantics.shape[-1]
+        sem_list = [semantics]  # [N, S]
+
+    # [N, NF] pairs-major field columns (see pallas_blend F_* layout)
+    fields = jnp.concatenate(
+        [
+            means2d,                                    # mx, my
+            pre.conics,                                 # ca, cb, cc
+            opacities[:, None],                         # op
+            colors,                                     # r, g, b
+            pre.depths[:, None],                        # depth
+            pre.radii.astype(jnp.float32)[:, None],     # radius
+        ]
+        + sem_list,
+        axis=1,
+    )
+    nf_cols = _round_up(NF_BASE + s_ch, 8)
+    if fields.shape[1] < nf_cols:
+        fields = jnp.concatenate(
+            [fields, jnp.zeros((n, nf_cols - fields.shape[1]),
+                               fields.dtype)], axis=1)
+
+    if absgrad_sink is None:
+        absgrad_sink = jnp.zeros((n,), means3d.dtype)
+
+    return FieldSet(fields=fields, rect_min=pre.rect_min,
+                    rect_max=pre.rect_max, radii=radii, depths=pre.depths,
+                    sink=absgrad_sink, means2d=pre.means2d, s_ch=s_ch)
+
+
+def blend_fields(
+    fs: FieldSet,
+    *,
+    width: int,
+    height: int,
+    bg_color: jax.Array,
+    capacity: int,
+    train_mode: bool,
+    interpret: bool = False,
+) -> RasterOut:
+    """O(P) tile stage on the full (gathered) field set: depth sort, tile
+    binning, pair gather, Pallas blend (`rasterizer_impl.cu:278-321` +
+    `forward.cu:340-467`)."""
+    H, W = height, width
+    visible = fs.radii > 0
+    key = jnp.where(visible, fs.depths, jnp.inf)
+    order = jax.lax.stop_gradient(jnp.argsort(key, stable=True))
+
+    fields_sorted = jnp.take(fs.fields, order, axis=0)   # [N, NF]
+    rect_min_s = jnp.take(fs.rect_min, order, axis=0)
+    rect_max_s = jnp.take(fs.rect_max, order, axis=0)
+    visible_s = jnp.take(visible, order, axis=0)
+    s_ch = fs.s_ch
+
+    # the gm-expansion ride (extra sort operand) is only built when the
+    # caller wires gradient hooks — eval renders skip its cost
+    lists = binning.build_pair_lists(
+        rect_min_s, rect_max_s, visible_s, W, H, capacity,
+        ride_gm=train_mode)
+
+    # gather the flat pair data [P_pad, NF]; padding slots zeroed (their
+    # zero opacity/radius makes the kernel skip them); see _take8 /
+    # _pair_gather for the split-gather + hand-written transpose
+    src = jax.lax.stop_gradient(jnp.maximum(lists.pair_src, 0))
+    valid = jax.lax.stop_gradient(
+        lists.pair_valid.astype(fs.fields.dtype))
+
+    # route the per-gaussian sink through sort+pair-gather so its cotangent
+    # (the per-pair abs stats) aggregates back per Gaussian automatically
+    sink_sorted = jnp.take(fs.sink, order, axis=0)
+
+    if train_mode:
+        gdata, sink_pairs = _pair_gather(
+            fields_sorted, sink_sorted, src, valid,
+            jax.lax.stop_gradient(lists.pair_gm),
+            jax.lax.stop_gradient(lists.seg_offs),
+            jax.lax.stop_gradient(lists.seg_area))
+    else:
+        gdata = _take8(fields_sorted, src) * valid[:, None]
+        sink_pairs = jnp.take(sink_sorted, src) * valid
+
+    planes = blend_pairs(
+        gdata,
+        lists,
+        bg_color.reshape(3),
+        sink_pairs,
+        width=W,
+        height=H,
+        s_ch=s_ch,
+        interpret=interpret,
+    )
+    color = planes[0:3]
+    depth = planes[3:4]
+    alpha = planes[4:5]
+    semantic = planes[5:5 + s_ch]
+    return RasterOut(
+        color=color,
+        depth=depth,
+        alpha=alpha,
+        semantic=semantic,
+        radii=fs.radii,
+        means2d=fs.means2d,
+        overflow=lists.overflowed,
+        n_pairs=jnp.maximum(lists.raw_total, lists.padded_total),
+    )
+
+
 def rasterize(
     means3d: jax.Array,
     opacities: jax.Array,
@@ -197,128 +381,13 @@ def rasterize(
         # multi-chip dry-run on a virtual device mesh)
         interpret = True
 
-    H, W = camera.height, camera.width
-    n = means3d.shape[0]
-    opacities = opacities.reshape(-1)
-
-    pre = preprocess(
-        means3d,
-        scales if scales is not None else jnp.ones((n, 3), means3d.dtype),
-        rotations if rotations is not None else
-        jnp.concatenate(
-            [jnp.ones((n, 1), means3d.dtype),
-             jnp.zeros((n, 3), means3d.dtype)], -1),
-        camera.viewmatrix,
-        camera.projmatrix,
-        W, H,
-        camera.tan_fovx,
-        camera.tan_fovy,
-        scale_modifier,
-        cov3d_precomp,
-        camera.lim_tan_fovx,
-        camera.lim_tan_fovy,
-    )
-
-    if colors is None:
-        assert shs is not None
-        dirs = means3d - camera.cam_center
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
-        colors, _ = sh_to_rgb_clamped(sh_degree, shs, dirs)
-
-    means2d = pre.means2d
-    if means2d_offset is not None:
-        means2d = means2d + means2d_offset * jnp.asarray(
-            [0.5 * W, 0.5 * H], means2d.dtype)
-
-    radii = pre.radii
-    if active_mask is not None:
-        # capacity-padding / scene-graph aliveness mask (models layer)
-        radii = jnp.where(active_mask, radii, 0)
-        pre = pre._replace(radii=radii)
-    visible = radii > 0
-    order = jax.lax.stop_gradient(binning.depth_order(pre))
-
-    s_ch = 0
-    sem_list = []
-    if semantics is not None and semantics.shape[-1] > 0:
-        s_ch = semantics.shape[-1]
-        sem_list = [semantics]  # [N, S]
-
-    # [N, NF] pairs-major field columns (see pallas_blend F_* layout)
-    fields = jnp.concatenate(
-        [
-            means2d,                                    # mx, my
-            pre.conics,                                 # ca, cb, cc
-            opacities[:, None],                         # op
-            colors,                                     # r, g, b
-            pre.depths[:, None],                        # depth
-            pre.radii.astype(jnp.float32)[:, None],     # radius
-        ]
-        + sem_list,
-        axis=1,
-    )
-    nf_cols = _round_up(NF_BASE + s_ch, 8)
-    if fields.shape[1] < nf_cols:
-        fields = jnp.concatenate(
-            [fields, jnp.zeros((n, nf_cols - fields.shape[1]),
-                               fields.dtype)], axis=1)
-
-    fields_sorted = jnp.take(fields, order, axis=0)     # [N, NF]
-    rect_min_s = jnp.take(pre.rect_min, order, axis=0)
-    rect_max_s = jnp.take(pre.rect_max, order, axis=0)
-    visible_s = jnp.take(visible, order, axis=0)
-
-    # the gm-expansion ride (extra sort operand) is only built when the
-    # caller wires gradient hooks — eval renders skip its cost
     train_mode = means2d_offset is not None or absgrad_sink is not None
-    lists = binning.build_pair_lists(
-        rect_min_s, rect_max_s, visible_s, W, H, capacity,
-        ride_gm=train_mode)
-
-    # gather the flat pair data [P_pad, NF]; padding slots zeroed (their
-    # zero opacity/radius makes the kernel skip them); see _take8 /
-    # _pair_gather for the split-gather + hand-written transpose
-    src = jax.lax.stop_gradient(jnp.maximum(lists.pair_src, 0))
-    valid = jax.lax.stop_gradient(
-        lists.pair_valid.astype(fields.dtype))
-
-    if absgrad_sink is None:
-        absgrad_sink = jnp.zeros((n,), means3d.dtype)
-    # route the per-gaussian sink through sort+pair-gather so its cotangent
-    # (the per-pair abs stats) aggregates back per Gaussian automatically
-    sink_sorted = jnp.take(absgrad_sink, order, axis=0)
-
-    if train_mode:
-        gdata, sink_pairs = _pair_gather(
-            fields_sorted, sink_sorted, src, valid,
-            jax.lax.stop_gradient(lists.pair_gm),
-            jax.lax.stop_gradient(lists.seg_offs),
-            jax.lax.stop_gradient(lists.seg_area))
-    else:
-        gdata = _take8(fields_sorted, src) * valid[:, None]
-        sink_pairs = jnp.take(sink_sorted, src) * valid
-
-    planes = blend_pairs(
-        gdata,
-        lists,
-        bg_color.reshape(3),
-        sink_pairs,
-        width=W,
-        height=H,
-        s_ch=s_ch,
-        interpret=interpret,
-    )
-    color = planes[0:3]
-    depth = planes[3:4]
-    alpha = planes[4:5]
-    semantic = planes[5:5 + s_ch]
-    return RasterOut(
-        color=color,
-        depth=depth,
-        alpha=alpha,
-        semantic=semantic,
-        radii=pre.radii,
-        means2d=pre.means2d,
-        overflow=lists.overflowed,
-        n_pairs=jnp.maximum(lists.raw_total, lists.padded_total),
-    )
+    fs = primitive_fields(
+        means3d, opacities, camera=camera, colors=colors, shs=shs,
+        sh_degree=sh_degree, semantics=semantics, scales=scales,
+        rotations=rotations, cov3d_precomp=cov3d_precomp,
+        scale_modifier=scale_modifier, means2d_offset=means2d_offset,
+        absgrad_sink=absgrad_sink, active_mask=active_mask)
+    return blend_fields(fs, width=camera.width, height=camera.height,
+                        bg_color=bg_color, capacity=capacity,
+                        train_mode=train_mode, interpret=interpret)

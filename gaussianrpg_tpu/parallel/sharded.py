@@ -41,6 +41,16 @@ def make_mesh(devices=None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
+    """('data','model') mesh: pixels/tile-strips shard over 'data',
+    Gaussians/primitives over 'model' (SURVEY.md §7.9)."""
+    devices = devices if devices is not None else jax.devices()
+    assert len(devices) >= n_data * n_model
+    return Mesh(
+        np.asarray(devices[:n_data * n_model]).reshape(n_data, n_model),
+        ("data", "model"))
+
+
 def strip_cameras(camera: Camera, n_strips: int) -> Camera:
     """Stack n_strips strip cameras as one pytree with a leading device
     axis. Strip height is padded to a multiple of 16 (the tile size) so
@@ -138,4 +148,73 @@ def render_strips(
     # out: [n, C, strip_h, W] -> crop to H
     c = out.shape[1]
     out = jnp.moveaxis(out, 0, 1).reshape(c, n * strip_h, camera.width)
+    return out[:, :camera.height, :]
+
+
+def render_sharded_2d(
+    fields_fn,
+    camera: Camera,
+    mesh: Mesh,
+    *sharded_args,
+    capacity: int = 1 << 16,
+    bg_color=None,
+    train_mode: bool = False,
+    interpret: bool = True,
+):
+    """Two-axis sharded render on a ('data','model') mesh.
+
+    'data' shards the image into tile strips (as `render_strips`); 'model'
+    shards the PRIMITIVES: each device runs the O(N) preprocess stage
+    (`ops.rasterize.primitive_fields`) on only its Gaussian shard, then the
+    per-Gaussian field rows are all-gathered along 'model' (tiled, so the
+    concatenation restores the global order) and the O(P) tile stage
+    (`blend_fields`) runs on the full set for the local strip. Under
+    autodiff the all-gather transposes to a REDUCE-SCATTER, handing each
+    model shard exactly its own parameter gradients — the distributed
+    gradient-ownership scheme SURVEY.md §7.9 / BASELINE's multi-host
+    target call for (the reference is single-GPU and has no peer).
+
+    `fields_fn(strip_camera, *local_args) -> FieldSet` computes the local
+    shard's fields; every arg in `sharded_args` must have its leading axis
+    divisible by the 'model' axis size.
+    """
+    from ..ops.rasterize import blend_fields
+
+    n_data, n_model = (mesh.shape["data"], mesh.shape["model"])
+    strips = strip_cameras(camera, n_data)
+    strip_h = strips.height
+    tan_fovy = _strip_tan_fovy(camera, strip_h)
+    bg = jnp.zeros(3) if bg_color is None else bg_color
+
+    def per_device(strip_cam_arrays, *args):
+        local = jax.tree.map(lambda x: x[0], strip_cam_arrays)
+        cam = Camera(
+            viewmatrix=local.viewmatrix, projmatrix=local.projmatrix,
+            cam_center=local.cam_center, K=local.K,
+            width=camera.width, height=strip_h,
+            tan_fovx=camera.tan_fovx, tan_fovy=tan_fovy,
+            ego_pose=local.ego_pose, extrinsic=local.extrinsic,
+            timestamp=local.timestamp, frame=camera.frame,
+            cam_id=camera.cam_id, meta=camera.meta,
+            lim_tan_fovx=camera.tan_fovx, lim_tan_fovy=camera.tan_fovy)
+        fs = fields_fn(cam, *args)
+        ag = lambda x: jax.lax.all_gather(x, "model", axis=0, tiled=True)
+        fs_full = fs._replace(
+            fields=ag(fs.fields), rect_min=ag(fs.rect_min),
+            rect_max=ag(fs.rect_max), radii=ag(fs.radii),
+            depths=ag(fs.depths), sink=ag(fs.sink), means2d=ag(fs.means2d))
+        out = blend_fields(fs_full, width=camera.width, height=strip_h,
+                           bg_color=bg, capacity=capacity,
+                           train_mode=train_mode, interpret=interpret)
+        planes = jnp.concatenate([out.color, out.depth, out.alpha], axis=0)
+        return planes[None]
+
+    out = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P("data"),) + tuple(P("model") for _ in sharded_args),
+        out_specs=P("data"),
+        check_vma=False,
+    )(strip_cameras(camera, n_data), *sharded_args)
+    c = out.shape[1]
+    out = jnp.moveaxis(out, 0, 1).reshape(c, n_data * strip_h, camera.width)
     return out[:, :camera.height, :]
