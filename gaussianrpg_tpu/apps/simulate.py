@@ -86,6 +86,71 @@ def _synthetic_setup(width=512, height=320, ego_speed=8.0,
     return tape, render_fn, detector, cams[0], gt_tracklets, v2c
 
 
+def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
+    """Trained-scene setup (reference `simulator.py:77-161`): latest
+    checkpoint + tape from `cfg.sim.traj_file_path` + YOLO or
+    box-projection detector. Returns the `run_closed_loop` argument
+    tuple (tape, render_fn, detector, camera_template, gt_tracklets,
+    vehicle->camera extrinsic)."""
+    import jax
+
+    from ..data.waymo import WaymoScene
+    from ..models.scene_builder import build_scene_from_waymo
+    from ..models.scene_io import load_latest_checkpoint
+    from ..render.renderer import RenderOptions, render_scene
+    from ..sim.detector import (BoxProjectionDetector, JaxYoloDetector,
+                                TorchHubYoloDetector)
+    from ..sim.tape import load_tape
+
+    scene = WaymoScene(
+        cfg.source_path,
+        selected_frames=cfg.data.selected_frames or None,
+        cameras=tuple(cfg.data.cameras),
+        box_scale=cfg.data.get("box_scale", 1.0))
+    models, meta, arrays, _ = build_scene_from_waymo(scene, cfg)
+    models = load_latest_checkpoint(cfg.trained_model_dir, models)
+    tape = load_tape(cfg.sim.traj_file_path)
+    cams = scene.build_cameras("train")
+    cam0 = cams[0][0]
+
+    options = RenderOptions(capacity=cfg.render.capacity)
+    render_jit = jax.jit(
+        render_scene,
+        static_argnames=("active_sh_degree", "options", "train_mode",
+                         "include_background", "include_objects"))
+
+    def render_fn(cam):
+        res = render_jit(models, meta, arrays, cam,
+                         active_sh_degree=meta.bkgd_sh_degree,
+                         options=options)
+        return res.rgb
+
+    weights = cfg.sim.get("yolov5_weights_path", "")
+    if weights and os.path.exists(weights):
+        try:
+            detector = JaxYoloDetector(weights)
+        except Exception:
+            detector = TorchHubYoloDetector(weights)
+    else:
+        detector = BoxProjectionDetector(arrays=arrays,
+                                         actor_pose=models.actor_pose)
+
+    if cipv_id >= 0:
+        tracklets = {}
+        with open(os.path.join(cfg.source_path, "track",
+                               "track_info.txt")) as f:
+            rows = f.read().splitlines()[1:]
+        for row in rows:
+            t = row.split()
+            if int(t[1]) == cipv_id:
+                tracklets[int(t[0])] = (float(t[7]), float(t[8]),
+                                        float(t[9]))
+    else:
+        tracklets = {0: (1e9, 0.0, 0.0)}  # no CIPV: distance never trips
+    v2c = np.linalg.inv(np.asarray(cam0.extrinsic))
+    return tape, render_fn, detector, cam0, tracklets, v2c
+
+
 def main(argv=None):
     import argparse
 
@@ -93,17 +158,28 @@ def main(argv=None):
 
     p = argparse.ArgumentParser()
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--config", type=str, default=None)
+    p.add_argument("--cipv", type=int, default=-1)
+    p.add_argument("--start-frame", type=int, default=0)
     p.add_argument("--brake-distance", type=float, default=15.0)
     p.add_argument("--collision-threshold", type=float, default=5.5)
     p.add_argument("--simulation-time", type=float, default=3.5)
     p.add_argument("--width", type=int, default=512)
     p.add_argument("--height", type=int, default=320)
+    p.add_argument("opts", nargs="*", default=[])
     args = p.parse_args(argv)
 
-    tape, render_fn, detector, cam0, gt, v2c = _synthetic_setup(
-        args.width, args.height)
+    if args.config and not args.synthetic:
+        from ..config.config import load_config
+        cfg = load_config(args.config, args.opts)
+        tape, render_fn, detector, cam0, gt, v2c = config_setup(
+            cfg, cipv_id=args.cipv, start_frame=args.start_frame)
+    else:
+        tape, render_fn, detector, cam0, gt, v2c = _synthetic_setup(
+            args.width, args.height)
     result = run_closed_loop(
         tape, render_fn, detector, cam0, gt,
+        start_frame=args.start_frame,
         brake_distance=args.brake_distance,
         collision_threshold=args.collision_threshold,
         simulation_time=args.simulation_time,

@@ -45,10 +45,15 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+GATHER_SPLIT = False  # True: split row gathers into 8-wide column groups
+                      # (was faster in early measurements; a plain 16-wide
+                      # take measured 23.2 ms vs 2x18.4 ms split for 3.67M
+                      # rows — re-verify per runtime with this knob)
+
+
 def _take8(x, idx):
-    """Row gather split into 8-wide column groups (XLA's TPU gather is ~4x
-    slower per row for 9..32-wide rows than for <=8-wide, measured)."""
-    if x.ndim == 1:
+    """Row gather, optionally split into 8-wide column groups."""
+    if x.ndim == 1 or not GATHER_SPLIT:
         return jnp.take(x, idx, axis=0)
     return jnp.concatenate(
         [jnp.take(x[:, i:i + 8], idx, axis=0)

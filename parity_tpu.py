@@ -1,0 +1,112 @@
+"""Hardware parity artifact: run the Pallas rasterizer forward+backward on
+the REAL TPU (not interpret mode) and compare against (a) the pure-numpy
+scalar transliteration of the CUDA semantics (`tests/np_reference.py`) and
+(b) JAX autodiff through the pure-JAX oracle, writing `PARITY_TPU.json`
+with per-tensor max errors.
+
+This makes the README's allclose claim reproducible each round (the
+BASELINE.json correctness target: frames + pixel-gradients allclose to the
+reference `diff-gaussian-rasterization` CUDA rasterizer, whose per-op
+semantics np_reference mirrors scalar-for-scalar).
+
+Run with the ambient (axon/TPU) environment:  python parity_tpu.py
+"""
+import json
+import math
+import sys
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, "tests")
+    from np_reference import rasterize_np
+
+    from gaussianrpg_tpu.ops.oracle import rasterize_oracle
+    from gaussianrpg_tpu.ops.rasterize import rasterize
+    from gaussianrpg_tpu.render.camera import make_camera
+
+    backend = jax.default_backend()
+    W, H = 256, 192
+    n = 2000
+    rng = np.random.default_rng(7)
+    means = np.stack([
+        rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+        rng.uniform(1.0, 8.0, n)], -1).astype(np.float32)
+    scales = np.exp(rng.uniform(-3.5, -1.0, (n, 3))).astype(np.float32)
+    q = rng.standard_normal((n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    opac = rng.uniform(0.05, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    bg = np.asarray([0.1, 0.2, 0.3], np.float32)
+
+    fovx = math.radians(60.0)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+    cam = make_camera(R=np.eye(3), T=np.zeros(3), K=None, width=W, height=H,
+                      fovx=fovx, fovy=fovy)
+
+    args = tuple(map(jnp.asarray, (means, opac, colors, scales, q)))
+    kw = dict(camera=cam, bg_color=jnp.asarray(bg))
+
+    # --- forward: Pallas on hardware vs numpy CUDA-semantics oracle ------
+    p = jax.jit(lambda m, op, c, s, r: rasterize(
+        m, op, colors=c, scales=s, rotations=r, capacity=262144,
+        **kw))(*args)
+    o_np = rasterize_np(means, opac, colors, np.asarray(cam.viewmatrix),
+                        np.asarray(cam.projmatrix), W, H,
+                        float(cam.tan_fovx), float(cam.tan_fovy), bg,
+                        scales=scales, rotations=q)
+
+    fwd = {
+        "color_vs_numpy": float(np.abs(np.asarray(p.color)
+                                       - o_np["color"]).max()),
+        "depth_vs_numpy": float(np.abs(np.asarray(p.depth)
+                                       - o_np["depth"]).max()),
+        "alpha_vs_numpy": float(np.abs(np.asarray(p.alpha)
+                                       - o_np["alpha"]).max()),
+        "radii_mismatches": int(
+            (np.asarray(p.radii) != o_np["radii"]).sum()),
+    }
+
+    # --- backward: Pallas hand-derived VJP vs autodiff-through-oracle ----
+    target = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+
+    def loss(fn, m, op, c, s, r, **extra):
+        out = fn(m, op, colors=c, scales=s, rotations=r, **kw, **extra)
+        return (jnp.sum((out.color - target) ** 2)
+                + 0.3 * jnp.sum(out.depth) + 0.1 * jnp.sum(out.alpha ** 2))
+
+    g_p = jax.jit(jax.grad(
+        lambda *a: loss(rasterize, *a, capacity=262144),
+        argnums=(0, 1, 2, 3, 4)))(*args)
+    g_o = jax.jit(jax.grad(
+        lambda *a: loss(rasterize_oracle, *a),
+        argnums=(0, 1, 2, 3, 4)))(*args)
+
+    names = ["means3d", "opacity", "colors", "scales", "rotations"]
+    bwd = {}
+    for name, gp, go in zip(names, g_p, g_o):
+        gp, go = np.asarray(gp), np.asarray(go)
+        scale = np.abs(go).max() + 1e-8
+        bwd[f"grad_{name}_rel_err"] = float(np.abs(gp - go).max() / scale)
+
+    report = {
+        "backend": backend,
+        "device": str(jax.devices()[0]),
+        "scene": {"n": n, "W": W, "H": H},
+        "forward_max_abs_err": fwd,
+        "backward_max_rel_err": bwd,
+        "pass": (fwd["color_vs_numpy"] < 1e-3
+                 and fwd["radii_mismatches"] == 0
+                 and max(bwd.values()) < 5e-4),
+    }
+    with open("PARITY_TPU.json", "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+#!/bin/bash
+# Closed-loop launch, separate-perception mode (reference
+# nodes/scripts/simulator_launch_separate.sh semantics):
+#   $1 cams_tape.json   $2 track_info.txt  $3 start_frame  $4 cipv_id
+#   $5 config yaml      $6 simulation_time $7 collision_threshold
+#   $8 brake_distance   $9 yolov5 weights
+set -u
+relative_path=$0
+absolute_path=$(readlink -f "$relative_path")
+scripts_dir=$(dirname "$absolute_path")
+ros2_dir=$(dirname "$scripts_dir")
+
+source "$ros2_dir/install/setup.bash"
+
+if command -v rviz2 >/dev/null; then
+    rviz2 -d "$ros2_dir/rviz2/gaussian_rpg.rviz" &
+fi
+
+ros2 run dummy_controllers aeb_controller "$8" &
+ros2 run dummy_controllers object_detector "${9:-yolov5s.pt}" &
+ros2 run simulator evaluation "$6" "$7" &
+ros2 run simulator ground_truth "$1" "$2" "$3" "$4" &
+ros2 run simulator simulator --config "$5" sim.traj_file_path "$1" \
+    sim.separate_perception True &
+
+sleep 3
+
+while true; do
+    if ! pgrep -x "evaluation" > /dev/null; then
+        echo "Simulation process ends."
+        killall -9 aeb_controller 2>/dev/null
+        killall -9 object_detector 2>/dev/null
+        killall -9 ground_truth 2>/dev/null
+        killall -9 simulator 2>/dev/null
+        break
+    fi
+    sleep 1
+done
+sleep 1

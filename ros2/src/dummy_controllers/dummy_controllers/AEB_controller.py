@@ -1,0 +1,52 @@
+"""AEB controller node (reference `dummy_controllers/AEB_controller.py:
+21-113`): CIPV gate on `objects`, velocity from `cam_pose` differencing,
+tiered brake command on `control_cmd`. Args: [brake_distance]
+"""
+import sys
+
+import rclpy
+from geometry_msgs.msg import (PoseArray, PoseWithCovarianceStamped,
+                               TwistStamped)
+from rclpy.node import Node
+
+from gaussianrpg_tpu.sim.nodes import AebController as AebCore
+
+
+class Controller(Node):
+    def __init__(self):
+        super().__init__('aeb_controller')
+        brake_distance = float(sys.argv[1]) if len(sys.argv) > 1 else 24.0
+        self.core = AebCore(brake_distance=brake_distance)
+        self.pub = self.create_publisher(TwistStamped, 'control_cmd', 10)
+        self.create_subscription(PoseArray, 'objects', self.on_objects, 10)
+        self.create_subscription(PoseWithCovarianceStamped, 'cam_pose',
+                                 self.on_pose, 10)
+
+    def on_objects(self, msg):
+        objs = [(p.position.x, p.position.y) for p in msg.poses]
+        brake = self.core.on_objects(objs)
+        if brake != 0.0:
+            cmd = TwistStamped()
+            cmd.header = msg.header
+            cmd.twist.linear.x = float(brake)
+            self.pub.publish(cmd)
+
+    def on_pose(self, msg):
+        t = float(msg.header.stamp.sec) \
+            + 1e-9 * float(msg.header.stamp.nanosec)
+        self.core.on_pose(float(msg.pose.pose.position.z), t)
+
+
+def main(args=None):
+    rclpy.init(args=args)
+    node = Controller()
+    try:
+        rclpy.spin(node)
+    except SystemExit:
+        pass
+    node.destroy_node()
+    rclpy.shutdown()
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,69 @@
+"""Object-detector node for the separate-perception mode (reference
+`dummy_controllers/object_detector.py:44-251`): subscribes `front_image`,
+runs YOLO (JAX port, or torch-hub fallback), estimates range via the
+ground-plane pinhole model, publishes `objects`.
+Args: [yolov5_weights_path]
+"""
+import sys
+
+import numpy as np
+import rclpy
+from geometry_msgs.msg import Pose, PoseArray
+from rclpy.node import Node
+from sensor_msgs.msg import Image
+
+from gaussianrpg_tpu.sim.detector import (JaxYoloDetector,
+                                          TorchHubYoloDetector)
+from gaussianrpg_tpu.sim.nodes import GroundPlaneRanger
+
+# hard-coded Waymo FRONT intrinsics/extrinsics at 1600x1066, matching the
+# reference node (`object_detector.py:62-74`)
+K_FRONT = np.array([[1734.5911 / 1.2, 0.0, 1600 / 2.0],
+                    [0.0, 1734.5911 / 1.2, 1066 / 2.0],
+                    [0.0, 0.0, 1.0]])
+V2C = np.array([[0.0, -1.0, 0.0, 0.0], [0.0, 0.0, -1.0, 0.0],
+                [1.0, 0.0, 0.0, -1.544], [0.0, 0.0, 0.0, 1.0]])
+
+
+class ObjectDetector(Node):
+    def __init__(self):
+        super().__init__('object_detector')
+        weights = sys.argv[1] if len(sys.argv) > 1 else 'yolov5s.pt'
+        try:
+            self.det = JaxYoloDetector(weights)
+        except Exception:
+            self.det = TorchHubYoloDetector(weights)
+        self.ranger = GroundPlaneRanger(
+            image_width=1600, image_height=1066, K=K_FRONT, extrinsic=V2C,
+            cam_height=2.115)
+        self.pub = self.create_publisher(PoseArray, 'objects', 10)
+        self.create_subscription(Image, 'front_image', self.on_image, 10)
+
+    def on_image(self, msg):
+        rgb = np.frombuffer(msg.data, np.uint8).reshape(
+            msg.height, msg.width, 3).transpose(2, 0, 1) / 255.0
+        dets = self.det.detect(rgb.astype(np.float32), None)
+        arr = PoseArray()
+        arr.header = msg.header
+        for box in dets:
+            rng, lat = self.ranger.distance(box)
+            pose = Pose()
+            pose.position.x = float(rng)
+            pose.position.y = float(lat)
+            arr.poses.append(pose)
+        self.pub.publish(arr)
+
+
+def main(args=None):
+    rclpy.init(args=args)
+    node = ObjectDetector()
+    try:
+        rclpy.spin(node)
+    except SystemExit:
+        pass
+    node.destroy_node()
+    rclpy.shutdown()
+
+
+if __name__ == '__main__':
+    main()

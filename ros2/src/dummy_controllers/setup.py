@@ -1,0 +1,29 @@
+from setuptools import find_packages, setup
+
+package_name = 'dummy_controllers'
+
+setup(
+    name=package_name,
+    version='0.1.0',
+    packages=find_packages(exclude=['test']),
+    data_files=[
+        ('share/ament_index/resource_index/packages',
+            ['resource/' + package_name]),
+        ('share/' + package_name, ['package.xml']),
+    ],
+    install_requires=['setuptools'],
+    zip_safe=True,
+    maintainer='gaussianrpg-tpu',
+    maintainer_email='dev@example.com',
+    description='Dummy AEB controller + object detector nodes; '
+                'topic-compatible with the reference dummy_controllers '
+                'package (nodes/src/dummy_controllers/setup.py:22-26)',
+    license='Apache-2.0',
+    tests_require=['pytest'],
+    entry_points={
+        'console_scripts': [
+            'aeb_controller = dummy_controllers.AEB_controller:main',
+            'object_detector = dummy_controllers.object_detector:main'
+        ],
+    },
+)

@@ -1,0 +1,30 @@
+from setuptools import find_packages, setup
+
+package_name = 'simulator'
+
+setup(
+    name=package_name,
+    version='0.1.0',
+    packages=find_packages(exclude=['test']),
+    data_files=[
+        ('share/ament_index/resource_index/packages',
+            ['resource/' + package_name]),
+        ('share/' + package_name, ['package.xml']),
+    ],
+    install_requires=['setuptools'],
+    zip_safe=True,
+    maintainer='gaussianrpg-tpu',
+    maintainer_email='dev@example.com',
+    description='Closed-loop simulator main frame (TPU renderer); '
+                'topic-compatible with the reference simulator package '
+                '(nodes/src/simulator/setup.py:22-27)',
+    license='Apache-2.0',
+    tests_require=['pytest'],
+    entry_points={
+        'console_scripts': [
+            'simulator = simulator.simulator:main',
+            'ground_truth = simulator.groundtruth:main',
+            'evaluation = simulator.evaluation:main'
+        ],
+    },
+)

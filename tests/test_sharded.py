@@ -41,10 +41,10 @@ def test_sharded_matches_single_device():
 
 
 def test_sharded_gradients_match():
-    cam = make_test_camera(width=32, height=64)
-    args = _scene(n=150)
+    cam = make_test_camera(width=32, height=32)
+    args = _scene(n=100)
     mesh = make_mesh(jax.devices()[:4])
-    fn = _render_fn(capacity=4096)
+    fn = _render_fn(capacity=2048)
 
     def loss_single(m, op, c, s, r):
         return jnp.sum(fn(cam, m, op, c, s, r)[:3] ** 2)
@@ -71,13 +71,13 @@ def test_sharded_2d_matches_single_device():
     order, so the depth sort tie-break is identical)."""
     from gaussianrpg_tpu.parallel.sharded import (make_mesh_2d,
                                                   render_sharded_2d)
-    cam = make_test_camera(width=64, height=96)
-    args = _scene(n=400)   # 400 not divisible by 4 -> pad to 400? 400/4=100 ok
+    cam = make_test_camera(width=48, height=64)
+    args = _scene(n=200)   # 200 = 4 * 50 model shards
     mesh = make_mesh_2d(2, 4)
 
-    single = _render_fn(capacity=8192)(cam, *args)
+    single = _render_fn(capacity=4096)(cam, *args)
     sharded = render_sharded_2d(_fields_fn, cam, mesh, *args,
-                                capacity=8192,
+                                capacity=4096,
                                 bg_color=jnp.asarray([0.1, 0.2, 0.3]))
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-5, atol=1e-5)
@@ -88,17 +88,17 @@ def test_sharded_2d_gradients_match():
     along 'model' + psum along 'data' reproduces single-device grads."""
     from gaussianrpg_tpu.parallel.sharded import (make_mesh_2d,
                                                   render_sharded_2d)
-    cam = make_test_camera(width=32, height=64)
-    args = _scene(n=152)   # 152 = 4 * 38
+    cam = make_test_camera(width=32, height=32)
+    args = _scene(n=100)   # 100 = 4 * 25 model shards
     mesh = make_mesh_2d(2, 4)
-    fn = _render_fn(capacity=4096)
+    fn = _render_fn(capacity=2048)
 
     def loss_single(m, op, c, s, r):
         return jnp.sum(fn(cam, m, op, c, s, r)[:3] ** 2)
 
     def loss_sharded(m, op, c, s, r):
         img = render_sharded_2d(
-            _fields_fn, cam, mesh, m, op, c, s, r, capacity=4096,
+            _fields_fn, cam, mesh, m, op, c, s, r, capacity=2048,
             bg_color=jnp.asarray([0.1, 0.2, 0.3]))
         return jnp.sum(img[:3] ** 2)
 
