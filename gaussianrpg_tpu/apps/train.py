@@ -119,7 +119,9 @@ def main(argv=None):
         models, meta, arrays, actor_names = build_scene_from_waymo(
             scene, cfg)
         cam_gt = scene.build_cameras("train")
-        opts = RenderOptions(capacity=cfg.render.capacity)
+        opts = RenderOptions(
+            capacity=cfg.render.capacity,
+            render_normals=bool(cfg.optim.get("lambda_normal_mono", 0.0)))
 
     ocfg = OptimConfig(
         position_lr_init=cfg.optim.position_lr_init,
@@ -187,8 +189,36 @@ def main(argv=None):
     os.makedirs(cfg.point_cloud_dir, exist_ok=True)
     writer = _make_writer(os.path.join(cfg.model_path, "tensorboard"))
     test_cam_gt = []
+    batches = [Batch(gt_image=None) for _ in cam_gt]
     if not (args.synthetic or not cfg.source_path):
         test_cam_gt = scene.build_cameras("test")
+        # per-image loss planes (sky mask, lidar depth, obj bound, mono
+        # normal; `camera_utils.loadmask/loadmetadata`). A plane is wired
+        # only when present for EVERY train view so the jitted step keeps
+        # one stable Batch structure.
+        all_planes = []
+        for c, gt in cam_gt:
+            all_planes.append(
+                scene.load_batch_planes(c.frame, c.cam_id, gt.shape[1:])
+                if gt is not None else {})
+        keys = ["sky_mask", "lidar_depth", "obj_bound", "mono_normal"]
+        have = {k: all(k in p for p in all_planes) for k in keys}
+        lss = list(cfg.optim.get("lambda_sky_scale", []) or [])
+        batches = []
+        for (c, gt), planes in zip(cam_gt, all_planes):
+            batches.append(Batch(
+                gt_image=None,
+                sky_mask=(jnp.asarray(planes["sky_mask"])
+                          if have["sky_mask"] else None),
+                lidar_depth=(jnp.asarray(planes["lidar_depth"])
+                             if have["lidar_depth"] else None),
+                obj_bound=(jnp.asarray(planes["obj_bound"])
+                           if have["obj_bound"] else None),
+                mono_normal=(jnp.asarray(planes["mono_normal"])
+                             if have["mono_normal"] else None),
+                sky_scale=(jnp.asarray(float(lss[c.cam_id]))
+                           if lss and c.cam_id < len(lss) else None),
+            ))
     test_iters = set(cfg.train.get("test_iterations", [])) | {iters}
     t0 = time.time()
 
@@ -199,7 +229,7 @@ def main(argv=None):
         cam, gt = cam_gt[ci]
         if gt is None:
             continue
-        batch = Batch(gt_image=jnp.asarray(gt))
+        batch = batches[ci]._replace(gt_image=jnp.asarray(gt))
         state, loss, scalars, res = step_fn(
             state, cam, batch, jax.random.PRNGKey(it), active_sh)
         ema_loss = 0.4 * float(loss) + 0.6 * ema_loss

@@ -313,6 +313,79 @@ class WaymoScene:
                 ), gt))
         return cams
 
+    def load_batch_planes(self, frame: int, cam: int, hw: tuple,
+                          native_hw: tuple = (1280, 1920)):
+        """Per-image training planes for the loss terms
+        (`camera_utils.loadmask:113-141` + `loadmetadata:143-164`):
+        sky_mask [1,H,W] bool, lidar_depth [1,H,W] (0 where no return),
+        obj_bound [1,H,W] bool, mono_normal [3,H,W] — each None when the
+        corresponding data-prep output is absent. `hw` is the training
+        resolution; `native_hw` the sensor resolution the intrinsics
+        describe."""
+        from PIL import Image
+        h, w = hw
+        out = {}
+
+        p = os.path.join(self.datadir, "sky_mask", f"{frame:06d}_{cam}.png")
+        if os.path.exists(p):
+            m = Image.open(p).resize((w, h), Image.NEAREST)
+            out["sky_mask"] = (np.asarray(m) > 0).reshape(1, h, w)
+
+        p = os.path.join(self.datadir, "lidar_depth",
+                         f"{frame:06d}_{cam}.npy")
+        if os.path.exists(p):
+            d = np.load(p, allow_pickle=True).item()
+            full_h, full_w = d["mask"].shape
+            depth = np.zeros((full_h, full_w), np.float32)
+            depth[d["mask"]] = d["value"]
+            if (full_h, full_w) != (h, w):
+                ys, xs = np.nonzero(d["mask"])
+                depth_s = np.zeros((h, w), np.float32)
+                depth_s[(ys * h // full_h), (xs * w // full_w)] = d["value"]
+                depth = depth_s
+            out["lidar_depth"] = depth.reshape(1, h, w)
+
+        # object 2D bound from the tracked boxes (`waymo_utils.py:409-439`)
+        fi = frame - self.start_frame
+        if 0 <= fi < self.num_frames:
+            from ..utils.boxes import bbox_to_corner3d, get_bound_2d_mask
+            bound = np.zeros((h, w), bool)
+            K = self.intrinsics[cam].copy()
+            K[:2] *= w / float(native_hw[1])
+            w2c = np.linalg.inv(self.extrinsics[cam])
+            any_obj = False
+            for t in self.tracklets[fi]:
+                tid = int(t[0])
+                if tid < 0 or tid not in self.objects_info:
+                    continue
+                info = self.objects_info[tid]
+                half = np.array([info["length"], info["width"],
+                                 info["height"]]) / 2.0
+                corners = bbox_to_corner3d(np.stack([-half, half]))
+                corners = np.concatenate(
+                    [corners, np.ones_like(corners[:, :1])], -1)
+                pose = np.eye(4)
+                from ..data.lidar_init import _quat_to_matrix
+                pose[:3, :3] = _quat_to_matrix(np.asarray(t[4:8],
+                                                          np.float64))
+                pose[:3, 3] = t[1:4]
+                cv = (corners @ pose.T)[:, :3]
+                bound |= get_bound_2d_mask(cv, K, w2c, h, w)
+                any_obj = True
+            if any_obj:
+                out["obj_bound"] = bound.reshape(1, h, w)
+
+        p = os.path.join(self.datadir, "mono_normal",
+                         f"{frame:06d}_{cam}.npy")
+        if os.path.exists(p):
+            nrm = np.load(p).astype(np.float32)        # [H, W, 3] in [-1,1]
+            if nrm.shape[:2] != (h, w):
+                idx_y = (np.arange(h) * nrm.shape[0] // h)
+                idx_x = (np.arange(w) * nrm.shape[1] // w)
+                nrm = nrm[idx_y][:, idx_x]
+            out["mono_normal"] = nrm.transpose(2, 0, 1)
+        return out
+
     def load_init_pointclouds(self, auto_build: bool = True):
         """Background + per-object init PLYs written by the data-prep
         toolchain (`waymo_utils.py:703-711`). When absent but the

@@ -162,6 +162,22 @@ def test_lidar_init_end_to_end(tmp_path):
     assert r_xy.max() > 20.0
     np.testing.assert_allclose(brgb[0], [1.0, 0, 0], atol=0.05)
 
+    # training planes (`WaymoScene.load_batch_planes`): obj_bound from the
+    # tracked box, lidar depth from the generated npy
+    from gaussianrpg_tpu.apps.generate_lidar_depth import \
+        generate_lidar_depth
+    generate_lidar_depth(out, log=lambda *_: None)
+    planes = scene.load_batch_planes(0, 0, (480, 640),
+                                     native_hw=(480, 640))
+    assert planes["obj_bound"].shape == (1, 480, 640)
+    assert planes["obj_bound"].any()
+    # box center (8,0,1) ahead of the camera at x=1.5: projects near the
+    # image center horizontally
+    ys, xs = np.nonzero(planes["obj_bound"][0])
+    assert abs(xs.mean() - 320) < 120
+    assert planes["lidar_depth"].shape == (1, 480, 640)
+    assert (planes["lidar_depth"] > 0).sum() >= 1
+
     # scene builder consumes the real PLYs (no 100k random-shell fallback)
     cfg = load_config(None, ["source_path", out, "data.extent", "0"])
     models, meta, arrays, actor_names = build_scene_from_waymo(scene, cfg)
