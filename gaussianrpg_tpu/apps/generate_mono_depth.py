@@ -1,0 +1,98 @@
+"""Monocular depth generation (gated): reference
+`script/waymo/generate_mono_depth.py` runs MiDaS DPT_Hybrid via torch.hub.
+
+This environment has no model egress, so the hook is gated: it uses
+torch.hub when reachable, or a local TorchScript/torch checkpoint given
+with --weights. Outputs match the reference contract:
+`{out}/mono_depth/{frame:06d}_{cam}.npy` (relative inverse depth [H, W])
+plus a colormapped PNG for inspection.
+
+Usage: python -m gaussianrpg_tpu.apps.generate_mono_depth <datadir>
+           [--weights midas.pt] [--ignore-exists]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def load_midas(weights: str | None):
+    import torch
+    if weights and os.path.exists(weights):
+        model = torch.jit.load(weights, map_location="cpu") \
+            if weights.endswith((".ts", ".torchscript")) \
+            else torch.load(weights, map_location="cpu", weights_only=False)
+    else:
+        model = torch.hub.load("intel-isl/MiDaS", "DPT_Hybrid")
+    model.eval()
+    for p in model.parameters():
+        p.requires_grad = False
+    return model
+
+
+def estimate_depth(model, img_chw: np.ndarray) -> np.ndarray:
+    """Relative inverse depth [H, W] (reference
+    `generate_mono_depth.py:25-50`: normalize, 384x512 bicubic, DPT,
+    resize back)."""
+    import torch
+    import torch.nn.functional as F
+    h, w = img_chw.shape[1:]
+    x = torch.from_numpy((img_chw[None] - 0.5) / 0.5).float()
+    x = F.interpolate(x, size=(384, 512), mode="bicubic",
+                      align_corners=False)
+    with torch.no_grad():
+        pred = model(x)
+        pred = F.interpolate(pred.unsqueeze(1), size=(h, w),
+                             mode="bicubic", align_corners=False)
+    return pred.squeeze().numpy()
+
+
+def generate_mono_depth(datadir: str, weights: str | None = None,
+                        ignore_exists: bool = False, log=print) -> int:
+    from PIL import Image
+
+    from ..utils.visualize import visualize_depth
+
+    try:
+        model = load_midas(weights)
+    except Exception as e:  # no egress / no weights: document and bail
+        raise RuntimeError(
+            "MiDaS unavailable (no model egress in this environment). "
+            "Download DPT_Hybrid (torch.hub intel-isl/MiDaS) elsewhere and "
+            f"pass --weights. ({e})") from e
+
+    img_dir = os.path.join(datadir, "images")
+    out_dir = os.path.join(datadir, "mono_depth")
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    for name in sorted(os.listdir(img_dir)):
+        stem = name.rsplit(".", 1)[0]
+        out_npy = os.path.join(out_dir, stem + ".npy")
+        if ignore_exists and os.path.exists(out_npy):
+            continue
+        img = np.asarray(Image.open(os.path.join(img_dir, name)),
+                         np.float32)[..., :3] / 255.0
+        depth = estimate_depth(model, img.transpose(2, 0, 1))
+        np.save(out_npy, depth.astype(np.float32))
+        vis = (visualize_depth(depth).transpose(1, 2, 0)
+               * 255).astype(np.uint8)
+        Image.fromarray(vis).save(os.path.join(out_dir, stem + ".png"))
+        count += 1
+        log(f"mono_depth: {stem}")
+    return count
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("datadir")
+    p.add_argument("--weights", default=None)
+    p.add_argument("--ignore-exists", action="store_true")
+    args = p.parse_args(argv)
+    n = generate_mono_depth(args.datadir, args.weights, args.ignore_exists)
+    print(f"wrote {n} depth maps")
+
+
+if __name__ == "__main__":
+    main()

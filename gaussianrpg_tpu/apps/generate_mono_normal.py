@@ -1,0 +1,67 @@
+"""Monocular surface-normal generation (gated): the reference
+`script/waymo/generate_mono_normal.py` shells out to a DSINE checkout;
+this hook accepts any normal-estimation model exported as TorchScript
+(input [1,3,H,W] RGB in [0,1], output [1,3,H,W] unit normals in OpenCV
+camera convention) and writes the contract the mono-normal loss consumes
+(`WaymoScene.load_batch_planes`): `{datadir}/mono_normal/{stem}.npy`
+as [H, W, 3] float32 in [-1, 1], plus a visualization PNG.
+
+Usage: python -m gaussianrpg_tpu.apps.generate_mono_normal <datadir>
+           --weights dsine.torchscript [--ignore-exists]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def generate_mono_normal(datadir: str, weights: str,
+                         ignore_exists: bool = False, log=print) -> int:
+    import torch
+    from PIL import Image
+
+    if not (weights and os.path.exists(weights)):
+        raise RuntimeError(
+            "normal-estimator weights unavailable (no model egress in this "
+            "environment). Export DSINE/omnidata as TorchScript elsewhere "
+            "and pass --weights.")
+    model = torch.jit.load(weights, map_location="cpu")
+    model.eval()
+
+    img_dir = os.path.join(datadir, "images")
+    out_dir = os.path.join(datadir, "mono_normal")
+    os.makedirs(out_dir, exist_ok=True)
+    count = 0
+    for name in sorted(os.listdir(img_dir)):
+        stem = name.rsplit(".", 1)[0]
+        out_npy = os.path.join(out_dir, stem + ".npy")
+        if ignore_exists and os.path.exists(out_npy):
+            continue
+        img = np.asarray(Image.open(os.path.join(img_dir, name)),
+                         np.float32)[..., :3] / 255.0
+        x = torch.from_numpy(img.transpose(2, 0, 1)[None]).float()
+        with torch.no_grad():
+            n = model(x)[0].numpy()                  # [3, H, W]
+        n = n / np.maximum(np.linalg.norm(n, axis=0, keepdims=True), 1e-6)
+        np.save(out_npy, n.transpose(1, 2, 0).astype(np.float32))
+        vis = ((n.transpose(1, 2, 0) * 0.5 + 0.5) * 255).astype(np.uint8)
+        Image.fromarray(vis).save(os.path.join(out_dir, stem + ".png"))
+        count += 1
+        log(f"mono_normal: {stem}")
+    return count
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("datadir")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--ignore-exists", action="store_true")
+    args = p.parse_args(argv)
+    n = generate_mono_normal(args.datadir, args.weights, args.ignore_exists)
+    print(f"wrote {n} normal maps")
+
+
+if __name__ == "__main__":
+    main()

@@ -178,6 +178,27 @@ def test_lidar_init_end_to_end(tmp_path):
     assert planes["lidar_depth"].shape == (1, 480, 640)
     assert (planes["lidar_depth"] > 0).sum() >= 1
 
+    # mono-normal hook: a tiny TorchScript stand-in estimator exercises the
+    # gated app end-to-end (real use passes DSINE/omnidata weights)
+    import torch
+
+    class ConstNormal(torch.nn.Module):
+        def forward(self, x):
+            n = torch.zeros_like(x)
+            n[:, 2] = -1.0
+            return n
+
+    ts_path = str(tmp_path / "normals.torchscript")
+    torch.jit.script(ConstNormal()).save(ts_path)
+    from gaussianrpg_tpu.apps.generate_mono_normal import \
+        generate_mono_normal
+    n_written = generate_mono_normal(out, ts_path, log=lambda *_: None)
+    assert n_written == 3
+    planes2 = scene.load_batch_planes(0, 0, (480, 640),
+                                      native_hw=(480, 640))
+    assert planes2["mono_normal"].shape == (3, 480, 640)
+    np.testing.assert_allclose(planes2["mono_normal"][2], -1.0, atol=1e-6)
+
     # scene builder consumes the real PLYs (no 100k random-shell fallback)
     cfg = load_config(None, ["source_path", out, "data.extent", "0"])
     models, meta, arrays, actor_names = build_scene_from_waymo(scene, cfg)
