@@ -140,3 +140,40 @@ def test_colmap_known_pose_model(tmp_path):
     # 180-degree rotation about x between the two extrinsics
     np.testing.assert_allclose(
         np.abs(cam1["cam_from_rig_rotation"]), [0, 1, 0, 0], atol=1e-6)
+
+
+def test_kitti_prep_masks(tmp_path):
+    """KITTI-STEP prep (`script/kitti/` ports): dynamic/semantic/sky maps
+    from label-encoded annotation PNGs."""
+    import os
+
+    from PIL import Image
+
+    from gaussianrpg_tpu.apps.kitti_prep import (SEMANTIC_COLORMAP,
+                                                 generate_dynamic_masks,
+                                                 generate_semantic_maps,
+                                                 generate_sky_masks)
+
+    ann = tmp_path / "ann" / "0000"
+    os.makedirs(ann)
+    label = np.zeros((8, 10, 3), np.uint8)
+    label[0:2, :, 0] = 10    # sky rows
+    label[4:6, :, 0] = 13    # car rows (movable)
+    Image.fromarray(label).save(str(ann / "000000.png"))
+
+    out = tmp_path / "out"
+    assert generate_dynamic_masks(str(tmp_path / "ann"), str(out / "dyn"),
+                                  log=lambda *_: None) == 1
+    dyn = np.asarray(Image.open(str(out / "dyn" / "0000" / "000000.png")))
+    assert (dyn[4:6] == 0).all() and (dyn[0:2] == 255).all()
+
+    assert generate_sky_masks(str(tmp_path / "ann"), str(out / "sky"),
+                              log=lambda *_: None) == 1
+    sky = np.asarray(Image.open(str(out / "sky" / "0000" / "000000.png")))
+    assert (sky[0:2] == 255).all() and (sky[2:] == 0).all()
+
+    assert generate_semantic_maps(str(tmp_path / "ann"), str(out / "sem"),
+                                  log=lambda *_: None) == 1
+    sem = np.asarray(Image.open(str(out / "sem" / "0000" / "000000.png")))
+    assert tuple(sem[0, 0]) == tuple(SEMANTIC_COLORMAP[10])
+    assert tuple(sem[4, 0]) == tuple(SEMANTIC_COLORMAP[13])
