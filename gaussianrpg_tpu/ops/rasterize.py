@@ -61,64 +61,81 @@ def _take8(x, idx):
 
 
 @jax.custom_vjp
-def _pair_gather(fields_sorted, sink_sorted, src, valid_f, pair_gm,
-                 seg_offs, seg_area):
-    """Gather per-pair rows [P,NF] (+ sink [P]) from depth-sorted
-    per-Gaussian tables, with a hand-written transpose.
+def _pair_gather(fields_sorted, src, valid_f, pair_gm, seg_offs, seg_area):
+    """Gather per-pair rows [P,NF] from the depth-sorted per-Gaussian
+    table, with a hand-written transpose.
 
     The VJP replaces XLA's scatter-add (the autodiff transpose of `take`,
     measured 390 ms for [3.7M,16]->[600k,16]; the CUDA peer is the
     atomicAdd scatter in `backward.cu:568-638`) with a sort-free
     segment-sum: un-permute the pair cotangents into expansion order
-    (where each Gaussian's pairs are contiguous) via one narrow scatter +
-    one row gather, then cumsum + boundary-difference.
+    (where each Gaussian's pairs are contiguous) via one row gather whose
+    indices come from inverting the ridden `pair_gm` permutation with a
+    cheap 2-operand i32 sort (a scatter-built inverse measured ~3x the
+    sort), then cumsum + boundary-difference at the segment edges.
     """
-    g = _take8(fields_sorted, src) * valid_f[:, None]
-    s = jnp.take(sink_sorted, src) * valid_f
-    return g, s
+    return _take8(fields_sorted, src) * valid_f[:, None]
 
 
-def _pair_gather_fwd(fields_sorted, sink_sorted, src, valid_f, pair_gm,
-                     seg_offs, seg_area):
-    out = _pair_gather(fields_sorted, sink_sorted, src, valid_f, pair_gm,
-                       seg_offs, seg_area)
+def _pair_gather_fwd(fields_sorted, src, valid_f, pair_gm, seg_offs,
+                     seg_area):
+    out = _pair_gather(fields_sorted, src, valid_f, pair_gm, seg_offs,
+                       seg_area)
     return out, (valid_f, pair_gm, seg_offs, seg_area)
 
 
-def _pair_gather_bwd(res, cts):
+def _pair_gather_bwd(res, d_gdata):
     import numpy as np
 
     valid_f, pair_gm, seg_offs, seg_area = res
-    d_gdata, d_sink = cts
     p = d_gdata.shape[0]
     iota = jnp.arange(p, dtype=jnp.int32)
 
-    # tile-major slot of each expansion-order pair (inverse of the sort2
-    # permutation); invalid/padding slots dropped
-    scat_to = jnp.where(pair_gm >= 0, pair_gm, p)
-    pos = jnp.zeros((p,), jnp.int32).at[scat_to].set(iota, mode="drop")
+    # tile-major slot of each expansion-order pair: invert the sort2
+    # permutation by sorting (gm, slot); invalid/padding slots sink to the
+    # end and land on valid_f == 0 rows
+    gm_key = jnp.where(pair_gm >= 0, pair_gm, jnp.int32(0x7FFFFFFF))
+    _, pos = jax.lax.sort((gm_key, iota), num_keys=1)
 
     d_tm = d_gdata * valid_f[:, None]
     d_gm = _take8(d_tm, pos)                        # expansion order
-    ds_gm = jnp.take(d_sink * valid_f, pos)
 
     # segment-sum per depth-sorted gaussian: cumsum + boundary diff
     cs = jnp.concatenate(
         [jnp.zeros((1, d_gm.shape[1]), d_gm.dtype),
          jnp.cumsum(d_gm, axis=0)], axis=0)
-    css = jnp.concatenate([jnp.zeros((1,), ds_gm.dtype),
-                           jnp.cumsum(ds_gm)])
     lo = jnp.minimum(seg_offs, p)
     hi = jnp.minimum(seg_offs + seg_area, p)
     d_fields = _take8(cs, hi) - _take8(cs, lo)       # [N, NF]
-    d_sink_g = jnp.take(css, hi) - jnp.take(css, lo)
 
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
-    return (d_fields, d_sink_g, f0(pair_gm), jnp.zeros_like(valid_f),
+    return (d_fields, f0(pair_gm), jnp.zeros_like(valid_f),
             f0(pair_gm), f0(seg_offs), f0(seg_area))  # src shares [P] shape
 
 
 _pair_gather.defvjp(_pair_gather_fwd, _pair_gather_bwd)
+
+
+@jax.custom_vjp
+def _perm_take(x, perm, inv_perm):
+    """Row gather by a PERMUTATION with a gather-based transpose: autodiff
+    of `take` would scatter-add the cotangent (no aliasing knowledge);
+    for a bijection the transpose is exactly `take(ct, inv_perm)`."""
+    return jnp.take(x, perm, axis=0)
+
+
+def _perm_take_fwd(x, perm, inv_perm):
+    return jnp.take(x, perm, axis=0), (inv_perm,)
+
+
+def _perm_take_bwd(res, ct):
+    import numpy as np
+    (inv_perm,) = res
+    f0 = np.zeros(inv_perm.shape, dtype=jax.dtypes.float0)
+    return (jnp.take(ct, inv_perm, axis=0), f0, f0)
+
+
+_perm_take.defvjp(_perm_take_fwd, _perm_take_bwd)
 
 
 def mark_visible(means3d: jax.Array, camera) -> jax.Array:
@@ -240,7 +257,14 @@ def primitive_fields(
         s_ch = semantics.shape[-1]
         sem_list = [semantics]  # [N, S]
 
-    # [N, NF] pairs-major field columns (see pallas_blend F_* layout)
+    if absgrad_sink is None:
+        absgrad_sink = jnp.zeros((n,), means3d.dtype)
+
+    # [N, NF] pairs-major field columns (see pallas_blend F_* layout).
+    # The radius slot's VALUE is never read by the blend kernel, so the
+    # absgrad sink rides it: the kernel's per-pair AbsGS statistic comes
+    # back as that column's cotangent and aggregates per Gaussian through
+    # the same 16-column pair-gather VJP as every other gradient.
     fields = jnp.concatenate(
         [
             means2d,                                    # mx, my
@@ -248,7 +272,8 @@ def primitive_fields(
             opacities[:, None],                         # op
             colors,                                     # r, g, b
             pre.depths[:, None],                        # depth
-            pre.radii.astype(jnp.float32)[:, None],     # radius
+            (pre.radii.astype(jnp.float32)
+             + absgrad_sink)[:, None],                  # radius/abs sink
         ]
         + sem_list,
         axis=1,
@@ -258,9 +283,6 @@ def primitive_fields(
         fields = jnp.concatenate(
             [fields, jnp.zeros((n, nf_cols - fields.shape[1]),
                                fields.dtype)], axis=1)
-
-    if absgrad_sink is None:
-        absgrad_sink = jnp.zeros((n,), means3d.dtype)
 
     return FieldSet(fields=fields, rect_min=pre.rect_min,
                     rect_max=pre.rect_max, radii=radii, depths=pre.depths,
@@ -285,7 +307,13 @@ def blend_fields(
     key = jnp.where(visible, fs.depths, jnp.inf)
     order = jax.lax.stop_gradient(jnp.argsort(key, stable=True))
 
-    fields_sorted = jnp.take(fs.fields, order, axis=0)   # [N, NF]
+    if train_mode:
+        # permutation-aware gather: the transpose is a gather by the
+        # inverse permutation instead of XLA's scatter-add
+        inv_order = jax.lax.stop_gradient(jnp.argsort(order))
+        fields_sorted = _perm_take(fs.fields, order, inv_order)
+    else:
+        fields_sorted = jnp.take(fs.fields, order, axis=0)   # [N, NF]
     rect_min_s = jnp.take(fs.rect_min, order, axis=0)
     rect_max_s = jnp.take(fs.rect_max, order, axis=0)
     visible_s = jnp.take(visible, order, axis=0)
@@ -304,19 +332,18 @@ def blend_fields(
     valid = jax.lax.stop_gradient(
         lists.pair_valid.astype(fs.fields.dtype))
 
-    # route the per-gaussian sink through sort+pair-gather so its cotangent
-    # (the per-pair abs stats) aggregates back per Gaussian automatically
-    sink_sorted = jnp.take(fs.sink, order, axis=0)
-
     if train_mode:
-        gdata, sink_pairs = _pair_gather(
-            fields_sorted, sink_sorted, src, valid,
+        gdata = _pair_gather(
+            fields_sorted, src, valid,
             jax.lax.stop_gradient(lists.pair_gm),
             jax.lax.stop_gradient(lists.seg_offs),
             jax.lax.stop_gradient(lists.seg_area))
     else:
         gdata = _take8(fields_sorted, src) * valid[:, None]
-        sink_pairs = jnp.take(sink_sorted, src) * valid
+    # the blend kernel never reads the sink argument's values (its
+    # cotangent is defined as zero — the AbsGS stat rides the radius
+    # column of gdata instead); pass a constant
+    sink_pairs = jnp.zeros((capacity,), fs.fields.dtype)
 
     planes = blend_pairs(
         gdata,
