@@ -1,0 +1,96 @@
+"""Pixel-throughput scaling harness (BASELINE target: >=80% pixel
+throughput at 2 hosts; pixels/s measured at 1 chip / 1 host / N hosts).
+
+Measures the strip-sharded eval render on 1, 2, 4, ..., N devices of the
+current platform and prints one JSON line per point plus the scaling
+efficiency vs 1 device. On a multi-host slice, run under
+`parallel.distributed.initialize()` on every host; on this container
+(one real chip) the >1-device points exercise the virtual CPU mesh:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python -m gaussianrpg_tpu.apps.scaling_bench --width 512 --height 320
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..ops.rasterize import rasterize
+    from ..parallel.distributed import initialize
+    from ..parallel.sharded import make_mesh, render_strips
+    from ..render.camera import make_camera
+    import math
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--width", type=int, default=1600)
+    p.add_argument("--height", type=int, default=1066)
+    p.add_argument("--gaussians", type=int, default=200_000)
+    p.add_argument("--capacity", type=int, default=1 << 20)
+    p.add_argument("--reps", type=int, default=4)
+    args = p.parse_args(argv)
+
+    initialize()
+    devices = jax.devices()
+    n_dev = len(devices)
+
+    rng = np.random.default_rng(0)
+    n = args.gaussians
+    means = np.stack([rng.uniform(-30, 30, n),
+                      rng.uniform(-8, 2, n),
+                      rng.uniform(0.5, 100, n)], -1).astype(np.float32)
+    fovx = math.radians(50.0)
+    fl = args.width / (2 * math.tan(fovx / 2))
+    sigma = rng.uniform(2.0, 6.0, n)
+    zc = np.clip(means[:, 2], 1.0, None)
+    scales = (sigma * zc / fl)[:, None].repeat(3, 1).astype(np.float32)
+    q = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = rng.uniform(0.5, 0.95, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * args.height / args.width)
+    cam = make_camera(R=np.eye(3), T=np.zeros(3), K=None, width=args.width,
+                      height=args.height, fovx=fovx, fovy=fovy)
+    margs = tuple(map(jnp.asarray, (means, opac, colors, scales, q)))
+
+    def render_fn(c, m, op, co, s, r):
+        out = rasterize(m, op, colors=co, scales=s, rotations=r, camera=c,
+                        bg_color=jnp.zeros(3), capacity=args.capacity)
+        return out.color
+
+    px = args.width * args.height
+    base = None
+    sizes = [s for s in (1, 2, 4, 8, 16, 32) if s <= n_dev]
+    for nd in sizes:
+        mesh = make_mesh(devices[:nd])
+
+        @jax.jit
+        def step(m, op, co, s, r):
+            return render_strips(render_fn, cam, mesh, m, op, co, s, r)
+
+        jax.block_until_ready(step(*margs))
+        t0 = time.time()
+        for i in range(args.reps):
+            out = step(margs[0], margs[1],
+                       margs[2] * (1.0 + 1e-6 * i), *margs[3:])
+            jax.block_until_ready(out)
+        dt = (time.time() - t0) / args.reps
+        pps = px / dt
+        if base is None:
+            base = pps
+        eff = pps / (base * nd)
+        print(json.dumps({
+            "devices": nd, "platform": devices[0].platform,
+            "pixels_per_s": round(pps),
+            "scaling_efficiency_vs_1dev": round(eff, 3),
+            "frame_ms": round(dt * 1e3, 1),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,13 +100,18 @@ def _pair_gather_bwd(res, d_gdata):
     d_tm = d_gdata * valid_f[:, None]
     d_gm = _take8(d_tm, pos)                        # expansion order
 
-    # segment-sum per depth-sorted gaussian: cumsum + boundary diff
+    # segment-sum per depth-sorted gaussian: cumsum + boundary diff.
+    # Segments are CONTIGUOUS in expansion order (offs is the exclusive
+    # cumsum of area, so offs[g] + area[g] == offs[g+1] even across
+    # zero-area gaussians) — one (N+1)-row boundary gather + adjacent
+    # difference instead of separate lo/hi gathers.
     cs = jnp.concatenate(
         [jnp.zeros((1, d_gm.shape[1]), d_gm.dtype),
          jnp.cumsum(d_gm, axis=0)], axis=0)
-    lo = jnp.minimum(seg_offs, p)
-    hi = jnp.minimum(seg_offs + seg_area, p)
-    d_fields = _take8(cs, hi) - _take8(cs, lo)       # [N, NF]
+    ends = jnp.concatenate(
+        [seg_offs, (seg_offs[-1] + seg_area[-1])[None]])
+    bounds = _take8(cs, jnp.minimum(ends, p))        # [N+1, NF]
+    d_fields = bounds[1:] - bounds[:-1]              # [N, NF]
 
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (d_fields, f0(pair_gm), jnp.zeros_like(valid_f),

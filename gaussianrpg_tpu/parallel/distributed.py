@@ -1,0 +1,47 @@
+"""Multi-host initialization (SURVEY.md §2.4: the TPU-native replacement
+for what a GPU port would do with NCCL — `jax.distributed` + XLA
+collectives; the reference is single-GPU and has no peer).
+
+Call `initialize()` once at process start on every host of a multi-host
+slice; afterwards `jax.devices()` spans the full slice and the mesh
+builders in `parallel.sharded` shard across hosts transparently (ICI
+within a slice, DCN across them — XLA routes collectives by mesh axis
+order).
+"""
+from __future__ import annotations
+
+import os
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> bool:
+    """Initialize jax.distributed from args or the standard environment
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID, or the
+    TPU pod metadata that jax auto-detects). Returns True when a
+    multi-process runtime was initialized, False for single-process runs
+    (safe to call unconditionally)."""
+    import jax
+
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
+
+    on_pod = bool(os.environ.get("TPU_WORKER_HOSTNAMES")
+                  or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+    if not (coordinator_address or on_pod):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+    return True
+
+
+def host_local_mesh_info():
+    """(process_index, process_count, local_device_count) after init."""
+    import jax
+    return jax.process_index(), jax.process_count(), jax.local_device_count()
