@@ -2,50 +2,122 @@
 
 TPU-native ports of `/root/reference/lib/models/color_correction.py:7-141`
 and `/root/reference/lib/models/camera_pose.py:7-122`: learnable per-image /
-per-sensor 3x4 affine color transforms (separate main and sky matrices) and
-learnable per-image / per-frame SE(3) corrections applied to background
-Gaussians. Parameters are flat arrays indexed by camera id — jit-stable.
-(The reference's optional MLP color mode is not ported yet; the matrix mode
-is what every shipped config uses.)
+per-sensor 3x4 affine color transforms (separate main and sky matrices) —
+either a table indexed by camera id or an MLP on the camera pose
+(`use_mlp`, `color_correction.py:24-50,109-117`) — and learnable
+per-image / per-frame SE(3) corrections applied to background Gaussians.
+All parameters are flat arrays / layer pytrees — jit-stable.
 """
 from __future__ import annotations
+
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..ops.math3d import quaternion_multiply, quaternion_to_matrix
+from ..ops.math3d import (matrix_to_quaternion, quaternion_multiply,
+                          quaternion_to_matrix)
 
 
 @struct.dataclass
 class ColorCorrection:
-    affine: jax.Array      # [num, 3, 4]
-    affine_sky: jax.Array  # [num, 3, 4]
+    affine: Any            # [num, 3, 4] table, or MLP layer dict (use_mlp)
+    affine_sky: Any
     mode: str = struct.field(pytree_node=False, default="image")
+    use_mlp: bool = struct.field(pytree_node=False, default=False)
 
     def correction_id(self, camera):
         return camera.meta.get("image_id", 0) if self.mode == "image" \
             else camera.cam_id
 
 
-def init_color_correction(num: int, mode: str = "image") -> ColorCorrection:
+def _mlp_init(key, dims=(6, 64, 64, 64, 12)):
+    """4-layer ReLU MLP, LAST layer zero-initialized so the correction
+    starts at identity (`color_correction.py:27-37`)."""
+    layers = {}
+    for i in range(len(dims) - 1):
+        key, kw, kb = jax.random.split(key, 3)
+        fan_in = dims[i]
+        scale = 1.0 / jnp.sqrt(fan_in)
+        last = i == len(dims) - 2
+        layers[f"w{i}"] = jnp.zeros((dims[i], dims[i + 1])) if last else \
+            jax.random.uniform(kw, (dims[i], dims[i + 1]),
+                               minval=-scale, maxval=scale)
+        # non-last biases keep torch Linear's uniform init so the net is
+        # alive even for near-zero pose inputs; last layer all-zero
+        layers[f"b{i}"] = jnp.zeros((dims[i + 1],)) if last else \
+            jax.random.uniform(kb, (dims[i + 1],), minval=-scale,
+                               maxval=scale)
+    return layers
+
+
+def _mlp_apply(layers, x):
+    n = len(layers) // 2
+    for i in range(n):
+        x = x @ layers[f"w{i}"] + layers[f"b{i}"]
+        if i < n - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def quaternion_to_axis_angle(q: jax.Array) -> jax.Array:
+    """wxyz quaternion -> axis*angle [3]
+    (`general_utils.quaternion_to_axis_angle:364`)."""
+    norm = jnp.linalg.norm(q[..., 1:], axis=-1)
+    half = jnp.arctan2(norm, q[..., 0])
+    angle = 2.0 * half
+    small = jnp.abs(angle) < 1e-6
+    sin_half = jnp.where(small, 0.5 + angle * angle / 48.0,
+                         jnp.sin(half) / jnp.where(small, 1.0, angle))
+    return q[..., 1:] / sin_half
+
+
+def _camera_pose_input(camera) -> jax.Array:
+    """[6] axis-angle + translation of c2w
+    (`color_correction.py:110-112` via `matrix_to_axis_angle:356`)."""
+    c2w = camera.ego_pose @ camera.extrinsic
+    aa = quaternion_to_axis_angle(matrix_to_quaternion(c2w[:3, :3]))
+    return jnp.concatenate([aa, c2w[:3, 3]])
+
+
+def init_color_correction(num: int, mode: str = "image",
+                          use_mlp: bool = False,
+                          seed: int = 0) -> ColorCorrection:
+    if use_mlp:
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        return ColorCorrection(affine=_mlp_init(k1),
+                               affine_sky=_mlp_init(k2), mode=mode,
+                               use_mlp=True)
     eye = jnp.tile(jnp.eye(4, dtype=jnp.float32)[:3][None], (num, 1, 1))
     return ColorCorrection(affine=eye, affine_sky=eye, mode=mode)
 
 
-def apply_color_correction(cc: ColorCorrection, idx, image: jax.Array,
+def get_affine(cc: ColorCorrection, camera, use_sky: bool = False
+               ) -> jax.Array:
+    """The 3x4 affine for this camera (`color_correction.py:109-125`)."""
+    params = cc.affine_sky if use_sky else cc.affine
+    if cc.use_mlp:
+        out = _mlp_apply(params, _camera_pose_input(camera))
+        return out.reshape(3, 4) + jnp.eye(4, dtype=out.dtype)[:3]
+    return params[cc.correction_id(camera)]
+
+
+def apply_color_correction(cc: ColorCorrection, camera, image: jax.Array,
                            use_sky: bool = False) -> jax.Array:
     """image [3, H, W] -> corrected; `color_correction.py:131-135`."""
-    m = (cc.affine_sky if use_sky else cc.affine)[idx]
+    m = get_affine(cc, camera, use_sky)
     return jnp.einsum("ij,jhw->ihw", m[:, :3], image) \
         + m[:, 3][:, None, None]
 
 
-def color_correction_reg_loss(cc: ColorCorrection, idx) -> jax.Array:
+def color_correction_reg_loss(cc: ColorCorrection, camera) -> jax.Array:
     """`color_correction.py:137-141`."""
     eye = jnp.eye(4, dtype=jnp.float32)[:3]
-    return (jnp.abs(cc.affine[idx] - eye).mean()
-            + jnp.abs(cc.affine_sky[idx] - eye).mean()) / 2.0 * 2.0
+    return (jnp.abs(get_affine(cc, camera) - eye).mean()
+            + jnp.abs(get_affine(cc, camera, use_sky=True) - eye).mean()
+            ) / 2.0 * 2.0
 
 
 @struct.dataclass

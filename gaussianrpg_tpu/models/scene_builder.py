@@ -157,7 +157,8 @@ def build_scene_from_waymo(scene: WaymoScene, cfg) -> tuple:
         actor_pose=pose,
         sky=init_sky_cubemap() if meta.include_sky else None,
         color_correction=init_color_correction(
-            num_images, cfg.model.color_correction.mode)
+            num_images, cfg.model.color_correction.mode,
+            use_mlp=cfg.model.color_correction.get("use_mlp", False))
         if meta.use_color_correction else None,
         pose_correction=init_pose_correction(
             num_images, cfg.model.pose_correction.mode)

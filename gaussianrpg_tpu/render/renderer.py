@@ -118,8 +118,7 @@ def render_scene(
         rgb = rgb + sky_rgb * (1.0 - jax.lax.stop_gradient(acc))
 
     if meta.use_color_correction and models.color_correction is not None:
-        cid = models.color_correction.correction_id(camera)
-        rgb = apply_color_correction(models.color_correction, cid, rgb)
+        rgb = apply_color_correction(models.color_correction, camera, rgb)
 
     if options.clamp_output and not train_mode:
         rgb = jnp.clip(rgb, 0.0, 1.0)

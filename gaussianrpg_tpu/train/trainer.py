@@ -218,8 +218,10 @@ def _lr_tree(lrn, cfg: OptimConfig, step, actor_extent=None):
     if "sky" in lrn:
         out["sky"] = cfg.sky_lr
     if "color_correction" in lrn:
-        out["color_correction"] = dict(affine=cfg.color_correction_lr,
-                                       affine_sky=cfg.color_correction_lr)
+        # leaf-broadcast the scalar LR (the MLP mode's affine is a layer
+        # pytree, not one array)
+        out["color_correction"] = jax.tree.map(
+            lambda _: cfg.color_correction_lr, lrn["color_correction"])
     if "pose_correction" in lrn:
         out["pose_correction"] = dict(trans=cfg.pose_correction_lr,
                                       rots=cfg.pose_correction_lr)
@@ -277,9 +279,9 @@ def compute_losses(result, batch: Batch, models, meta, cfg: OptimConfig,
         loss = loss + cfg.lambda_depth_lidar * d_loss
         scalars["lidar_depth"] = d_loss
 
-    if cfg.lambda_color_correction > 0 and \
-            models.color_correction is not None:
-        cc = color_correction_reg_loss(models.color_correction, 0)
+    if (cfg.lambda_color_correction > 0
+            and models.color_correction is not None and camera is not None):
+        cc = color_correction_reg_loss(models.color_correction, camera)
         loss = loss + cfg.lambda_color_correction * cc
         scalars["cc_reg"] = cc
 

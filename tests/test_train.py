@@ -274,3 +274,27 @@ def test_render_normals_planes():
     covered = np.asarray(res.acc[0]) > 0.5
     if covered.any():
         np.testing.assert_allclose(norms[covered], 1.0, atol=1e-3)
+
+
+def test_color_correction_mlp_mode():
+    """MLP color mode (`color_correction.py:24-50,109-117`): identity at
+    init (zeroed last layer), differentiable wrt the layer pytree."""
+    from gaussianrpg_tpu.models.corrections import (apply_color_correction,
+                                                    color_correction_reg_loss,
+                                                    init_color_correction)
+
+    cams = make_cameras(n_frames=2, width=32, height=24)
+    cc = init_color_correction(2, use_mlp=True)
+    img = jnp.linspace(0, 1, 3 * 24 * 32).reshape(3, 24, 32)
+    out = apply_color_correction(cc, cams[0], img)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-6)
+    assert float(color_correction_reg_loss(cc, cams[0])) < 1e-6
+
+    def loss(params):
+        cc2 = cc.replace(affine=params)
+        return jnp.sum((apply_color_correction(cc2, cams[0], img)
+                        - 0.5) ** 2)
+
+    g = jax.grad(loss)(cc.affine)
+    assert float(jnp.abs(g["w3"]).max()) > 0
+    assert float(jnp.abs(g["b3"]).max()) > 0
