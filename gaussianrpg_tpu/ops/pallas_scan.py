@@ -1,21 +1,14 @@
-"""Pallas TPU linear-pass scan kernels for the binning/backward pipeline.
+"""Pallas TPU linear-pass scan kernel for the binning pipeline.
 
-Two primitives, both single-pass over HBM (read once, write once), replacing
-XLA's O(log n) multi-pass `lax.cummax`/`cumsum` lowerings which dominated the
-round-1 frame profile (~7.5 ms per 4M-element cummax fill; three fills + the
-spare fill = ~32 ms of a 143 ms frame):
-
-  * `fused_cummax(xs)` — elementwise running max over k i32 arrays in ONE
-    pass. Used for the binning segment-marker fills
-    (`ops/binning.py`; CUDA peer is `duplicateWithKeys`,
-    `rasterizer_impl.cu:70-111`, which has no scan at all because it reads
-    per-Gaussian offsets directly — the scan IS the TPU-native replacement
-    for those random reads).
-  * `cumsum_rows(x)` — inclusive prefix sum along axis 0 of an [P, C] f32
-    array. Used by the backward pair-gradient aggregation
-    (segment-sum = diff-of-cumsum at segment boundaries), replacing the
-    XLA scatter-add (`at[].add`, measured 390 ms for [4M,16]->[600k,16])
-    that stood in for CUDA's atomicAdd (`backward.cu:568-638`).
+`fused_cummax(xs)` — elementwise running max over k i32 arrays in ONE
+single HBM pass (read once, write once), replacing XLA's O(log n)
+multi-pass `lax.cummax` lowering which dominated the round-1 frame
+profile (~7.5 ms per 4M-element fill; three marker fills + the spare fill
+= ~32 ms of a 143 ms frame). Used for the binning segment-marker fills
+(`ops/binning.py`; the CUDA peer is `duplicateWithKeys`,
+`rasterizer_impl.cu:70-111`, which has no scan at all because it reads
+per-Gaussian offsets directly — the scan IS the TPU-native replacement
+for those random reads).
 
 Block-scan structure (classic three-phase, executed per grid step so the
 sequential TPU grid provides the inter-block carry):
@@ -125,109 +118,8 @@ def fused_cummax(xs, interpret: bool = False):
     return res
 
 
-def _make_carry_rows_kernel(rows, cols):
-    def kernel(m_ref, x_ref, o_ref, carry):
-        step = pl.program_id(0)
-
-        @pl.when(step == 0)
-        def _():
-            carry[...] = jnp.zeros((1, cols), jnp.float32)
-
-        m = m_ref[...]                              # (rows, 1) i32 marks
-        v = x_ref[...]                              # (rows, cols)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
-        s = 1
-        while s < rows:
-            pm = jnp.where(ri >= s, pltpu.roll(m, s, axis=0), 0)
-            pv = jnp.where(ri >= s, pltpu.roll(v, s, axis=0), 0.0)
-            keep = m > 0                            # (rows, 1)
-            m = jnp.maximum(m, pm)
-            v = jnp.where(keep, v, pv)
-            s *= 2
-        v = jnp.where(m > 0, v, carry[...])
-        o_ref[...] = v
-        carry[...] = v[rows - 1:rows, :]
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def segment_carry_rows(marks, x, interpret: bool = False):
-    """Forward-fill rows: out[i] = x[j] for the last j <= i with
-    marks[j] > 0 (zeros before the first mark). One HBM pass.
-
-    marks: [P] i32 (>0 exactly at segment starts); x: [P, C] f32 with the
-    segment payload stored at start slots. This is the TPU-native pair
-    expansion: the CUDA peer reads per-Gaussian tables at random
-    (`forward.cu:378-407` shared-memory staging); random row gathers are
-    latency-bound ~10 ns/row on TPU (~74 ms for 3.7M pairs, measured), so
-    the payload is scattered once to monotone segment starts and carried
-    forward with this single linear pass instead.
-    """
-    p, c = x.shape
-    rows = 512
-    assert p % rows == 0, f"P={p} must be a multiple of {rows}"
-
-    if jax.default_backend() == "cpu" and not interpret:
-        idx = jax.lax.cummax(
-            jnp.where(marks > 0, jnp.arange(p, dtype=jnp.int32), 0))
-        seen = jax.lax.cummax((marks > 0).astype(jnp.int32)) > 0
-        return jnp.where(seen[:, None], jnp.take(x, idx, axis=0), 0.0)
-
-    return pl.pallas_call(
-        _make_carry_rows_kernel(rows, c),
-        grid=(p // rows,),
-        in_specs=[pl.BlockSpec((rows, 1), lambda i: (i, 0)),
-                  pl.BlockSpec((rows, c), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((p, c), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, c), jnp.float32)],
-        interpret=interpret,
-    )(marks.reshape(p, 1), x)
-
-
-def _make_cumsum_rows_kernel(rows, cols):
-    def kernel(x_ref, o_ref, carry):
-        step = pl.program_id(0)
-
-        @pl.when(step == 0)
-        def _():
-            carry[...] = jnp.zeros((1, cols), jnp.float32)
-
-        x = x_ref[...]                              # (rows, cols)
-        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
-        y = x
-        s = 1
-        while s < rows:
-            y = y + jnp.where(ri >= s, pltpu.roll(y, s, axis=0), 0.0)
-            s *= 2
-        y = y + carry[...]
-        o_ref[...] = y
-        carry[...] = y[rows - 1:rows, :]
-
-    return kernel
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def cumsum_rows(x, interpret: bool = False):
-    """Inclusive cumsum along axis 0 of [P, C] f32, one HBM pass.
-
-    P must be a multiple of 512; C a multiple of 128 is ideal (narrower
-    arrays are stored lane-padded on TPU anyway).
-    """
-    p, c = x.shape
-    rows = 512
-    assert p % rows == 0, f"P={p} must be a multiple of {rows}"
-
-    if jax.default_backend() == "cpu" and not interpret:
-        return jnp.cumsum(x, axis=0)
-
-    return pl.pallas_call(
-        _make_cumsum_rows_kernel(rows, c),
-        grid=(p // rows,),
-        in_specs=[pl.BlockSpec((rows, c), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((rows, c), lambda i: (i, 0)),
-        out_shape=jax.ShapeDtypeStruct((p, c), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((1, c), jnp.float32)],
-        interpret=interpret,
-    )(x)
+# NOTE: a rowwise [P,16] Pallas cumsum and a segment-carry forward-fill
+# kernel were built and measured here in round 2 and REMOVED: with only 16
+# lanes per block they waste 7/8 of each vreg and lose to XLA's multi-pass
+# cumsum (19 ms vs 6.3 ms on [4M,16]); the pair-gradient VJP uses
+# jnp.cumsum instead (see PERF.md).
