@@ -79,16 +79,17 @@ def main():
     reps = 12
     varied = [args[2] * (1.0 + 1e-6 * (i + 1)) for i in range(reps)]
     jax.block_until_ready(varied)
-    # warm the pipeline
-    jax.block_until_ready(render(args[0], args[1], varied[0], *args[3:]))
+    # warm the pipeline. NOTE: forcing must pull a SCALAR to host —
+    # block_until_ready has been observed returning early on this runtime
+    float(jnp.sum(render(args[0], args[1], varied[0], *args[3:])))
     t0 = time.time()
     pending = []
     for v in varied:
-        pending.append(render(args[0], args[1], v, *args[3:]))
+        pending.append(jnp.sum(render(args[0], args[1], v, *args[3:])))
         if len(pending) >= 2:
-            jax.block_until_ready(pending.pop(0))
-    for o in pending:
-        jax.block_until_ready(o)
+            float(pending.pop(0))
+    for s in pending:
+        float(s)
     dt = (time.time() - t0) / reps
     fps = 1.0 / dt
 

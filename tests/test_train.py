@@ -298,3 +298,30 @@ def test_color_correction_mlp_mode():
     g = jax.grad(loss)(cc.affine)
     assert float(jnp.abs(g["w3"]).max()) > 0
     assert float(jnp.abs(g["b3"]).max()) > 0
+
+
+def test_obj_acc_and_boxreg_losses_active():
+    """obj_acc entropy loss inside obj_bound + box regularization
+    (`train.py:145-162`) contribute when lambda_reg > 0 (gated past
+    densify_until_iter)."""
+    from gaussianrpg_tpu.models.scene_graph import total_capacity
+
+    models, meta, arrays = _tiny_scene()
+    cams = make_cameras(n_frames=4, width=64, height=48)
+    gt = np.asarray(render_scene(models, meta, arrays, cams[1],
+                                 active_sh_degree=1, options=OPTS).rgb)
+    obj_bound = np.zeros((1, 48, 64), bool)
+    obj_bound[:, 16:32, 20:44] = True
+
+    cfg = OptimConfig(lambda_dssim=0.0, lambda_reg=0.1,
+                      densify_until_iter=0)  # gate open from step 0
+    step_fn = make_train_step(meta, arrays, cfg, OPTS,
+                              total_capacity(models))
+    state = init_train_state(models)
+    batch = Batch(gt_image=jnp.asarray(gt),
+                  obj_bound=jnp.asarray(obj_bound))
+    state, loss, scalars, _ = step_fn(state, cams[1], batch,
+                                      jax.random.PRNGKey(0), 1)
+    assert np.isfinite(float(loss))
+    assert "obj_acc" in scalars and np.isfinite(float(scalars["obj_acc"]))
+    assert "box_reg" in scalars and float(scalars["box_reg"]) >= 0
