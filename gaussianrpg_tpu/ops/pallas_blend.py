@@ -468,19 +468,24 @@ def _make_blend(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
         gdata, cm, bg, out = res
         grads = bwd_call(cm, bg, gdata, out, dout)
         grads = grads.reshape(-1, grads.shape[-1])        # [P_pad, ng]
-        # columns 0..9 map 1:1 to gdata columns; the radius column (whose
-        # primal value never affects the output) carries the abs-grad stat
-        # so it aggregates per Gaussian through the SAME 16-column
-        # pair-gather VJP as every real gradient — a [P]-sized separate
-        # sink cotangent would cost two extra latency-bound 1-column
-        # gathers (the `absgrad_sink` arg is kept for API stability; its
-        # cotangent is zero)
-        d_gdata = jnp.zeros_like(gdata)
-        d_gdata = d_gdata.at[:, 0:F_RADIUS].set(grads[:, 0:F_RADIUS])
-        d_gdata = d_gdata.at[:, F_RADIUS].set(grads[:, GF_ABS])
-        if s_ch:
-            d_gdata = d_gdata.at[:, F_SEM:F_SEM + s_ch].set(
-                grads[:, NG_BASE:NG_BASE + s_ch])
+        # the kernel writes gradients in the SAME column layout as gdata
+        # (0..9 = field grads, F_RADIUS carries the abs-grad stat — its
+        # primal value never affects the output — then semantics, then
+        # zero padding), so the cotangent is the kernel output as-is; no
+        # re-packing copies. A [P]-sized separate sink cotangent would
+        # cost two extra latency-bound 1-column gathers (the
+        # `absgrad_sink` arg is kept for API stability; cotangent zero).
+        assert GF_ABS == F_RADIUS and NG_BASE == NF_BASE
+        nf = gdata.shape[1]
+        ng = grads.shape[1]
+        if ng == nf:
+            d_gdata = grads
+        elif ng < nf:
+            d_gdata = jnp.concatenate(
+                [grads, jnp.zeros((grads.shape[0], nf - ng),
+                                  grads.dtype)], axis=1)
+        else:
+            d_gdata = grads[:, :nf]
         return (d_gdata, None, None,
                 jnp.zeros((gdata.shape[0],), gdata.dtype))
 

@@ -308,20 +308,50 @@ def blend_fields(
     binning, pair gather, Pallas blend (`rasterizer_impl.cu:278-321` +
     `forward.cu:340-467`)."""
     H, W = height, width
+    n = fs.fields.shape[0]
+    nf = fs.fields.shape[1]
     visible = fs.radii > 0
     key = jnp.where(visible, fs.depths, jnp.inf)
     order = jax.lax.stop_gradient(jnp.argsort(key, stable=True))
+
+    # Ride the tile rect on the wide row take: narrow [N,2] gathers cost
+    # several ms each on TPU while extra columns on a wide row gather are
+    # nearly free, so the rect (and the visibility it encodes — culled
+    # rows are zeroed, so rect_max > rect_min iff the Gaussian survives)
+    # is packed into the trailing zero-padding columns of the field table
+    # and recovered after the sort instead of being gathered separately.
+    rectf = jnp.concatenate([fs.rect_min, fs.rect_max], axis=1).astype(
+        fs.fields.dtype)
+    rectf = jnp.where(visible[:, None], rectf, 0.0)
+    rectf = jax.lax.stop_gradient(rectf)
+    spare = nf - (NF_BASE + fs.s_ch)
+    if spare >= 4:
+        rect_col = nf - 4
+        ext = jnp.concatenate([fs.fields[:, :rect_col], rectf], axis=1)
+    else:
+        rect_col = nf
+        ext = jnp.concatenate([fs.fields, rectf], axis=1)
+        pad = -ext.shape[1] % 8
+        if pad:
+            ext = jnp.concatenate(
+                [ext, jnp.zeros((n, pad), ext.dtype)], axis=1)
 
     if train_mode:
         # permutation-aware gather: the transpose is a gather by the
         # inverse permutation instead of XLA's scatter-add
         inv_order = jax.lax.stop_gradient(jnp.argsort(order))
-        fields_sorted = _perm_take(fs.fields, order, inv_order)
+        ext_sorted = _perm_take(ext, order, inv_order)
     else:
-        fields_sorted = jnp.take(fs.fields, order, axis=0)   # [N, NF]
-    rect_min_s = jnp.take(fs.rect_min, order, axis=0)
-    rect_max_s = jnp.take(fs.rect_max, order, axis=0)
-    visible_s = jnp.take(visible, order, axis=0)
+        ext_sorted = jnp.take(ext, order, axis=0)   # [N, NF(+4)]
+    rect_s = jax.lax.stop_gradient(
+        ext_sorted[:, rect_col:rect_col + 4]).astype(jnp.int32)
+    rect_min_s = rect_s[:, 0:2]
+    rect_max_s = rect_s[:, 2:4]
+    visible_s = (rect_max_s[:, 0] > rect_min_s[:, 0]) & (
+        rect_max_s[:, 1] > rect_min_s[:, 1])
+    # blend ignores columns past NF_BASE + s_ch, so when the rect rode the
+    # padding the sorted table feeds the pair gather as-is (same width)
+    fields_sorted = ext_sorted if spare >= 4 else ext_sorted[:, :nf]
     s_ch = fs.s_ch
 
     # the gm-expansion ride (extra sort operand) is only built when the
