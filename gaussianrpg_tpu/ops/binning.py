@@ -64,6 +64,8 @@ class PairLists(NamedTuple):
     n_tiles_x: int
     n_tiles_y: int
     capacity: int            # P_pad
+    tile_x: int = TILE_X     # static tile size the rects were built with
+    tile_y: int = TILE_Y
     # training extras (ride_gm=True): machinery for the sort-free backward
     # pair-gradient aggregation (segment-sum via cumsum + boundary diff
     # instead of the CUDA atomicAdd / XLA scatter-add)
@@ -86,10 +88,11 @@ def depth_order(pre: Preprocessed) -> jax.Array:
     return jnp.argsort(key, stable=True)
 
 
-def tile_grid_dims(width: int, height: int) -> tuple[int, int]:
+def tile_grid_dims(width: int, height: int, tile_x: int = TILE_X,
+                   tile_y: int = TILE_Y) -> tuple[int, int]:
     return (
-        (width + TILE_X - 1) // TILE_X,
-        (height + TILE_Y - 1) // TILE_Y,
+        (width + tile_x - 1) // tile_x,
+        (height + tile_y - 1) // tile_y,
     )
 
 
@@ -101,6 +104,8 @@ def build_pair_lists(
     height: int,
     capacity: int,         # P_pad: static padded-pair capacity (mult of 128)
     ride_gm: bool = False,  # also produce pair_gm/seg_offs/seg_area
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
 ) -> PairLists:
     """Expand depth-sorted Gaussians into tile-grouped pair lists.
 
@@ -108,7 +113,7 @@ def build_pair_lists(
     depth-ascending (the blend order contract)."""
     assert capacity % G_CHUNK == 0
     n = rect_min.shape[0]
-    ntx, nty = tile_grid_dims(width, height)
+    ntx, nty = tile_grid_dims(width, height, tile_x, tile_y)
     n_tiles = ntx * nty
     p_max = capacity
     max_chunks = capacity // G_CHUNK
@@ -258,6 +263,8 @@ def build_pair_lists(
         n_tiles_x=ntx,
         n_tiles_y=nty,
         capacity=capacity,
+        tile_x=tile_x,
+        tile_y=tile_y,
         pair_gm=pair_gm,
         seg_offs=offs if ride_gm else None,
         seg_area=area if ride_gm else None,

@@ -72,7 +72,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .binning import G_CHUNK  # pairs per chunk (single source of truth)
 from .projection import TILE_X, TILE_Y
-N_PIX = TILE_X * TILE_Y  # 256 pixels per tile
+N_PIX = TILE_X * TILE_Y  # pixels per tile at the DEFAULT (16x16) tiling;
+                         # every kernel below is built for the tile size the
+                         # pair lists were binned with (PairLists.tile_x/y)
 
 # gdata field columns (pairs-major layout [P_pad, NF])
 F_MX, F_MY, F_CA, F_CB, F_CC, F_OP, F_R, F_G, F_B, F_DEPTH, F_RADIUS = range(11)
@@ -87,24 +89,24 @@ def _round8(x):
     return (x + 7) // 8 * 8
 
 
-def _pixel_rows(tile_x, tile_y):
-    """Pixel centers of tile (tile_x, tile_y) as (1, N_PIX) f32 lane
-    vectors, flattened p = y*16 + x (CUDA pix_id order)."""
-    p = jax.lax.broadcasted_iota(jnp.int32, (1, N_PIX), 1)
-    px = (p % TILE_X + tile_x * TILE_X).astype(jnp.float32)
-    py = (p // TILE_X + tile_y * TILE_Y).astype(jnp.float32)
+def _pixel_rows(tile_xi, tile_yi, tx, ty):
+    """Pixel centers of tile (tile_xi, tile_yi) as (1, tx*ty) f32 lane
+    vectors, flattened p = y*tx + x (CUDA pix_id order)."""
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, tx * ty), 1)
+    px = (p % tx + tile_xi * tx).astype(jnp.float32)
+    py = (p // tx + tile_yi * ty).astype(jnp.float32)
     return px, py
 
 
-def _sub_iota():
-    return jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, N_PIX), 0)
+def _sub_iota(n_pix):
+    return jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, n_pix), 0)
 
 
 def _sub_cumprod_excl(x):
     """Exclusive cumulative product along the 128-sublane Gaussian axis
     (Hillis-Steele with masked sublane rolls; sublane shifts are the cheap
     direction — multiples of 8 are whole-vreg moves)."""
-    row = _sub_iota()
+    row = _sub_iota(x.shape[1])
     y = x
     s = 1
     while s < G_CHUNK:
@@ -115,7 +117,7 @@ def _sub_cumprod_excl(x):
 
 def _sub_cumsum(x):
     """Inclusive cumulative sum along the sublane Gaussian axis."""
-    row = _sub_iota()
+    row = _sub_iota(x.shape[1])
     y = x
     s = 1
     while s < G_CHUNK:
@@ -189,8 +191,9 @@ def _feat_matrix(t, s_ch):
     return jnp.concatenate([t["feats"], ones], axis=1)
 
 
-def _make_fwd_kernel(ntx, s_ch):
+def _make_fwd_kernel(ntx, s_ch, tx, ty):
     c_feat = 5 + s_ch
+    n_pix = tx * ty
 
     def kernel(cm_ref, bg_ref, gdata_ref, out_ref, t_run_s, done_s, acc_s):
         c = pl.program_id(0)
@@ -204,15 +207,15 @@ def _make_fwd_kernel(ntx, s_ch):
 
         @pl.when(first == 1)
         def _():
-            t_run_s[...] = jnp.ones((1, N_PIX), jnp.float32)
-            done_s[...] = jnp.zeros((1, N_PIX), jnp.float32)
-            acc_s[...] = jnp.zeros((c_feat, N_PIX), jnp.float32)
+            t_run_s[...] = jnp.ones((1, n_pix), jnp.float32)
+            done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
+            acc_s[...] = jnp.zeros((c_feat, n_pix), jnp.float32)
 
         n_done = jnp.sum(done_s[...])
 
-        @pl.when((valid == 1) & (n_done < N_PIX))
+        @pl.when((valid == 1) & (n_done < n_pix))
         def _():
-            px, py = _pixel_rows(tile_x, tile_y)
+            px, py = _pixel_rows(tile_x, tile_y, tx, ty)
             t = _cols(gdata_ref, s_ch)
             a = _alpha_terms(t, px, py)
             t_run = t_run_s[...]
@@ -253,10 +256,11 @@ def _make_fwd_kernel(ntx, s_ch):
     return kernel
 
 
-def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols):
+def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty):
     c_feat = 5 + s_ch
     half_w = 0.5 * width
     half_h = 0.5 * height
+    n_pix = tx * ty
 
     def kernel(cm_ref, bg_ref, gdata_ref, out_ref, dout_ref, grad_ref,
                t_run_s, done_s, pref_s, gmat_s):
@@ -271,14 +275,14 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols):
 
         @pl.when(first == 1)
         def _():
-            t_run_s[...] = jnp.ones((1, N_PIX), jnp.float32)
-            done_s[...] = jnp.zeros((1, N_PIX), jnp.float32)
-            pref_s[...] = jnp.zeros((1, N_PIX), jnp.float32)
+            t_run_s[...] = jnp.ones((1, n_pix), jnp.float32)
+            done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
+            pref_s[...] = jnp.zeros((1, n_pix), jnp.float32)
 
         gmat_s[...] = jnp.zeros((G_CHUNK, ng_cols), jnp.float32)
         n_done = jnp.sum(done_s[...])
 
-        @pl.when((valid == 1) & (n_done < N_PIX))
+        @pl.when((valid == 1) & (n_done < n_pix))
         def _():
             outs = out_ref[0, :, :]                       # (NFO, P)
             g_pix = dout_ref[0, :, :]                     # (NFO, P)
@@ -295,7 +299,7 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols):
             bg_dot = (g_pix[0:1] * bg0 + g_pix[1:2] * bg1
                       + g_pix[2:3] * bg2)                 # (1, P)
 
-            px, py = _pixel_rows(tile_x, tile_y)
+            px, py = _pixel_rows(tile_x, tile_y, tx, ty)
             t = _cols(gdata_ref, s_ch)
             a = _alpha_terms(t, px, py)
             t_run = t_run_s[...]
@@ -327,12 +331,12 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols):
             # grads). TILE-LOCAL pixel coordinates keep the moment
             # recombination cancellation-free (global px^2 ~ 1e6 would
             # amplify f32 eps by (px/dx)^2).
-            txo = jnp.float32(TILE_X) * tile_x
-            tyo = jnp.float32(TILE_Y) * tile_y
+            txo = jnp.float32(tx) * tile_x
+            tyo = jnp.float32(ty) * tile_y
             pxl = px - txo
             pyl = py - tyo
             basis = jnp.concatenate(
-                [jnp.ones((1, N_PIX), jnp.float32), pxl, pyl, pxl * pxl,
+                [jnp.ones((1, n_pix), jnp.float32), pxl, pyl, pxl * pxl,
                  pxl * pyl, pyl * pyl, g_pix], axis=0)    # (6+NFO, P)
             stacked = jnp.concatenate([q, q2, absp, w], axis=0)  # (4G, P)
             mom = _mm(stacked, basis.T)                   # (4G, 6+NFO)
@@ -385,16 +389,18 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols):
 
 
 @functools.lru_cache(maxsize=32)
-def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
+def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret,
+               tx=TILE_X, ty=TILE_Y):
     """Build (forward, backward) pallas_call wrappers for a static config."""
     nfo = 5 + s_ch
     ng_cols = _round8(NG_BASE + s_ch)
     n_tiles = ntx * nty
     max_chunks = capacity // G_CHUNK
     c_feat = 5 + s_ch
+    n_pix = tx * ty
 
-    fwd_kernel = _make_fwd_kernel(ntx, s_ch)
-    bwd_kernel = _make_bwd_kernel(ntx, s_ch, width, height, ng_cols)
+    fwd_kernel = _make_fwd_kernel(ntx, s_ch, tx, ty)
+    bwd_kernel = _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty)
 
     # scalar-prefetch order: chunk_meta (packed), bg
     gdata_spec = pl.BlockSpec(
@@ -403,7 +409,7 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
     # (8, 128) or equal the full array dims, so the revisited tile axis must
     # be the leading dim
     tile_spec = pl.BlockSpec(
-        (1, nfo, N_PIX), lambda c, cm, bg: (cm[c] & 0xFFFFFF, 0, 0))
+        (1, nfo, n_pix), lambda c, cm, bg: (cm[c] & 0xFFFFFF, 0, 0))
 
     fwd_call = pl.pallas_call(
         fwd_kernel,
@@ -413,12 +419,12 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
             in_specs=[gdata_spec],
             out_specs=tile_spec,
             scratch_shapes=[
-                pltpu.VMEM((1, N_PIX), jnp.float32),       # t_run
-                pltpu.VMEM((1, N_PIX), jnp.float32),       # done
-                pltpu.VMEM((c_feat, N_PIX), jnp.float32),  # acc
+                pltpu.VMEM((1, n_pix), jnp.float32),       # t_run
+                pltpu.VMEM((1, n_pix), jnp.float32),       # done
+                pltpu.VMEM((c_feat, n_pix), jnp.float32),  # acc
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, nfo, N_PIX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, nfo, n_pix), jnp.float32),
         interpret=bool(interpret),
     )
 
@@ -431,9 +437,9 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
             out_specs=pl.BlockSpec(
                 (1, G_CHUNK, ng_cols), lambda c, cm, bg: (c, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((1, N_PIX), jnp.float32),       # t_run
-                pltpu.VMEM((1, N_PIX), jnp.float32),       # done
-                pltpu.VMEM((1, N_PIX), jnp.float32),       # pref_e
+                pltpu.VMEM((1, n_pix), jnp.float32),       # t_run
+                pltpu.VMEM((1, n_pix), jnp.float32),       # done
+                pltpu.VMEM((1, n_pix), jnp.float32),       # pref_e
                 pltpu.VMEM((G_CHUNK, ng_cols), jnp.float32),  # gmat
             ],
         ),
@@ -445,16 +451,17 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_blend(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
+def _make_blend(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret,
+                tx=TILE_X, ty=TILE_Y):
     """custom_vjp blend for one static config.
 
     primal: (gdata [P_pad, NF] pairs-major, chunk_meta [MAX_CHUNKS] i32
-    packed, bg [3], absgrad_sink [P_pad]) -> planes [n_tiles, NFO, 256]
+    packed, bg [3], absgrad_sink [P_pad]) -> planes [n_tiles, NFO, tx*ty]
     (tile-major; empty tiles contain garbage — mask them outside via
     tile_nonempty).
     """
     fwd_call, bwd_call = _blend_fns(ntx, nty, s_ch, capacity, nf_cols,
-                                    width, height, interpret)
+                                    width, height, interpret, tx, ty)
 
     @jax.custom_vjp
     def blend(gdata, cm, bg, absgrad_sink):
@@ -494,14 +501,15 @@ def _make_blend(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret):
 
 
 def planes_to_image(planes: jax.Array, ntx: int, nty: int,
-                    height: int, width: int) -> jax.Array:
-    """Reassemble tile-major [ntx*nty, NFO, 256] into image planes
+                    height: int, width: int,
+                    tx: int = TILE_X, ty: int = TILE_Y) -> jax.Array:
+    """Reassemble tile-major [ntx*nty, NFO, tx*ty] into image planes
     [NFO, height, width] (pure XLA; differentiable, so the blend cotangent
     arrives pre-tiled)."""
     nfo = planes.shape[1]
-    x = planes.reshape(nty, ntx, nfo, TILE_Y, TILE_X)
+    x = planes.reshape(nty, ntx, nfo, ty, tx)
     x = x.transpose(2, 0, 3, 1, 4)
-    x = x.reshape(nfo, nty * TILE_Y, ntx * TILE_X)
+    x = x.reshape(nfo, nty * ty, ntx * tx)
     return x[:, :height, :width]
 
 
@@ -522,8 +530,9 @@ def blend_pairs(
     nf_cols = gdata.shape[1]
     assert capacity % G_CHUNK == 0, "capacity must be a multiple of 128"
     assert nf_cols >= NF_BASE + s_ch
+    tx, ty = lists.tile_x, lists.tile_y
     fn = _make_blend(lists.n_tiles_x, lists.n_tiles_y, s_ch, capacity,
-                     nf_cols, width, height, interpret)
+                     nf_cols, width, height, interpret, tx, ty)
     planes = fn(gdata, lists.chunk_meta, bg, absgrad_sink)
     # tiles with no pairs never get a chunk: composite pure background
     nfo = planes.shape[1]
@@ -532,4 +541,4 @@ def blend_pairs(
     planes = jnp.where(lists.tile_nonempty[:, None, None], planes,
                        bg_plane[None, :, None])
     return planes_to_image(planes, lists.n_tiles_x, lists.n_tiles_y,
-                           height, width)
+                           height, width, tx, ty)

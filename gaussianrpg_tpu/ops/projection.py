@@ -141,21 +141,25 @@ def compute_cov2d(
     return jnp.stack([c00, c01, c11], axis=-1)
 
 
-def tile_rect(means2d: jax.Array, radii: jax.Array, grid_x: int, grid_y: int):
+def tile_rect(means2d: jax.Array, radii: jax.Array, grid_x: int, grid_y: int,
+              tile_x: int = TILE_X, tile_y: int = TILE_Y):
     """Tile bounding rect per Gaussian; matches `auxiliary.h:46-56` (C
-    truncation == floor after the >=0 clamp)."""
+    truncation == floor after the >=0 clamp). The tile size is a free
+    parameter on TPU: per-pixel blend results are tile-independent, while
+    pair count (hence binning/gather/blend-list cost) shrinks with larger
+    tiles at the price of more pixel evaluations per pair."""
     r = radii.astype(means2d.dtype)
     rect_min_x = jnp.clip(
-        jnp.floor((means2d[..., 0] - r) / TILE_X), 0, grid_x
+        jnp.floor((means2d[..., 0] - r) / tile_x), 0, grid_x
     ).astype(jnp.int32)
     rect_min_y = jnp.clip(
-        jnp.floor((means2d[..., 1] - r) / TILE_Y), 0, grid_y
+        jnp.floor((means2d[..., 1] - r) / tile_y), 0, grid_y
     ).astype(jnp.int32)
     rect_max_x = jnp.clip(
-        jnp.floor((means2d[..., 0] + r + TILE_X - 1) / TILE_X), 0, grid_x
+        jnp.floor((means2d[..., 0] + r + tile_x - 1) / tile_x), 0, grid_x
     ).astype(jnp.int32)
     rect_max_y = jnp.clip(
-        jnp.floor((means2d[..., 1] + r + TILE_Y - 1) / TILE_Y), 0, grid_y
+        jnp.floor((means2d[..., 1] + r + tile_y - 1) / tile_y), 0, grid_y
     ).astype(jnp.int32)
     rect_min = jnp.stack([rect_min_x, rect_min_y], axis=-1)
     rect_max = jnp.stack([rect_max_x, rect_max_y], axis=-1)
@@ -176,6 +180,8 @@ def preprocess(
     cov3d_precomp: jax.Array | None = None,
     lim_tan_fovx=None,
     lim_tan_fovy=None,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
 ) -> Preprocessed:
     """Vectorized per-Gaussian preprocess; `forward.cu:155-256` equivalent.
 
@@ -184,8 +190,8 @@ def preprocess(
     """
     from .math3d import build_covariance
 
-    grid_x = (image_width + TILE_X - 1) // TILE_X
-    grid_y = (image_height + TILE_Y - 1) // TILE_Y
+    grid_x = (image_width + tile_x - 1) // tile_x
+    grid_y = (image_height + tile_y - 1) // tile_y
     focal_x = image_width / (2.0 * tan_fovx)
     focal_y = image_height / (2.0 * tan_fovy)
 
@@ -219,7 +225,8 @@ def preprocess(
         [ndc2pix(p_proj[..., 0], image_width), ndc2pix(p_proj[..., 1], image_height)],
         axis=-1,
     )
-    rect_min, rect_max = tile_rect(mean2d, radius_f, grid_x, grid_y)
+    rect_min, rect_max = tile_rect(mean2d, radius_f, grid_x, grid_y,
+                                   tile_x, tile_y)
     area = (rect_max[..., 0] - rect_min[..., 0]) * (rect_max[..., 1] - rect_min[..., 1])
 
     visible = in_front & det_ok & (area > 0)

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from . import binning
 from .oracle import RasterOut, rasterize_oracle
 from .pallas_blend import NF_BASE, blend_pairs
-from .projection import preprocess
+from .projection import TILE_X, TILE_Y, preprocess
 from .sh import sh_to_rgb_clamped
 
 
@@ -196,6 +196,8 @@ class FieldSet(NamedTuple):
     sink: jax.Array       # [N] absgrad sink channel
     means2d: jax.Array    # [N, 2]
     s_ch: int             # semantic channel count (static)
+    tile_x: int = TILE_X  # static tile size the rects were built with;
+    tile_y: int = TILE_Y  # blend_fields bins + blends at the same tiling
 
 
 def primitive_fields(
@@ -214,6 +216,8 @@ def primitive_fields(
     means2d_offset: jax.Array | None = None,
     absgrad_sink: jax.Array | None = None,
     active_mask: jax.Array | None = None,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
 ) -> FieldSet:
     """O(N) per-primitive stage: preprocess + SH + field-column assembly
     (`forward.cu:155-256` + color). Safe to run on a Gaussian shard."""
@@ -237,6 +241,8 @@ def primitive_fields(
         cov3d_precomp,
         camera.lim_tan_fovx,
         camera.lim_tan_fovy,
+        tile_x=tile_x,
+        tile_y=tile_y,
     )
 
     if colors is None:
@@ -291,7 +297,8 @@ def primitive_fields(
 
     return FieldSet(fields=fields, rect_min=pre.rect_min,
                     rect_max=pre.rect_max, radii=radii, depths=pre.depths,
-                    sink=absgrad_sink, means2d=pre.means2d, s_ch=s_ch)
+                    sink=absgrad_sink, means2d=pre.means2d, s_ch=s_ch,
+                    tile_x=tile_x, tile_y=tile_y)
 
 
 def blend_fields(
@@ -358,7 +365,7 @@ def blend_fields(
     # caller wires gradient hooks — eval renders skip its cost
     lists = binning.build_pair_lists(
         rect_min_s, rect_max_s, visible_s, W, H, capacity,
-        ride_gm=train_mode)
+        ride_gm=train_mode, tile_x=fs.tile_x, tile_y=fs.tile_y)
 
     # gather the flat pair data [P_pad, NF]; padding slots zeroed (their
     # zero opacity/radius makes the kernel skip them); see _take8 /
@@ -426,6 +433,8 @@ def rasterize(
     capacity: int = 1 << 19,
     backend: str = "pallas",
     interpret: bool = False,
+    tile_x: int = TILE_X,
+    tile_y: int = TILE_Y,
 ) -> RasterOut:
     """Render Gaussians through the TPU pipeline.
 
@@ -434,6 +443,11 @@ def rasterize(
     (normalized) or cov3d_precomp [N,6]. `capacity` is the static padded
     (Gaussian x coarse-tile) pair capacity — the analog of the CUDA
     binning buffer size; grow + recompile on overflow.
+
+    `tile_x`/`tile_y` (static; tx*ty a multiple of 128) pick the blend
+    tiling. 16x16 matches the CUDA BLOCK_X/Y parity contract; other sizes
+    trade pair count against per-pair pixel work (candidate sets are
+    rect-based, so outputs may differ from 16x16 by sub-1/255-alpha tails).
     """
     if backend == "oracle":
         return rasterize_oracle(
@@ -454,7 +468,8 @@ def rasterize(
         sh_degree=sh_degree, semantics=semantics, scales=scales,
         rotations=rotations, cov3d_precomp=cov3d_precomp,
         scale_modifier=scale_modifier, means2d_offset=means2d_offset,
-        absgrad_sink=absgrad_sink, active_mask=active_mask)
+        absgrad_sink=absgrad_sink, active_mask=active_mask,
+        tile_x=tile_x, tile_y=tile_y)
     return blend_fields(fs, width=camera.width, height=camera.height,
                         bg_color=bg_color, capacity=capacity,
                         train_mode=train_mode, interpret=interpret)

@@ -150,3 +150,26 @@ def test_mark_visible_and_filter(rng):
     assert radii.shape == (3,) and means2d.shape == (3, 2)
     r = np.asarray(radii)
     assert r[0] > 0 and r[1] == 0
+
+
+@pytest.mark.parametrize("tx,ty", [(16, 8), (32, 16)])
+def test_tile_size_parameterization(tx, ty):
+    """Non-default tilings (static tile_x/tile_y) must track the oracle to
+    within the sub-1/255 alpha tails their wider rect candidate sets admit,
+    with finite gradients through the training hooks."""
+    means, opac, kw, _ = _setup(n=400)
+    o = rasterize_oracle(means, opac, **kw)
+    p = rasterize(means, opac, capacity=8192, interpret=True,
+                  tile_x=tx, tile_y=ty, **kw)
+    np.testing.assert_allclose(np.asarray(p.color), np.asarray(o.color),
+                               atol=8e-3)
+
+    def loss(m):
+        r = rasterize(m, opac, capacity=8192, interpret=True,
+                      tile_x=tx, tile_y=ty,
+                      means2d_offset=jnp.zeros((m.shape[0], 2), jnp.float32),
+                      **kw)
+        return jnp.sum(r.color ** 2)
+
+    g = jax.grad(loss)(means)
+    assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.linalg.norm(g)) > 0
