@@ -134,42 +134,54 @@ def build_pair_lists(
     # PATHOLOGICAL on TPU (~75ms per 4M-element gather, measured); the
     # fills are bandwidth-bound scans instead. Packing (g+1)<<bits|value
     # keeps each marker monotone across segments so cummax fills exactly.
-    tb = max(int(ntx).bit_length(), int(nty).bit_length())
-    assert n < (1 << (30 - tb)), "too many gaussians for packed markers"
+    #
+    # Scatters dominate binning (~8ns/update, ~79% measured at 64x32), so
+    # the marker count matters: when gaussian-id and tile-BASE bits fit in
+    # one word (large tiles / small grids), two scatters carry all five
+    # quantities; the three-scatter split (id|x0, id|y0, offs|rw) is the
+    # general fallback.
     gp1 = jnp.arange(1, n + 1, dtype=jnp.int32)
     scat_idx = jnp.where(area > 0, offs, p_max)
-
-    def fill(values):
-        m = jnp.zeros((p_max,), jnp.int32).at[scat_idx].max(
-            values, mode="drop")
-        return jax.lax.cummax(m)
-
-    mask_v = (1 << tb) - 1
-    assert capacity < (1 << (30 - tb)), "capacity too large for packed rw"
 
     def scat(values):
         return jnp.zeros((p_max,), jnp.int32).at[scat_idx].max(
             values, mode="drop")
 
-    # the three marker fills run as ONE single-pass Pallas scan
-    # (ops/pallas_scan.fused_cummax) when the capacity allows; XLA's
-    # multi-pass cummax otherwise
-    if USE_PALLAS_FILLS and p_max % 65536 == 0:
-        fx0, fy0, fsr = fused_cummax((
-            scat((gp1 << tb) | x0.astype(jnp.int32)),
-            scat((gp1 << tb) | y0.astype(jnp.int32)),
-            scat(((offs + 1) << tb) | rw.astype(jnp.int32)),
+    def fills(packed):
+        # the marker fills run as ONE single-pass Pallas scan
+        # (ops/pallas_scan.fused_cummax) when the capacity allows; XLA's
+        # multi-pass cummax otherwise
+        if USE_PALLAS_FILLS and p_max % 65536 == 0:
+            return fused_cummax(tuple(scat(v) for v in packed))
+        return tuple(jax.lax.cummax(scat(v)) for v in packed)
+
+    tb_base = max(int(n_tiles).bit_length(), 1)
+    tb_rw = max(int(ntx).bit_length(), 1)
+    if (n < (1 << (30 - tb_base))) and (capacity < (1 << (30 - tb_rw))):
+        base0 = (y0 * ntx + x0).astype(jnp.int32)
+        fb, fsr = fills((
+            (gp1 << tb_base) | base0,
+            ((offs + 1) << tb_rw) | rw.astype(jnp.int32),
         ))
+        pair_g = (fb >> tb_base) - 1                  # [P_max] source index
+        g_base = fb & ((1 << tb_base) - 1)            # y0*ntx + x0
+        seg_start = (fsr >> tb_rw) - 1                # first pair idx of g
+        g_rw = jnp.maximum(fsr & ((1 << tb_rw) - 1), 1)
     else:
-        fx0 = fill((gp1 << tb) | x0.astype(jnp.int32))
-        fy0 = fill((gp1 << tb) | y0.astype(jnp.int32))
-        fsr = fill(((offs + 1) << tb) | rw.astype(jnp.int32))
-    pair_g = (fx0 >> tb) - 1                          # [P_max] source index
-    g_x0 = fx0 & mask_v
-    g_y0 = fy0 & mask_v
-    # offs is monotone too, so rw rides the segment-start marker
-    seg_start = (fsr >> tb) - 1                       # first pair idx of g
-    g_rw = jnp.maximum(fsr & mask_v, 1)
+        tb = max(int(ntx).bit_length(), int(nty).bit_length())
+        assert n < (1 << (30 - tb)), "too many gaussians for packed markers"
+        assert capacity < (1 << (30 - tb)), "capacity too large for packed rw"
+        mask_v = (1 << tb) - 1
+        fx0, fy0, fsr = fills((
+            (gp1 << tb) | x0.astype(jnp.int32),
+            (gp1 << tb) | y0.astype(jnp.int32),
+            ((offs + 1) << tb) | rw.astype(jnp.int32),
+        ))
+        pair_g = (fx0 >> tb) - 1
+        g_base = (fy0 & mask_v) * ntx + (fx0 & mask_v)
+        # offs is monotone too, so rw rides the segment-start marker
+        seg_start = (fsr >> tb) - 1
+        g_rw = jnp.maximum(fsr & mask_v, 1)
 
     pair_idx = jnp.arange(p_max, dtype=jnp.int32)
     pair_ok = (pair_idx < raw_total) & (pair_g >= 0)
@@ -185,7 +197,7 @@ def build_pair_lists(
     row = jnp.floor((k.astype(jnp.float32) + 0.5)
                     / g_rw.astype(jnp.float32)).astype(jnp.int32)
     col = k - row * g_rw
-    tile = (g_y0 + row) * ntx + (g_x0 + col)
+    tile = g_base + row * ntx + col
     tile = jnp.where(pair_ok, tile, n_tiles).astype(jnp.int32)
 
     # --- per-tile counts from a keys-only sort ---------------------------
