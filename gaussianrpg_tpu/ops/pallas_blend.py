@@ -89,6 +89,21 @@ def _round8(x):
     return (x + 7) // 8 * 8
 
 
+MXU_SCAN = False  # sublane scans as triangular-matrix MXU contractions
+                  # instead of log2 masked-roll ladders. OFF: the variant
+                  # WEDGES the Mosaic compile at 64x32 tiles (>25 min, never
+                  # returned — the same pathology class as the T-update
+                  # matmul note below); kept for re-testing on newer
+                  # toolchains since it would cut ~21 VPU ops per block to
+                  # one 128x128xP contraction.
+
+
+def _tril(strict: bool) -> jnp.ndarray:
+    r = jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, G_CHUNK), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, G_CHUNK), 1)
+    return ((c < r) if strict else (c <= r)).astype(jnp.float32)
+
+
 def _pixel_rows(tile_xi, tile_yi, tx, ty):
     """Pixel centers of tile (tile_xi, tile_yi) as (1, tx*ty) f32 lane
     vectors, flattened p = y*tx + x (CUDA pix_id order)."""
@@ -103,9 +118,14 @@ def _sub_iota(n_pix):
 
 
 def _sub_cumprod_excl(x):
-    """Exclusive cumulative product along the 128-sublane Gaussian axis
-    (Hillis-Steele with masked sublane rolls; sublane shifts are the cheap
-    direction — multiples of 8 are whole-vreg moves)."""
+    """Exclusive cumulative product along the 128-sublane Gaussian axis.
+
+    MXU form: exp(tril_strict @ log(x)) — one HIGHEST-precision contraction
+    (x >= 0.01 from the 0.99 alpha clamp, so log is well-conditioned).
+    VPU form: Hillis-Steele with masked sublane rolls (multiples of 8 are
+    whole-vreg moves)."""
+    if MXU_SCAN:
+        return jnp.exp(_mm(_tril(strict=True), jnp.log(x)))
     row = _sub_iota(x.shape[1])
     y = x
     s = 1
@@ -117,6 +137,8 @@ def _sub_cumprod_excl(x):
 
 def _sub_cumsum(x):
     """Inclusive cumulative sum along the sublane Gaussian axis."""
+    if MXU_SCAN:
+        return _mm(_tril(strict=False), x)
     row = _sub_iota(x.shape[1])
     y = x
     s = 1
