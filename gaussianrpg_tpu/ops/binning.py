@@ -45,6 +45,9 @@ G_CHUNK = 128  # pairs per blend-kernel chunk (pallas_blend imports this;
 USE_PALLAS_FILLS = True  # single-pass Pallas scan for the marker fills
                          # (perf A/B knob; False = XLA lax.cummax)
 
+_FORCE_SPLIT_MARKERS = False  # tests only: force the three-marker fallback
+                              # (it normally triggers only on huge grids)
+
 
 class PairLists(NamedTuple):
     """Flat, tile-grouped, depth-ordered Gaussian pair lists + chunk
@@ -157,7 +160,8 @@ def build_pair_lists(
 
     tb_base = max(int(n_tiles).bit_length(), 1)
     tb_rw = max(int(ntx).bit_length(), 1)
-    if (n < (1 << (30 - tb_base))) and (capacity < (1 << (30 - tb_rw))):
+    if (not _FORCE_SPLIT_MARKERS and n < (1 << (30 - tb_base))
+            and capacity < (1 << (30 - tb_rw))):
         base0 = (y0 * ntx + x0).astype(jnp.int32)
         fb, fsr = fills((
             (gp1 << tb_base) | base0,

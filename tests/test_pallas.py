@@ -173,3 +173,18 @@ def test_tile_size_parameterization(tx, ty):
 
     g = jax.grad(loss)(means)
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.linalg.norm(g)) > 0
+
+
+def test_split_marker_fallback_matches():
+    """The three-marker expansion fallback (huge grids, forced here) must
+    produce identical renders to the packed two-marker fast path."""
+    from gaussianrpg_tpu.ops import binning
+    means, opac, kw, _ = _setup(n=400)
+    fast = rasterize(means, opac, capacity=8192, interpret=True, **kw)
+    binning._FORCE_SPLIT_MARKERS = True
+    try:
+        slow = rasterize(means, opac, capacity=8192, interpret=True, **kw)
+    finally:
+        binning._FORCE_SPLIT_MARKERS = False
+    np.testing.assert_array_equal(np.asarray(fast.color),
+                                  np.asarray(slow.color))
