@@ -59,14 +59,15 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..config.config import load_config, make_argparser
-    from ..render.renderer import RenderOptions, render_scene
+    from ..render.renderer import (RenderOptions, options_from_cfg,
+                                   render_scene)
 
     parser = make_argparser("gaussianrpg_tpu rendering")
     args = parser.parse_args(argv)
     cfg = load_config(args.config, args.opts, mode=args.mode or "evaluate")
 
     models, meta, arrays, cams, test_cams, sh = load_scene_for_eval(cfg)
-    options = RenderOptions(capacity=cfg.render.capacity)
+    options = options_from_cfg(cfg.render)
 
     render_jit = jax.jit(
         render_scene,

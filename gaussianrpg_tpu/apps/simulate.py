@@ -22,7 +22,8 @@ def _synthetic_setup(width=512, height=320, ego_speed=8.0,
     import jax.numpy as jnp
 
     from ..render.camera import make_camera
-    from ..render.renderer import RenderOptions, render_scene
+    from ..render.renderer import (RenderOptions, options_from_cfg,
+                                   render_scene)
     from ..sim.detector import BoxProjectionDetector
     from ..sim.tape import build_tape_from_cameras
     from ..utils.synthetic import make_scene
@@ -97,7 +98,8 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
     from ..data.waymo import WaymoScene
     from ..models.scene_builder import build_scene_from_waymo
     from ..models.scene_io import load_latest_checkpoint
-    from ..render.renderer import RenderOptions, render_scene
+    from ..render.renderer import (RenderOptions, options_from_cfg,
+                                   render_scene)
     from ..sim.detector import (BoxProjectionDetector, JaxYoloDetector,
                                 TorchHubYoloDetector)
     from ..sim.tape import load_tape
@@ -113,7 +115,7 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
     cams = scene.build_cameras("train")
     cam0 = cams[0][0]
 
-    options = RenderOptions(capacity=cfg.render.capacity)
+    options = options_from_cfg(cfg.render)
     render_jit = jax.jit(
         render_scene,
         static_argnames=("active_sh_degree", "options", "train_mode",

@@ -65,7 +65,7 @@ def main(argv=None):
     from ..models.scene_graph import actor_extents, total_capacity
     from ..models.scene_io import (load_checkpoint, save_checkpoint,
                                    save_composite_ply, search_max_iteration)
-    from ..render.renderer import RenderOptions
+    from ..render.renderer import RenderOptions, options_from_cfg
     from ..train.trainer import (Batch, OptimConfig, init_train_state,
                                  make_train_step)
     from ..train.losses import psnr
@@ -89,7 +89,7 @@ def main(argv=None):
                                                   height=160)]
         actor_names = [f"obj_{i:03d}" for i in range(meta.num_actors)]
         # ground truth = initial scene render + noise start
-        opts = RenderOptions(capacity=cfg.render.capacity)
+        opts = options_from_cfg(cfg.render)
         from ..render.renderer import render_scene
         gts = []
         for c, _ in cam_gt:
@@ -119,8 +119,8 @@ def main(argv=None):
         models, meta, arrays, actor_names = build_scene_from_waymo(
             scene, cfg)
         cam_gt = scene.build_cameras("train")
-        opts = RenderOptions(
-            capacity=cfg.render.capacity,
+        opts = options_from_cfg(
+            cfg.render,
             render_normals=bool(cfg.optim.get("lambda_normal_mono", 0.0)))
 
     ocfg = OptimConfig(

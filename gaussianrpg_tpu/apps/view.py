@@ -17,7 +17,8 @@ def main(argv=None):
     import jax
 
     from ..config.config import load_config, make_argparser
-    from ..render.renderer import RenderOptions, render_scene
+    from ..render.renderer import (RenderOptions, options_from_cfg,
+                                   render_scene)
 
     parser = make_argparser("gaussianrpg_tpu live viewer")
     parser.add_argument("--synthetic", action="store_true")
@@ -46,7 +47,7 @@ def main(argv=None):
         models = load_latest_checkpoint(cfg.trained_model_dir, models)
         cameras = [c for c, _ in scene.build_cameras("all")]
 
-    opts = RenderOptions(capacity=cfg.render.capacity)
+    opts = options_from_cfg(cfg.render)
     render = jax.jit(render_scene, static_argnames=(
         "active_sh_degree", "include_background", "include_objects",
         "train_mode"))

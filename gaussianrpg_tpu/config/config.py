@@ -174,6 +174,10 @@ DEFAULT_CONFIG = {
         "render_normal": False,
         "fps": 10,
         "capacity": 1 << 21,
+        # blend tiling: 16x16 = exact CUDA-parity; 64x32 measured ~1.9x
+        # faster frames on street scenes (PERF.md); tile_x*tile_y % 128 == 0
+        "tile_x": 16,
+        "tile_y": 16,
         "save_video": True,
         "save_image": True,
         "coord": "world",
