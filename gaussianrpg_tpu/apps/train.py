@@ -297,6 +297,11 @@ def main(argv=None):
                     prune_big_points=it > ocfg.opacity_reset_interval)
                 a_ext = actor_extents(arrays, meta.box_scale)
                 half = arrays.actor_bbox / 2.0
+                # deformable actors (pedestrians) skip the outside-bbox
+                # sampled prune (`gaussian_model_actor.py:207`): an
+                # infinite box makes the vmapped prune a no-op for them
+                half = jnp.where(arrays.actor_deformable[:, None],
+                                 jnp.inf, half)
                 keys = jax.random.split(
                     jax.random.PRNGKey(20000 + it), meta.num_actors)
                 a_adam = G.AdamState(mu=state.adam.mu["actors"],

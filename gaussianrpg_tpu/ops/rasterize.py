@@ -110,7 +110,10 @@ def _pair_gather_bwd(res, d_gdata):
          jnp.cumsum(d_gm, axis=0)], axis=0)
     ends = jnp.concatenate(
         [seg_offs, (seg_offs[-1] + seg_area[-1])[None]])
-    bounds = _take8(cs, jnp.minimum(ends, p))        # [N+1, NF]
+    # boundary indices are non-decreasing (exclusive-cumsum of areas) —
+    # tell XLA so the gather can take its sorted fast path
+    bounds = jnp.take(cs, jnp.minimum(ends, p), axis=0,
+                      indices_are_sorted=True)       # [N+1, NF]
     d_fields = bounds[1:] - bounds[:-1]              # [N, NF]
 
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)

@@ -21,6 +21,14 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: the suite is dominated by interpret-mode
+# Pallas + shard_map XLA compiles (the scenes are already tiny); caching
+# them makes repeat runs several times faster. Keyed by HLO hash, so code
+# changes invalidate exactly the affected executables.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_TEST_CACHE_DIR",
+                                 "/tmp/jax_test_compile_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

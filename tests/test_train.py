@@ -179,6 +179,19 @@ def test_actor_densify_bbox_prune_and_boxreg():
     kept_xyz = np.asarray(p2.xyz[0])[np.asarray(act)]
     assert (np.abs(kept_xyz) < 50.0).all()
 
+    # deformable actors skip the sampled prune (gaussian_model_actor.py:207
+    # gate); apps/train widens their box to inf, which must be a no-op
+    inf_h = jnp.full_like(half, jnp.inf)
+    p3, aux3, _, _ = jax.vmap(
+        lambda p, a, mu, nu, k, e, h: dp(
+            p, a, G.AdamState(mu=mu, nu=nu, count=adam.count), k,
+            extent=e, bbox_min=-h, bbox_max=h))(
+        actors, aux, adam.mu, adam.nu, keys, a_ext, inf_h)
+    act3 = G.active_mask(
+        jax.tree.map(lambda x: x[0], p3), jax.tree.map(lambda x: x[0], aux3))
+    kept3 = np.asarray(p3.xyz[0])[np.asarray(act3)]
+    assert (np.abs(kept3) > 50.0).any()  # far point survives
+
     # box_reg_loss: inflating scales raises the penalty
     r0 = float(G.box_reg_loss(jax.tree.map(lambda x: x[0], p2),
                               jax.tree.map(lambda x: x[0], aux2),
