@@ -27,7 +27,7 @@ overflow flag is returned so callers can re-run with a larger capacity
 buffers, `rasterizer_impl.cu:155-193`).
 
 Everything here is O(N + P) vector work plus one O(P log P) sort and two
-O(P) scatters with unique indices.
+O(P) sorted-index scatters.
 """
 from __future__ import annotations
 
@@ -47,6 +47,13 @@ USE_PALLAS_FILLS = True  # single-pass Pallas scan for the marker fills
 
 _FORCE_SPLIT_MARKERS = False  # tests only: force the three-marker fallback
                               # (it normally triggers only on huge grids)
+
+SCATTER_COLS = True  # scatter ALL marker words as ONE [N, K] row scatter
+                     # into a [P, K] table instead of K separate [N] -> [P]
+                     # scatters. Scatters are issue-rate bound (~8 ns/update)
+                     # and extra row width is nearly free (same reason the
+                     # wide row take wins), so this halves the dominant
+                     # binning cost. False = K independent scatters (A/B).
 
 
 class PairLists(NamedTuple):
@@ -144,19 +151,36 @@ def build_pair_lists(
     # quantities; the three-scatter split (id|x0, id|y0, offs|rw) is the
     # general fallback.
     gp1 = jnp.arange(1, n + 1, dtype=jnp.int32)
-    scat_idx = jnp.where(area > 0, offs, p_max)
+    # Every row scatters at its exclusive-cumsum offset — zero-area rows
+    # COLLIDE with the next segment's start instead of going to a dropped
+    # sentinel, which keeps the index vector non-decreasing (declared via
+    # indices_are_sorted so XLA can use the sorted scatter path).
+    # Collisions resolve correctly under `.max`: id-prefixed markers are
+    # strictly monotone on their high bits (the real collider has the
+    # larger id), and offs-prefixed markers TIE on the high bits, so the
+    # zero-area row's low payload bits are zeroed to lose the tie (a real
+    # segment's rw is >= 1). Rows past capacity (overflow) land out of
+    # range -> mode="drop".
+    scat_idx = offs
+    rw_payload = jnp.where(area > 0, rw, 0).astype(jnp.int32)
 
-    def scat(values):
-        return jnp.zeros((p_max,), jnp.int32).at[scat_idx].max(
-            values, mode="drop")
+    def scat(packed):
+        if SCATTER_COLS and len(packed) > 1:
+            vals = jnp.stack(packed, axis=1)              # [N, K]
+            table = jnp.zeros((p_max, len(packed)), jnp.int32).at[
+                scat_idx].max(vals, mode="drop", indices_are_sorted=True)
+            return tuple(table[:, i] for i in range(len(packed)))
+        return tuple(
+            jnp.zeros((p_max,), jnp.int32).at[scat_idx].max(
+                v, mode="drop", indices_are_sorted=True) for v in packed)
 
     def fills(packed):
         # the marker fills run as ONE single-pass Pallas scan
         # (ops/pallas_scan.fused_cummax) when the capacity allows; XLA's
         # multi-pass cummax otherwise
         if USE_PALLAS_FILLS and p_max % 65536 == 0:
-            return fused_cummax(tuple(scat(v) for v in packed))
-        return tuple(jax.lax.cummax(scat(v)) for v in packed)
+            return fused_cummax(scat(packed))
+        return tuple(jax.lax.cummax(v) for v in scat(packed))
 
     tb_base = max(int(n_tiles).bit_length(), 1)
     tb_rw = max(int(ntx).bit_length(), 1)
@@ -165,7 +189,7 @@ def build_pair_lists(
         base0 = (y0 * ntx + x0).astype(jnp.int32)
         fb, fsr = fills((
             (gp1 << tb_base) | base0,
-            ((offs + 1) << tb_rw) | rw.astype(jnp.int32),
+            ((offs + 1) << tb_rw) | rw_payload,
         ))
         pair_g = (fb >> tb_base) - 1                  # [P_max] source index
         g_base = fb & ((1 << tb_base) - 1)            # y0*ntx + x0
@@ -179,7 +203,7 @@ def build_pair_lists(
         fx0, fy0, fsr = fills((
             (gp1 << tb) | x0.astype(jnp.int32),
             (gp1 << tb) | y0.astype(jnp.int32),
-            ((offs + 1) << tb) | rw.astype(jnp.int32),
+            ((offs + 1) << tb) | rw_payload,
         ))
         pair_g = (fx0 >> tb) - 1
         g_base = (fy0 & mask_v) * ntx + (fx0 & mask_v)
@@ -242,7 +266,8 @@ def build_pair_lists(
     cum_pad_excl = jnp.cumsum(pad_needed) - pad_needed
     spare_pos = jnp.where(pad_needed > 0, raw_total + cum_pad_excl, p_max)
     spare_marks = jnp.zeros((p_max,), jnp.int32).at[spare_pos].max(
-        jnp.arange(1, n_tiles + 1, dtype=jnp.int32), mode="drop")
+        jnp.arange(1, n_tiles + 1, dtype=jnp.int32), mode="drop",
+        indices_are_sorted=True)
     if USE_PALLAS_FILLS and p_max % 65536 == 0:
         spare_fill = fused_cummax((spare_marks,))[0] - 1
     else:

@@ -188,3 +188,24 @@ def test_split_marker_fallback_matches():
         binning._FORCE_SPLIT_MARKERS = False
     np.testing.assert_array_equal(np.asarray(fast.color),
                                   np.asarray(slow.color))
+
+
+@pytest.mark.parametrize("force_split", [False, True])
+def test_scatter_cols_knob_matches(force_split):
+    """The single [N, K] row-scatter marker table must produce identical
+    renders to K independent scatters (both marker layouts)."""
+    from gaussianrpg_tpu.ops import binning
+    means, opac, kw, _ = _setup(n=400, seed=7)
+    binning._FORCE_SPLIT_MARKERS = force_split
+    try:
+        assert binning.SCATTER_COLS  # default path under test elsewhere
+        cols = rasterize(means, opac, capacity=8192, interpret=True, **kw)
+        binning.SCATTER_COLS = False
+        sep = rasterize(means, opac, capacity=8192, interpret=True, **kw)
+    finally:
+        binning.SCATTER_COLS = True
+        binning._FORCE_SPLIT_MARKERS = False
+    np.testing.assert_array_equal(np.asarray(cols.color),
+                                  np.asarray(sep.color))
+    np.testing.assert_array_equal(np.asarray(cols.alpha),
+                                  np.asarray(sep.alpha))
