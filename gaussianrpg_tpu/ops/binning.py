@@ -42,6 +42,15 @@ from .projection import TILE_X, TILE_Y, Preprocessed
 G_CHUNK = 128  # pairs per blend-kernel chunk (pallas_blend imports this;
                # power of two, trades per-grid-step overhead vs VMEM/body)
 
+SUB_CHUNKS = 1  # 128-pair sub-chunks processed per blend GRID STEP. >1
+                # amortizes the per-step floor (DMA issue + Mosaic step
+                # machinery — measured ~17 ms for 9.2k steps even with all
+                # chunks skipped) over bigger blocks while KEEPING 128-pair
+                # compute/skip granularity (G_CHUNK=256 lost that and
+                # measured +1.3 ms). Cost: per-tile pair padding aligns up
+                # to SUB_CHUNKS*128. Read at trace time by build_pair_lists
+                # and carried on PairLists for the blend grid.
+
 USE_PALLAS_FILLS = True  # single-pass Pallas scan for the marker fills
                          # (perf A/B knob; False = XLA lax.cummax)
 
@@ -84,6 +93,8 @@ class PairLists(NamedTuple):
     seg_offs: jax.Array | None = None  # [N] i32 first expansion slot per
                                        # depth-sorted gaussian
     seg_area: jax.Array | None = None  # [N] i32 pairs per gaussian
+    sub_chunks: int = 1                # 128-pair sub-chunks per blend grid
+                                       # step (per-tile alignment quantum)
 
     @property
     def overflowed(self):
@@ -121,7 +132,8 @@ def build_pair_lists(
 
     All inputs must already be depth-sorted so per-tile pair order is
     depth-ascending (the blend order contract)."""
-    assert capacity % G_CHUNK == 0
+    align = G_CHUNK * SUB_CHUNKS
+    assert capacity % align == 0
     n = rect_min.shape[0]
     ntx, nty = tile_grid_dims(width, height, tile_x, tile_y)
     n_tiles = ntx * nty
@@ -234,7 +246,7 @@ def build_pair_lists(
                               jnp.arange(n_tiles + 1, dtype=jnp.int32),
                               side="left").astype(jnp.int32)
     counts = starts[1:] - starts[:-1]                 # [n_tiles]
-    pcounts = ((counts + G_CHUNK - 1) // G_CHUNK) * G_CHUNK
+    pcounts = ((counts + align - 1) // align) * align
     pstarts = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(pcounts)]).astype(jnp.int32)
     padded_total = pstarts[-1]
@@ -309,4 +321,5 @@ def build_pair_lists(
         pair_gm=pair_gm,
         seg_offs=offs if ride_gm else None,
         seg_area=area if ride_gm else None,
+        sub_chunks=SUB_CHUNKS,
     )

@@ -225,70 +225,78 @@ def _feat_matrix(t, s_ch):
     return jnp.concatenate([t["feats"], ones], axis=1)
 
 
-def _make_fwd_kernel(ntx, s_ch, tx, ty):
+def _make_fwd_kernel(ntx, s_ch, tx, ty, sub):
     c_feat = 5 + s_ch
     n_pix = tx * ty
 
     def kernel(cm_ref, bg_ref, gdata_ref, out_ref, t_run_s, done_s, acc_s):
         c = pl.program_id(0)
-        meta = cm_ref[c]
-        tile = meta & 0xFFFFFF
-        first = (meta >> 24) & 1
-        last = (meta >> 25) & 1
-        valid = (meta >> 26) & 1
-        tile_x = tile % ntx
-        tile_y = tile // ntx
+        # `sub` 128-pair sub-chunks per grid step (unrolled): one bigger
+        # block DMA amortizes the per-step floor while compute and the
+        # done-skip stay at 128-pair granularity. Binning aligns every
+        # tile's pair run to sub*G_CHUNK, so all sub-chunks of a step
+        # share one tile block.
+        for j in range(sub):
+            meta = cm_ref[c * sub + j]
+            tile = meta & 0xFFFFFF
+            first = (meta >> 24) & 1
+            last = (meta >> 25) & 1
+            valid = (meta >> 26) & 1
+            tile_x = tile % ntx
+            tile_y = tile // ntx
 
-        @pl.when(first == 1)
-        def _():
-            t_run_s[...] = jnp.ones((1, n_pix), jnp.float32)
-            done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
-            acc_s[...] = jnp.zeros((c_feat, n_pix), jnp.float32)
+            @pl.when(first == 1)
+            def _():
+                t_run_s[...] = jnp.ones((1, n_pix), jnp.float32)
+                done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
+                acc_s[...] = jnp.zeros((c_feat, n_pix), jnp.float32)
 
-        n_done = jnp.sum(done_s[...])
+            n_done = jnp.sum(done_s[...])
 
-        @pl.when((valid == 1) & (n_done < n_pix))
-        def _():
-            px, py = _pixel_rows(tile_x, tile_y, tx, ty)
-            t = _cols(gdata_ref, s_ch)
-            a = _alpha_terms(t, px, py)
-            t_run = t_run_s[...]
-            done = done_s[...] > 0.0
-            contrib, one_m, om_used, t_excl, w, stop_f = \
-                _blend_core(a, t_run, done)
+            @pl.when((valid == 1) & (n_done < n_pix))
+            def _():
+                px, py = _pixel_rows(tile_x, tile_y, tx, ty)
+                gd = (gdata_ref if sub == 1
+                      else gdata_ref[j * G_CHUNK:(j + 1) * G_CHUNK, :])
+                t = _cols(gd, s_ch)
+                a = _alpha_terms(t, px, py)
+                t_run = t_run_s[...]
+                done = done_s[...] > 0.0
+                contrib, one_m, om_used, t_excl, w, stop_f = \
+                    _blend_core(a, t_run, done)
 
-            feats = _feat_matrix(t, s_ch)                 # (G, C_f)
-            acc_s[...] += _mm_cg(feats, w)                # (C_f, P)
+                feats = _feat_matrix(t, s_ch)             # (G, C_f)
+                acc_s[...] += _mm_cg(feats, w)            # (C_f, P)
 
-            # T update = product over contributors, via cyclic sublane
-            # roll-doubling (om_used >= 0.01). NOT a matmul: routing the
-            # scan-dependent operand through an MXU contraction here
-            # triggers a ~700x Mosaic slowdown (measured 894us -> 1.24us
-            # per chunk with a VPU reduction).
-            t_run_s[...] = t_run * _sub_prod_all(om_used)
-            done_s[...] = jnp.maximum(
-                done_s[...],
-                (jnp.sum(stop_f, axis=0, keepdims=True) > 0.0)
-                .astype(jnp.float32))
+                # T update = product over contributors, via cyclic sublane
+                # roll-doubling (om_used >= 0.01). NOT a matmul: routing the
+                # scan-dependent operand through an MXU contraction here
+                # triggers a ~700x Mosaic slowdown (measured 894us -> 1.24us
+                # per chunk with a VPU reduction).
+                t_run_s[...] = t_run * _sub_prod_all(om_used)
+                done_s[...] = jnp.maximum(
+                    done_s[...],
+                    (jnp.sum(stop_f, axis=0, keepdims=True) > 0.0)
+                    .astype(jnp.float32))
 
-        @pl.when(last == 1)
-        def _():
-            acc = acc_s[...]                              # (C_f, P)
-            t_fin = t_run_s[...]                          # (1, P)
-            rgb = jnp.concatenate(
-                [acc[0:1] + t_fin * bg_ref[0],
-                 acc[1:2] + t_fin * bg_ref[1],
-                 acc[2:3] + t_fin * bg_ref[2]], axis=0)
-            planes = jnp.concatenate(
-                [rgb, acc[3:5]] + ([acc[5:5 + s_ch]] if s_ch else []),
-                axis=0,
-            )                                             # (NFO, P)
-            out_ref[0, :, :] = planes
+            @pl.when(last == 1)
+            def _():
+                acc = acc_s[...]                          # (C_f, P)
+                t_fin = t_run_s[...]                      # (1, P)
+                rgb = jnp.concatenate(
+                    [acc[0:1] + t_fin * bg_ref[0],
+                     acc[1:2] + t_fin * bg_ref[1],
+                     acc[2:3] + t_fin * bg_ref[2]], axis=0)
+                planes = jnp.concatenate(
+                    [rgb, acc[3:5]] + ([acc[5:5 + s_ch]] if s_ch else []),
+                    axis=0,
+                )                                         # (NFO, P)
+                out_ref[0, :, :] = planes
 
     return kernel
 
 
-def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty):
+def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
     c_feat = 5 + s_ch
     half_w = 0.5 * width
     half_h = 0.5 * height
@@ -297,122 +305,130 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty):
     def kernel(cm_ref, bg_ref, gdata_ref, out_ref, dout_ref, grad_ref,
                t_run_s, done_s, pref_s, gmat_s):
         c = pl.program_id(0)
-        meta = cm_ref[c]
-        tile = meta & 0xFFFFFF
-        first = (meta >> 24) & 1
-        valid = (meta >> 26) & 1
-        tile_x = tile % ntx
-        tile_y = tile // ntx
         bg0, bg1, bg2 = bg_ref[0], bg_ref[1], bg_ref[2]
+        gmat_s[...] = jnp.zeros((sub * G_CHUNK, ng_cols), jnp.float32)
 
-        @pl.when(first == 1)
-        def _():
-            t_run_s[...] = jnp.ones((1, n_pix), jnp.float32)
-            done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
-            pref_s[...] = jnp.zeros((1, n_pix), jnp.float32)
+        for j in range(sub):
+            meta = cm_ref[c * sub + j]
+            tile = meta & 0xFFFFFF
+            first = (meta >> 24) & 1
+            valid = (meta >> 26) & 1
+            tile_x = tile % ntx
+            tile_y = tile // ntx
 
-        gmat_s[...] = jnp.zeros((G_CHUNK, ng_cols), jnp.float32)
-        n_done = jnp.sum(done_s[...])
+            @pl.when(first == 1)
+            def _():
+                t_run_s[...] = jnp.ones((1, n_pix), jnp.float32)
+                done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
+                pref_s[...] = jnp.zeros((1, n_pix), jnp.float32)
 
-        @pl.when((valid == 1) & (n_done < n_pix))
-        def _():
-            outs = out_ref[0, :, :]                       # (NFO, P)
-            g_pix = dout_ref[0, :, :]                     # (NFO, P)
-            t_final = 1.0 - outs[4:5]                     # (1, P)
-            tot = jnp.concatenate(
-                [outs[0:1] - t_final * bg0,
-                 outs[1:2] - t_final * bg1,
-                 outs[2:3] - t_final * bg2,
-                 outs[3:5]]
-                + ([outs[5:5 + s_ch]] if s_ch else []),
-                axis=0,
-            )                                             # (C_f, P)
-            tot_e = jnp.sum(tot * g_pix, axis=0, keepdims=True)
-            bg_dot = (g_pix[0:1] * bg0 + g_pix[1:2] * bg1
-                      + g_pix[2:3] * bg2)                 # (1, P)
+            n_done = jnp.sum(done_s[...])
 
-            px, py = _pixel_rows(tile_x, tile_y, tx, ty)
-            t = _cols(gdata_ref, s_ch)
-            a = _alpha_terms(t, px, py)
-            t_run = t_run_s[...]
-            done = done_s[...] > 0.0
-            contrib, one_m, om_used, t_excl, w, stop_f = \
-                _blend_core(a, t_run, done)
-            feats = _feat_matrix(t, s_ch)                 # (G, C_f)
+            @pl.when((valid == 1) & (n_done < n_pix))
+            def _():
+                outs = out_ref[0, :, :]                   # (NFO, P)
+                g_pix = dout_ref[0, :, :]                 # (NFO, P)
+                t_final = 1.0 - outs[4:5]                 # (1, P)
+                tot = jnp.concatenate(
+                    [outs[0:1] - t_final * bg0,
+                     outs[1:2] - t_final * bg1,
+                     outs[2:3] - t_final * bg2,
+                     outs[3:5]]
+                    + ([outs[5:5 + s_ch]] if s_ch else []),
+                    axis=0,
+                )                                         # (C_f, P)
+                tot_e = jnp.sum(tot * g_pix, axis=0, keepdims=True)
+                bg_dot = (g_pix[0:1] * bg0 + g_pix[1:2] * bg1
+                          + g_pix[2:3] * bg2)             # (1, P)
 
-            # cotangent-folded feature e = sum_ch c_ch * g_ch  (G, P)
-            e = feats[:, 0:1] * g_pix[0:1]
-            for ch in range(1, c_feat):
-                e = e + feats[:, ch:ch + 1] * g_pix[ch:ch + 1]
-            we = w * e
-            p_incl = pref_s[...] + _sub_cumsum(we)
-            inv_om = 1.0 / one_m
-            dl_da = e * t_excl - (tot_e - p_incl) * inv_om \
-                - (t_final * inv_om) * bg_dot
-            dl_da = jnp.where(contrib, dl_da, 0.0)
+                px, py = _pixel_rows(tile_x, tile_y, tx, ty)
+                gd = (gdata_ref if sub == 1
+                      else gdata_ref[j * G_CHUNK:(j + 1) * G_CHUNK, :])
+                t = _cols(gd, s_ch)
+                a = _alpha_terms(t, px, py)
+                t_run = t_run_s[...]
+                done = done_s[...] > 0.0
+                contrib, one_m, om_used, t_excl, w, stop_f = \
+                    _blend_core(a, t_run, done)
+                feats = _feat_matrix(t, s_ch)             # (G, C_f)
 
-            q = t["op"] * dl_da * a["g"]                  # dL/dG * G (G,P)
-            q2 = a["g"] * dl_da                           # dL/d(opacity)
-            gxp = q * (-(t["ca"] * a["dx"] + t["cb"] * a["dy"]))
-            gyp = q * (-(t["cc"] * a["dy"] + t["cb"] * a["dx"]))
-            absp = half_w * jnp.abs(gxp) + half_h * jnp.abs(gyp)
+                # cotangent-folded feature e = sum_ch c_ch * g_ch  (G, P)
+                e = feats[:, 0:1] * g_pix[0:1]
+                for ch in range(1, c_feat):
+                    e = e + feats[:, ch:ch + 1] * g_pix[ch:ch + 1]
+                we = w * e
+                p_incl = pref_s[...] + _sub_cumsum(we)
+                inv_om = 1.0 / one_m
+                dl_da = e * t_excl - (tot_e - p_incl) * inv_om \
+                    - (t_final * inv_om) * bg_dot
+                dl_da = jnp.where(contrib, dl_da, 0.0)
 
-            # ONE small-N matmul produces every pixel reduction: moments
-            # of q/q2/|grad|/w against [1, px, py, px^2, px*py, py^2] and
-            # the dL/dpix channels (w rows -> color/depth/weight/sem
-            # grads). TILE-LOCAL pixel coordinates keep the moment
-            # recombination cancellation-free (global px^2 ~ 1e6 would
-            # amplify f32 eps by (px/dx)^2).
-            txo = jnp.float32(tx) * tile_x
-            tyo = jnp.float32(ty) * tile_y
-            pxl = px - txo
-            pyl = py - tyo
-            basis = jnp.concatenate(
-                [jnp.ones((1, n_pix), jnp.float32), pxl, pyl, pxl * pxl,
-                 pxl * pyl, pyl * pyl, g_pix], axis=0)    # (6+NFO, P)
-            stacked = jnp.concatenate([q, q2, absp, w], axis=0)  # (4G, P)
-            mom = _mm(stacked, basis.T)                   # (4G, 6+NFO)
-            mq = mom[0:G_CHUNK]
-            mq2 = mom[G_CHUNK:2 * G_CHUNK]
-            mabs = mom[2 * G_CHUNK:3 * G_CHUNK]
-            mw = mom[3 * G_CHUNK:4 * G_CHUNK]
+                q = t["op"] * dl_da * a["g"]              # dL/dG * G (G,P)
+                q2 = a["g"] * dl_da                       # dL/d(opacity)
+                gxp = q * (-(t["ca"] * a["dx"] + t["cb"] * a["dy"]))
+                gyp = q * (-(t["cc"] * a["dy"] + t["cb"] * a["dx"]))
+                absp = half_w * jnp.abs(gxp) + half_h * jnp.abs(gyp)
 
-            s0, sx, sy = mq[:, 0:1], mq[:, 1:2], mq[:, 2:3]
-            sxx, sxy, syy = mq[:, 3:4], mq[:, 4:5], mq[:, 5:6]
-            mx, my = t["mx"] - txo, t["my"] - tyo
-            # moments of q against dx = mx - px, dy = my - py (local frame)
-            qdx = mx * s0 - sx
-            qdy = my * s0 - sy
-            qdxx = mx * mx * s0 - 2 * mx * sx + sxx
-            qdyy = my * my * s0 - 2 * my * sy + syy
-            qdxy = mx * my * s0 - mx * sy - my * sx + sxy
+                # ONE small-N matmul produces every pixel reduction: moments
+                # of q/q2/|grad|/w against [1, px, py, px^2, px*py, py^2] and
+                # the dL/dpix channels (w rows -> color/depth/weight/sem
+                # grads). TILE-LOCAL pixel coordinates keep the moment
+                # recombination cancellation-free (global px^2 ~ 1e6 would
+                # amplify f32 eps by (px/dx)^2).
+                txo = jnp.float32(tx) * tile_x
+                tyo = jnp.float32(ty) * tile_y
+                pxl = px - txo
+                pyl = py - tyo
+                basis = jnp.concatenate(
+                    [jnp.ones((1, n_pix), jnp.float32), pxl, pyl, pxl * pxl,
+                     pxl * pyl, pyl * pyl, g_pix], axis=0)  # (6+NFO, P)
+                stacked = jnp.concatenate([q, q2, absp, w], axis=0)  # (4G,P)
+                mom = _mm(stacked, basis.T)               # (4G, 6+NFO)
+                mq = mom[0:G_CHUNK]
+                mq2 = mom[G_CHUNK:2 * G_CHUNK]
+                mabs = mom[2 * G_CHUNK:3 * G_CHUNK]
+                mw = mom[3 * G_CHUNK:4 * G_CHUNK]
 
-            cols = [
-                -(t["ca"] * qdx + t["cb"] * qdy),         # d mx (pixel)
-                -(t["cc"] * qdy + t["cb"] * qdx),         # d my
-                -0.5 * qdxx,                              # d conic a
-                -qdxy,                                    # d conic b
-                -0.5 * qdyy,                              # d conic c
-                mq2[:, 0:1],                              # d opacity
-                mw[:, 6:7], mw[:, 7:8], mw[:, 8:9],       # d r, g, b
-                mw[:, 9:10],                              # d depth
-                mabs[:, 0:1],                             # AbsGS stat
-            ]
-            if s_ch:
-                cols.append(mw[:, 11:11 + s_ch])
-            pad = ng_cols - (NG_BASE + s_ch)
-            if pad:
-                cols.append(jnp.zeros((G_CHUNK, pad), jnp.float32))
-            gmat_s[...] = jnp.concatenate(cols, axis=1)
+                s0, sx, sy = mq[:, 0:1], mq[:, 1:2], mq[:, 2:3]
+                sxx, sxy, syy = mq[:, 3:4], mq[:, 4:5], mq[:, 5:6]
+                mx, my = t["mx"] - txo, t["my"] - tyo
+                # moments of q against dx = mx - px, dy = my - py (local)
+                qdx = mx * s0 - sx
+                qdy = my * s0 - sy
+                qdxx = mx * mx * s0 - 2 * mx * sx + sxx
+                qdyy = my * my * s0 - 2 * my * sy + syy
+                qdxy = mx * my * s0 - mx * sy - my * sx + sxy
 
-            # state updates (same VPU sublane reductions as the forward —
-            # see the matmul-pathology note there)
-            t_run_s[...] = t_run * _sub_prod_all(om_used)
-            done_s[...] = jnp.maximum(
-                done_s[...],
-                (jnp.sum(stop_f, axis=0, keepdims=True) > 0.0)
-                .astype(jnp.float32))
-            pref_s[...] = p_incl[G_CHUNK - 1:G_CHUNK, :]
+                cols = [
+                    -(t["ca"] * qdx + t["cb"] * qdy),     # d mx (pixel)
+                    -(t["cc"] * qdy + t["cb"] * qdx),     # d my
+                    -0.5 * qdxx,                          # d conic a
+                    -qdxy,                                # d conic b
+                    -0.5 * qdyy,                          # d conic c
+                    mq2[:, 0:1],                          # d opacity
+                    mw[:, 6:7], mw[:, 7:8], mw[:, 8:9],   # d r, g, b
+                    mw[:, 9:10],                          # d depth
+                    mabs[:, 0:1],                         # AbsGS stat
+                ]
+                if s_ch:
+                    cols.append(mw[:, 11:11 + s_ch])
+                pad = ng_cols - (NG_BASE + s_ch)
+                if pad:
+                    cols.append(jnp.zeros((G_CHUNK, pad), jnp.float32))
+                gmat = jnp.concatenate(cols, axis=1)
+                if sub == 1:
+                    gmat_s[...] = gmat
+                else:
+                    gmat_s[j * G_CHUNK:(j + 1) * G_CHUNK, :] = gmat
+
+                # state updates (same VPU sublane reductions as the forward
+                # — see the matmul-pathology note there)
+                t_run_s[...] = t_run * _sub_prod_all(om_used)
+                done_s[...] = jnp.maximum(
+                    done_s[...],
+                    (jnp.sum(stop_f, axis=0, keepdims=True) > 0.0)
+                    .astype(jnp.float32))
+                pref_s[...] = p_incl[G_CHUNK - 1:G_CHUNK, :]
 
         grad_ref[0, :, :] = gmat_s[...]
 
@@ -421,32 +437,36 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty):
 
 @functools.lru_cache(maxsize=32)
 def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret,
-               tx=TILE_X, ty=TILE_Y):
+               tx=TILE_X, ty=TILE_Y, sub=1):
     """Build (forward, backward) pallas_call wrappers for a static config."""
     nfo = 5 + s_ch
     ng_cols = _round8(NG_BASE + s_ch)
     n_tiles = ntx * nty
     max_chunks = capacity // G_CHUNK
+    assert max_chunks % sub == 0
+    n_steps = max_chunks // sub
     c_feat = 5 + s_ch
     n_pix = tx * ty
 
-    fwd_kernel = _make_fwd_kernel(ntx, s_ch, tx, ty)
-    bwd_kernel = _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty)
+    fwd_kernel = _make_fwd_kernel(ntx, s_ch, tx, ty, sub)
+    bwd_kernel = _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty,
+                                  sub)
 
     # scalar-prefetch order: chunk_meta (packed), bg
     gdata_spec = pl.BlockSpec(
-        (G_CHUNK, nf_cols), lambda c, cm, bg: (c, 0))
+        (sub * G_CHUNK, nf_cols), lambda c, cm, bg: (c, 0))
     # tile-leading layout: Mosaic requires the last two block dims to divide
     # (8, 128) or equal the full array dims, so the revisited tile axis must
-    # be the leading dim
+    # be the leading dim. Binning aligns tiles to sub*G_CHUNK, so every
+    # sub-chunk of step c shares the tile of its first chunk.
     tile_spec = pl.BlockSpec(
-        (1, nfo, n_pix), lambda c, cm, bg: (cm[c] & 0xFFFFFF, 0, 0))
+        (1, nfo, n_pix), lambda c, cm, bg: (cm[c * sub] & 0xFFFFFF, 0, 0))
 
     fwd_call = pl.pallas_call(
         fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(max_chunks,),
+            grid=(n_steps,),
             in_specs=[gdata_spec],
             out_specs=tile_spec,
             scratch_shapes=[
@@ -463,18 +483,19 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret,
         bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(max_chunks,),
+            grid=(n_steps,),
             in_specs=[gdata_spec, tile_spec, tile_spec],
             out_specs=pl.BlockSpec(
-                (1, G_CHUNK, ng_cols), lambda c, cm, bg: (c, 0, 0)),
+                (1, sub * G_CHUNK, ng_cols), lambda c, cm, bg: (c, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((1, n_pix), jnp.float32),       # t_run
                 pltpu.VMEM((1, n_pix), jnp.float32),       # done
                 pltpu.VMEM((1, n_pix), jnp.float32),       # pref_e
-                pltpu.VMEM((G_CHUNK, ng_cols), jnp.float32),  # gmat
+                pltpu.VMEM((sub * G_CHUNK, ng_cols),
+                           jnp.float32),                   # gmat
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((max_chunks, G_CHUNK, ng_cols),
+        out_shape=jax.ShapeDtypeStruct((n_steps, sub * G_CHUNK, ng_cols),
                                        jnp.float32),
         interpret=bool(interpret),
     )
@@ -483,7 +504,7 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret,
 
 @functools.lru_cache(maxsize=32)
 def _make_blend(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret,
-                tx=TILE_X, ty=TILE_Y):
+                tx=TILE_X, ty=TILE_Y, sub=1):
     """custom_vjp blend for one static config.
 
     primal: (gdata [P_pad, NF] pairs-major, chunk_meta [MAX_CHUNKS] i32
@@ -492,7 +513,7 @@ def _make_blend(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret,
     tile_nonempty).
     """
     fwd_call, bwd_call = _blend_fns(ntx, nty, s_ch, capacity, nf_cols,
-                                    width, height, interpret, tx, ty)
+                                    width, height, interpret, tx, ty, sub)
 
     @jax.custom_vjp
     def blend(gdata, cm, bg, absgrad_sink):
@@ -559,11 +580,13 @@ def blend_pairs(
     (rgb, depth, alpha, semantics...)."""
     capacity = gdata.shape[0]
     nf_cols = gdata.shape[1]
-    assert capacity % G_CHUNK == 0, "capacity must be a multiple of 128"
+    sub = lists.sub_chunks
+    assert capacity % (G_CHUNK * sub) == 0, \
+        "capacity must be a multiple of sub_chunks*128"
     assert nf_cols >= NF_BASE + s_ch
     tx, ty = lists.tile_x, lists.tile_y
     fn = _make_blend(lists.n_tiles_x, lists.n_tiles_y, s_ch, capacity,
-                     nf_cols, width, height, interpret, tx, ty)
+                     nf_cols, width, height, interpret, tx, ty, sub)
     planes = fn(gdata, lists.chunk_meta, bg, absgrad_sink)
     # tiles with no pairs never get a chunk: composite pure background
     nfo = planes.shape[1]

@@ -190,6 +190,46 @@ def test_split_marker_fallback_matches():
                                   np.asarray(slow.color))
 
 
+@pytest.mark.parametrize("sub", [2, 4])
+def test_sub_chunked_blend_matches(sub):
+    """Processing `sub` 128-pair sub-chunks per blend grid step (bigger
+    blocks, coarser per-tile alignment) must not change the render, and
+    gradients through the training hooks must match the sub=1 path."""
+    from gaussianrpg_tpu.ops import binning
+    means, opac, kw, rng = _setup(n=500, seed=11, with_sem=True)
+    n = means.shape[0]
+    H, W = kw["camera"].height, kw["camera"].width
+    target = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
+
+    def run(grad=False):
+        if not grad:
+            return rasterize(means, opac, capacity=8192, interpret=True,
+                             **kw)
+
+        def loss(m, op):
+            out = rasterize(
+                m, op, capacity=8192, interpret=True,
+                means2d_offset=jnp.zeros((n, 2), jnp.float32),
+                absgrad_sink=jnp.zeros((n,), jnp.float32), **kw)
+            return (jnp.sum((out.color - target) ** 2)
+                    + 0.2 * jnp.sum(out.depth))
+        return jax.grad(loss, argnums=(0, 1))(means, opac)
+
+    base_f, base_g = run(), run(grad=True)
+    binning.SUB_CHUNKS = sub
+    try:
+        sub_f, sub_g = run(), run(grad=True)
+    finally:
+        binning.SUB_CHUNKS = 1
+    np.testing.assert_array_equal(np.asarray(sub_f.color),
+                                  np.asarray(base_f.color))
+    np.testing.assert_array_equal(np.asarray(sub_f.semantic),
+                                  np.asarray(base_f.semantic))
+    for gb, gs in zip(base_g, sub_g):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gb),
+                                   rtol=1e-6, atol=1e-7)
+
+
 @pytest.mark.parametrize("force_split", [False, True])
 def test_scatter_cols_knob_matches(force_split):
     """The single [N, K] row-scatter marker table must produce identical
