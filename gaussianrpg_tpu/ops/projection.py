@@ -182,11 +182,28 @@ def preprocess(
     lim_tan_fovy=None,
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
+    opacities: jax.Array | None = None,
 ) -> Preprocessed:
     """Vectorized per-Gaussian preprocess; `forward.cu:155-256` equivalent.
 
     Culled Gaussians get radii == 0 and tiles_touched == 0 (and must be
     masked by consumers). Compute in f32.
+
+    When `opacities` (post-activation, [N]) is given, the tile rect is
+    tightened RENDER-EXACTLY: the blend skips every pixel with
+    alpha = op*exp(power) < 1/255 (`forward.cu:428`), and for fixed dx the
+    maximum of power over dy is -0.5*dx^2/cov_xx (Schur marginal of the
+    conic), so tiles entirely outside |dx| <= sqrt(2*ln(255*op)*cov_xx)
+    (and the dy analog with cov_yy) can never receive a contribution. The
+    tight rect is the intersection of that per-axis band with the CUDA
+    3-sigma bounding SQUARE, so it both drops only blend-skipped pairs
+    (same output up to f32 summation order — dropped zero-weight pairs
+    shift blend chunk boundaries) and never adds pixels the CUDA reference
+    excludes. `radii` / visibility keep the CUDA square semantics
+    (densification stats parity); only the emitted pair list shrinks —
+    on anisotropic or low-opacity scenes this is the main pair-count
+    lever. Tightening is skipped where det(cov2d) <= 0 (indefinite conic:
+    the marginal bound does not hold).
     """
     from .math3d import build_covariance
 
@@ -231,6 +248,39 @@ def preprocess(
 
     visible = in_front & det_ok & (area > 0)
     radii = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+
+    if opacities is not None:
+        op = jax.lax.stop_gradient(opacities.reshape(-1))
+        mx = jax.lax.stop_gradient(mean2d[..., 0])
+        my = jax.lax.stop_gradient(mean2d[..., 1])
+        # d^2 cutoff matching the blend's 1/255 skip; the small margin
+        # absorbs f32 rounding differences between this bound and the
+        # kernel's conic quadform so a boundary pixel is never dropped
+        t_cut = jnp.maximum(2.0 * jnp.log(255.0 * jnp.maximum(op, 1e-12)),
+                            0.0)
+        tighten = det > 0.0
+        rfull = jnp.where(visible, radius_f, 0.0)
+        rx = jnp.sqrt(t_cut * jnp.maximum(jax.lax.stop_gradient(a), 0.0)) \
+            * (1.0 + 1e-5) + 1e-3
+        ry = jnp.sqrt(t_cut * jnp.maximum(jax.lax.stop_gradient(c), 0.0)) \
+            * (1.0 + 1e-5) + 1e-3
+        rx = jnp.where(tighten, jnp.minimum(rfull, rx), rfull)
+        ry = jnp.where(tighten, jnp.minimum(rfull, ry), rfull)
+        tmin_x = jnp.clip(jnp.floor((mx - rx) / tile_x), 0, grid_x)
+        tmax_x = jnp.clip(jnp.floor((mx + rx) / tile_x) + 1, 0, grid_x)
+        tmin_y = jnp.clip(jnp.floor((my - ry) / tile_y), 0, grid_y)
+        tmax_y = jnp.clip(jnp.floor((my + ry) / tile_y) + 1, 0, grid_y)
+        tmin = jnp.stack([tmin_x, tmin_y], axis=-1).astype(jnp.int32)
+        tmax = jnp.stack([tmax_x, tmax_y], axis=-1).astype(jnp.int32)
+        rect_min = jnp.maximum(rect_min, tmin)
+        rect_max = jnp.minimum(rect_max, tmax)
+        # op <= 1/255 contributes to no pixel at all: emit zero pairs
+        dead = (op * 255.0 <= 1.0) & tighten
+        rect_max = jnp.where(dead[..., None], rect_min, rect_max)
+        rect_max = jnp.maximum(rect_max, rect_min)
+        area = (rect_max[..., 0] - rect_min[..., 0]) * (
+            rect_max[..., 1] - rect_min[..., 1])
+
     tiles = jnp.where(visible, area, 0).astype(jnp.int32)
 
     return Preprocessed(

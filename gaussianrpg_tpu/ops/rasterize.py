@@ -221,9 +221,14 @@ def primitive_fields(
     active_mask: jax.Array | None = None,
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
+    tight_rect: bool = True,
 ) -> FieldSet:
     """O(N) per-primitive stage: preprocess + SH + field-column assembly
-    (`forward.cu:155-256` + color). Safe to run on a Gaussian shard."""
+    (`forward.cu:155-256` + color). Safe to run on a Gaussian shard.
+
+    `tight_rect` enables the render-exact opacity/anisotropy rect
+    tightening (see ops/projection.preprocess) — same output planes, fewer
+    pairs; False reproduces the CUDA square rects exactly."""
     H, W = camera.height, camera.width
     n = means3d.shape[0]
     opacities = opacities.reshape(-1)
@@ -246,6 +251,7 @@ def primitive_fields(
         camera.lim_tan_fovy,
         tile_x=tile_x,
         tile_y=tile_y,
+        opacities=opacities if tight_rect else None,
     )
 
     if colors is None:
@@ -438,6 +444,7 @@ def rasterize(
     interpret: bool = False,
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
+    tight_rect: bool = True,
 ) -> RasterOut:
     """Render Gaussians through the TPU pipeline.
 
@@ -472,7 +479,7 @@ def rasterize(
         rotations=rotations, cov3d_precomp=cov3d_precomp,
         scale_modifier=scale_modifier, means2d_offset=means2d_offset,
         absgrad_sink=absgrad_sink, active_mask=active_mask,
-        tile_x=tile_x, tile_y=tile_y)
+        tile_x=tile_x, tile_y=tile_y, tight_rect=tight_rect)
     return blend_fields(fs, width=camera.width, height=camera.height,
                         bg_color=bg_color, capacity=capacity,
                         train_mode=train_mode, interpret=interpret)

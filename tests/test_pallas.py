@@ -190,6 +190,54 @@ def test_split_marker_fallback_matches():
                                   np.asarray(slow.color))
 
 
+def test_tight_rect_is_render_exact_and_smaller():
+    """Opacity/anisotropy rect tightening must drop only blend-skipped
+    pairs: output planes identical up to f32 summation order (dropped
+    zero-weight pairs shift chunk boundaries, reordering the per-chunk
+    accumulation — observed max 1 ULP), identical radii, strictly fewer
+    pairs on an anisotropic low-opacity scene (incl. op < 1/255 dead
+    Gaussians)."""
+    rng = np.random.default_rng(5)
+    n = 600
+    cam = make_test_camera(width=96, height=64)
+    means, scales, q, opac, colors = random_gaussians(n, rng)
+    scales = scales * np.array([4.0, 0.25, 1.0], np.float32)  # anisotropic
+    opac = (opac * 0.2).astype(np.float32)                    # low opacity
+    opac[:40] = 1e-3                                          # dead (<1/255)
+    kw = dict(camera=cam, bg_color=jnp.asarray([0.1, 0.2, 0.3]),
+              scales=jnp.asarray(scales), rotations=jnp.asarray(q),
+              colors=jnp.asarray(colors))
+    m, op = jnp.asarray(means), jnp.asarray(opac)
+    tight = rasterize(m, op, capacity=16384, interpret=True, **kw)
+    square = rasterize(m, op, capacity=16384, interpret=True,
+                       tight_rect=False, **kw)
+    for f in ("color", "alpha", "depth"):
+        np.testing.assert_allclose(np.asarray(getattr(tight, f)),
+                                   np.asarray(getattr(square, f)),
+                                   rtol=3e-6, atol=3e-7)
+    np.testing.assert_array_equal(np.asarray(tight.radii),
+                                  np.asarray(square.radii))
+    assert int(tight.n_pairs) < int(square.n_pairs)
+
+    # gradients must agree too (dropped pairs are zero-gradient; the
+    # remaining deviation is f32 chunk-boundary reordering through the
+    # cancellation-prone moment recombination — on this deliberately
+    # ill-conditioned scene both modes sit ~2e-4 of max|grad| from the
+    # oracle autodiff, so gate scale-relative like the backward test)
+    def loss(fn_kw, m_, op_):
+        out = rasterize(m_, op_, capacity=16384, interpret=True,
+                        means2d_offset=jnp.zeros((n, 2), jnp.float32),
+                        **fn_kw, **kw)
+        return jnp.sum(out.color ** 2) + jnp.sum(out.alpha)
+    gt = jax.grad(lambda *a: loss(dict(), *a), argnums=(0, 1))(m, op)
+    gs = jax.grad(lambda *a: loss(dict(tight_rect=False), *a),
+                  argnums=(0, 1))(m, op)
+    for a_, b_ in zip(gt, gs):
+        a_, b_ = np.asarray(a_), np.asarray(b_)
+        scale = np.abs(b_).max() + 1e-8
+        assert np.abs(a_ - b_).max() / scale < 1e-3
+
+
 @pytest.mark.parametrize("sub", [2, 4])
 def test_sub_chunked_blend_matches(sub):
     """Processing `sub` 128-pair sub-chunks per blend grid step (bigger
