@@ -41,10 +41,13 @@ def test_sharded_matches_single_device():
 
 
 def test_sharded_gradients_match():
+    # 2 strips / capacity 1024: the psum-exactness signal is per-collective,
+    # not per-scale — the smallest config that still splits the image
+    # exercises the same code path at a fraction of the interpret cost
     cam = make_test_camera(width=32, height=32)
     args = _scene(n=100)
-    mesh = make_mesh(jax.devices()[:4])
-    fn = _render_fn(capacity=2048)
+    mesh = make_mesh(jax.devices()[:2])
+    fn = _render_fn(capacity=1024)
 
     def loss_single(m, op, c, s, r):
         return jnp.sum(fn(cam, m, op, c, s, r)[:3] ** 2)
@@ -75,9 +78,9 @@ def test_sharded_2d_matches_single_device():
     args = _scene(n=200)   # 200 = 4 * 50 model shards
     mesh = make_mesh_2d(2, 4)
 
-    single = _render_fn(capacity=4096)(cam, *args)
+    single = _render_fn(capacity=2048)(cam, *args)
     sharded = render_sharded_2d(_fields_fn, cam, mesh, *args,
-                                capacity=4096,
+                                capacity=2048,
                                 bg_color=jnp.asarray([0.1, 0.2, 0.3]))
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
                                rtol=1e-5, atol=1e-5)
@@ -89,16 +92,16 @@ def test_sharded_2d_gradients_match():
     from gaussianrpg_tpu.parallel.sharded import (make_mesh_2d,
                                                   render_sharded_2d)
     cam = make_test_camera(width=32, height=32)
-    args = _scene(n=100)   # 100 = 4 * 25 model shards
-    mesh = make_mesh_2d(2, 4)
-    fn = _render_fn(capacity=2048)
+    args = _scene(n=100)   # 100 = 2 * 50 model shards
+    mesh = make_mesh_2d(2, 2)
+    fn = _render_fn(capacity=1024)
 
     def loss_single(m, op, c, s, r):
         return jnp.sum(fn(cam, m, op, c, s, r)[:3] ** 2)
 
     def loss_sharded(m, op, c, s, r):
         img = render_sharded_2d(
-            _fields_fn, cam, mesh, m, op, c, s, r, capacity=2048,
+            _fields_fn, cam, mesh, m, op, c, s, r, capacity=1024,
             bg_color=jnp.asarray([0.1, 0.2, 0.3]))
         return jnp.sum(img[:3] ** 2)
 
