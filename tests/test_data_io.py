@@ -177,3 +177,49 @@ def test_kitti_prep_masks(tmp_path):
     sem = np.asarray(Image.open(str(out / "sem" / "0000" / "000000.png")))
     assert tuple(sem[0, 0]) == tuple(SEMANTIC_COLORMAP[10])
     assert tuple(sem[4, 0]) == tuple(SEMANTIC_COLORMAP[13])
+
+
+def test_colmap_convert_pipeline_with_stub_binary(tmp_path):
+    """The stock convert pipeline (script/convert.py equivalent) must run
+    extractor -> matcher -> mapper -> undistorter in order, land the model
+    in sparse/0, and produce PIL-based images_{2,4,8} downscales."""
+    import os
+    import stat
+
+    import numpy as np
+    from PIL import Image
+
+    from gaussianrpg_tpu.apps.colmap_convert import convert
+
+    src = tmp_path / "scene"
+    os.makedirs(src / "input")
+    Image.fromarray(np.zeros((16, 24, 3), np.uint8)).save(
+        str(src / "input" / "a.png"))
+
+    log = tmp_path / "calls.log"
+    stub = tmp_path / "colmap"
+    stub.write_text(f"""#!/bin/sh
+echo "$1" >> {log}
+if [ "$1" = mapper ]; then mkdir -p "$7/0"; fi
+if [ "$1" = image_undistorter ]; then
+  out=$7
+  mkdir -p "$out/sparse" "$out/images"
+  touch "$out/sparse/cameras.bin" "$out/sparse/images.bin" \
+        "$out/sparse/points3D.bin"
+  cp "$out/input/a.png" "$out/images/a.png"
+fi
+exit 0
+""")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+
+    convert(str(src), colmap_executable=str(stub), use_gpu=False,
+            resize=True)
+
+    assert log.read_text().split() == [
+        "feature_extractor", "exhaustive_matcher", "mapper",
+        "image_undistorter"]
+    assert sorted(os.listdir(src / "sparse" / "0")) == [
+        "cameras.bin", "images.bin", "points3D.bin"]
+    for f in (2, 4, 8):
+        im = Image.open(str(src / f"images_{f}" / "a.png"))
+        assert im.size == (24 // f, 16 // f)
