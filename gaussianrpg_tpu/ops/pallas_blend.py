@@ -148,18 +148,6 @@ def _sub_cumsum(x):
     return y
 
 
-def _sub_prod_all(x):
-    """Product over ALL sublane rows via cyclic doubling (every output row
-    holds the full product; no masks, no transcendentals — measured cheaper
-    than the exp(sum(log)) reduction it replaces)."""
-    y = x
-    s = 1
-    while s < G_CHUNK:
-        y = y * pltpu.roll(y, s, axis=0)
-        s *= 2
-    return y[0:1, :]
-
-
 def _mm(a, b):
     """Matmul with a tiny output dim, HIGHEST precision (f32-faithful;
     measured fast for small M/N, catastrophic for square shapes)."""
@@ -205,16 +193,26 @@ def _blend_core(a, t_run, done):
     Monotonicity: T_i*(1-alpha_i) is non-increasing along the chunk, so
     the "stopped at or before i" predicate is `t_excl*one_m < 1e-4` — no
     scan needed. t_run/done are (1, P) lane vectors.
+
+    t_new is the chunk's outgoing transmittance, i.e. the product of
+    (1-alpha) over CONTRIBUTING pairs only (CUDA keeps T at its value
+    before the stop, `forward.cu:430-436`). Since z_i = t_excl_i*one_m_i
+    is that running product and it is non-increasing over the contributing
+    prefix, t_new = min over contributing rows of z (t_run when none) —
+    one masked sublane reduction instead of a second roll-doubling
+    product ladder over masked factors.
     """
     skip = (a["power"] > 0.0) | (a["alpha_raw"] < (1.0 / 255.0))
     one_m = jnp.where(skip, 1.0, 1.0 - a["alpha"])        # (G, P)
     t_excl = t_run * _sub_cumprod_excl(one_m)
-    alive = (t_excl * one_m) >= 1e-4
+    z = t_excl * one_m
+    alive = z >= 1e-4
     contrib = (~skip) & alive & (~done)
     w = jnp.where(contrib, a["alpha"] * t_excl, 0.0)
-    om_used = jnp.where(contrib, one_m, 1.0)
+    t_new = jnp.minimum(
+        t_run, jnp.min(jnp.where(contrib, z, 2.0), axis=0, keepdims=True))
     stop_f = ((~skip) & (~alive)).astype(jnp.float32)
-    return contrib, one_m, om_used, t_excl, w, stop_f
+    return contrib, one_m, t_new, t_excl, w, stop_f
 
 
 def _feat_matrix(t, s_ch):
@@ -262,18 +260,13 @@ def _make_fwd_kernel(ntx, s_ch, tx, ty, sub):
                 a = _alpha_terms(t, px, py)
                 t_run = t_run_s[...]
                 done = done_s[...] > 0.0
-                contrib, one_m, om_used, t_excl, w, stop_f = \
+                contrib, one_m, t_new, t_excl, w, stop_f = \
                     _blend_core(a, t_run, done)
 
                 feats = _feat_matrix(t, s_ch)             # (G, C_f)
                 acc_s[...] += _mm_cg(feats, w)            # (C_f, P)
 
-                # T update = product over contributors, via cyclic sublane
-                # roll-doubling (om_used >= 0.01). NOT a matmul: routing the
-                # scan-dependent operand through an MXU contraction here
-                # triggers a ~700x Mosaic slowdown (measured 894us -> 1.24us
-                # per chunk with a VPU reduction).
-                t_run_s[...] = t_run * _sub_prod_all(om_used)
+                t_run_s[...] = t_new
                 done_s[...] = jnp.maximum(
                     done_s[...],
                     (jnp.sum(stop_f, axis=0, keepdims=True) > 0.0)
@@ -348,7 +341,7 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 a = _alpha_terms(t, px, py)
                 t_run = t_run_s[...]
                 done = done_s[...] > 0.0
-                contrib, one_m, om_used, t_excl, w, stop_f = \
+                contrib, one_m, t_new, t_excl, w, stop_f = \
                     _blend_core(a, t_run, done)
                 feats = _feat_matrix(t, s_ch)             # (G, C_f)
 
@@ -421,9 +414,8 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 else:
                     gmat_s[j * G_CHUNK:(j + 1) * G_CHUNK, :] = gmat
 
-                # state updates (same VPU sublane reductions as the forward
-                # — see the matmul-pathology note there)
-                t_run_s[...] = t_run * _sub_prod_all(om_used)
+                # state updates (same masked min-reduction as the forward)
+                t_run_s[...] = t_new
                 done_s[...] = jnp.maximum(
                     done_s[...],
                     (jnp.sum(stop_f, axis=0, keepdims=True) > 0.0)
