@@ -178,6 +178,9 @@ DEFAULT_CONFIG = {
         # faster frames on street scenes (PERF.md); tile_x*tile_y % 128 == 0
         "tile_x": 16,
         "tile_y": 16,
+        # 128-pair sub-chunks per blend grid step (capacity must divide by
+        # sub_chunks*128; amortizes the kernel's per-step floor)
+        "sub_chunks": 1,
         "save_video": True,
         "save_image": True,
         "coord": "world",

@@ -127,12 +127,14 @@ def build_pair_lists(
     ride_gm: bool = False,  # also produce pair_gm/seg_offs/seg_area
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
+    sub_chunks: int | None = None,  # None -> module default SUB_CHUNKS
 ) -> PairLists:
     """Expand depth-sorted Gaussians into tile-grouped pair lists.
 
     All inputs must already be depth-sorted so per-tile pair order is
     depth-ascending (the blend order contract)."""
-    align = G_CHUNK * SUB_CHUNKS
+    sub = SUB_CHUNKS if sub_chunks is None else sub_chunks
+    align = G_CHUNK * sub
     assert capacity % align == 0
     n = rect_min.shape[0]
     ntx, nty = tile_grid_dims(width, height, tile_x, tile_y)
@@ -321,5 +323,5 @@ def build_pair_lists(
         pair_gm=pair_gm,
         seg_offs=offs if ride_gm else None,
         seg_area=area if ride_gm else None,
-        sub_chunks=SUB_CHUNKS,
+        sub_chunks=sub,
     )

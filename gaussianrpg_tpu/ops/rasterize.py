@@ -319,6 +319,7 @@ def blend_fields(
     capacity: int,
     train_mode: bool,
     interpret: bool = False,
+    sub_chunks: int | None = None,
 ) -> RasterOut:
     """O(P) tile stage on the full (gathered) field set: depth sort, tile
     binning, pair gather, Pallas blend (`rasterizer_impl.cu:278-321` +
@@ -374,7 +375,8 @@ def blend_fields(
     # caller wires gradient hooks — eval renders skip its cost
     lists = binning.build_pair_lists(
         rect_min_s, rect_max_s, visible_s, W, H, capacity,
-        ride_gm=train_mode, tile_x=fs.tile_x, tile_y=fs.tile_y)
+        ride_gm=train_mode, tile_x=fs.tile_x, tile_y=fs.tile_y,
+        sub_chunks=sub_chunks)
 
     # gather the flat pair data [P_pad, NF]; padding slots zeroed (their
     # zero opacity/radius makes the kernel skip them); see _take8 /
@@ -445,6 +447,7 @@ def rasterize(
     tile_x: int = TILE_X,
     tile_y: int = TILE_Y,
     tight_rect: bool = True,
+    sub_chunks: int | None = None,
 ) -> RasterOut:
     """Render Gaussians through the TPU pipeline.
 
@@ -482,4 +485,5 @@ def rasterize(
         tile_x=tile_x, tile_y=tile_y, tight_rect=tight_rect)
     return blend_fields(fs, width=camera.width, height=camera.height,
                         bg_color=bg_color, capacity=capacity,
-                        train_mode=train_mode, interpret=interpret)
+                        train_mode=train_mode, interpret=interpret,
+                        sub_chunks=sub_chunks)

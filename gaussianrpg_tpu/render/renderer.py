@@ -53,6 +53,10 @@ class RenderOptions:
     # — see PERF.md). tile_x*tile_y must be a multiple of 128.
     tile_x: int = struct.field(pytree_node=False, default=16)
     tile_y: int = struct.field(pytree_node=False, default=16)
+    # 128-pair sub-chunks per blend grid step (amortizes the per-step
+    # floor; per-tile pair padding aligns to sub_chunks*128, so capacity
+    # must be a multiple of that)
+    sub_chunks: int = struct.field(pytree_node=False, default=1)
 
 
 def options_from_cfg(render_cfg, **overrides) -> "RenderOptions":
@@ -61,6 +65,7 @@ def options_from_cfg(render_cfg, **overrides) -> "RenderOptions":
         capacity=render_cfg.capacity,
         tile_x=int(render_cfg.get("tile_x", 16)),
         tile_y=int(render_cfg.get("tile_y", 16)),
+        sub_chunks=int(render_cfg.get("sub_chunks", 1)),
     )
     kw.update(overrides)
     return RenderOptions(**kw)
@@ -127,6 +132,7 @@ def render_scene(
         interpret=options.interpret,
         tile_x=options.tile_x,
         tile_y=options.tile_y,
+        sub_chunks=options.sub_chunks,
     )
 
     rgb = out.color
