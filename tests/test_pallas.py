@@ -278,6 +278,22 @@ def test_sub_chunked_blend_matches(sub):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_sub_chunked_padding_overflow_is_flagged():
+    """Coarser per-tile alignment (sub_chunks*128) can push padded totals
+    past a capacity that fits at sub=1; that must surface as overflow, and
+    a grown capacity must restore bitwise-equal output."""
+    means, opac, kw, _ = _setup(n=900, seed=13, W=128, H=96)
+    base = rasterize(means, opac, capacity=8192, interpret=True, **kw)
+    assert not bool(base.overflow)
+    tight = rasterize(means, opac, capacity=8192, interpret=True,
+                      sub_chunks=4, **kw)
+    grown = rasterize(means, opac, capacity=32768, interpret=True,
+                      sub_chunks=4, **kw)
+    assert bool(tight.overflow) and not bool(grown.overflow)
+    np.testing.assert_array_equal(np.asarray(grown.color),
+                                  np.asarray(base.color))
+
+
 @pytest.mark.parametrize("force_split", [False, True])
 def test_scatter_cols_knob_matches(force_split):
     """The single [N, K] row-scatter marker table must produce identical
