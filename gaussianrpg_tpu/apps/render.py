@@ -87,6 +87,15 @@ def main(argv=None):
             t0 = time.time()
             res = render_jit(models, meta, arrays, cam,
                              active_sh_degree=sh, options=options)
+            # pair-capacity overflow would silently composite background
+            # tiles; grow + recompile instead (the CUDA resize-closure
+            # analog, same policy as apps/train.py)
+            while bool(res.overflow):
+                options = options.replace(capacity=options.capacity * 2)
+                print(f"  pair overflow: growing capacity to "
+                      f"{options.capacity} (recompile)")
+                res = render_jit(models, meta, arrays, cam,
+                                 active_sh_degree=sh, options=options)
             rgb = np.asarray(res.rgb)
             times.append(time.time() - t0)
             name = f"{cam.frame:06d}_{cam.cam_id}"

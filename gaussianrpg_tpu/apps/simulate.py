@@ -122,9 +122,19 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
                          "include_background", "include_objects"))
 
     def render_fn(cam):
+        nonlocal options
         res = render_jit(models, meta, arrays, cam,
                          active_sh_degree=meta.bkgd_sh_degree,
                          options=options)
+        # grow + recompile on pair-capacity overflow rather than feeding
+        # perception background-masked tiles (same policy as apps/train)
+        while bool(res.overflow):
+            options = options.replace(capacity=options.capacity * 2)
+            print(f"  pair overflow: growing capacity to "
+                  f"{options.capacity} (recompile)")
+            res = render_jit(models, meta, arrays, cam,
+                             active_sh_degree=meta.bkgd_sh_degree,
+                             options=options)
         return res.rgb
 
     weights = cfg.sim.get("yolov5_weights_path", "")
