@@ -69,6 +69,11 @@ def main(argv=None):
         t0 = time.perf_counter()
         res = render(models, meta, arrays, cam,
                      active_sh_degree=meta.bkgd_sh_degree, options=opts)
+        while bool(res.overflow):  # grow + recompile, same as apps/render
+            opts = opts.replace(capacity=opts.capacity * 2)
+            print(f"  pair overflow: growing capacity to {opts.capacity}")
+            res = render(models, meta, arrays, cam,
+                         active_sh_degree=meta.bkgd_sh_degree, options=opts)
         rgb = np.clip(np.asarray(res.rgb), 0, 1)
         img = (rgb.transpose(1, 2, 0) * 255).astype(np.uint8)
         dt = time.perf_counter() - t0
