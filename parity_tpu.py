@@ -71,6 +71,28 @@ def main():
             (np.asarray(p.radii) != o_np["radii"]).sum()),
     }
 
+    # --- perf-knob parity on hardware: every knob must reproduce the
+    # default render to f32 summation-order noise ------------------------
+    from gaussianrpg_tpu.ops import binning
+
+    def fwd_with(**extra):
+        return jax.jit(lambda m, op, c, s, r: rasterize(
+            m, op, colors=c, scales=s, rotations=r, capacity=262144,
+            **kw, **extra))(*args)
+
+    base_color = np.asarray(p.color)
+    knobs = {}
+    knobs["tight_rect_off"] = float(np.abs(
+        np.asarray(fwd_with(tight_rect=False).color) - base_color).max())
+    knobs["sub_chunks_2"] = float(np.abs(
+        np.asarray(fwd_with(sub_chunks=2).color) - base_color).max())
+    binning.SCATTER_COLS = False
+    try:
+        knobs["scatter_cols_off"] = float(np.abs(
+            np.asarray(fwd_with().color) - base_color).max())
+    finally:
+        binning.SCATTER_COLS = True
+
     # --- backward: Pallas hand-derived VJP vs autodiff-through-oracle ----
     target = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
 
@@ -98,9 +120,11 @@ def main():
         "device": str(jax.devices()[0]),
         "scene": {"n": n, "W": W, "H": H},
         "forward_max_abs_err": fwd,
+        "knob_parity_max_abs_err": knobs,
         "backward_max_rel_err": bwd,
         "pass": (fwd["color_vs_numpy"] < 1e-3
                  and fwd["radii_mismatches"] == 0
+                 and max(knobs.values()) < 1e-5
                  and max(bwd.values()) < 5e-4),
     }
     with open("PARITY_TPU.json", "w") as f:
