@@ -21,23 +21,31 @@ def _require_backend(timeout_s: float = 180.0):
     import threading
 
     ok = []
+    err = []
 
     def probe():
-        import jax
-        ok.append(jax.devices())
+        try:
+            import jax
+            ok.append(jax.devices())
+        except BaseException as e:  # report init errors, don't swallow
+            err.append(f"{type(e).__name__}: {e}")
 
+    t0 = time.time()
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
     if not ok:
+        elapsed = time.time() - t0
+        reason = (err[0] if err else
+                  f"backend init still hung after {elapsed:.0f}s "
+                  "(axon tunnel down)")
         print(json.dumps({
             "metric": "synthetic-street FPS/chip at 1066x1600 "
                       "(600k gaussians, frozen r1 scene)",
             "value": 0.0,
             "unit": "FPS",
             "vs_baseline": 0.0,
-            "error": f"device backend unreachable after {timeout_s:.0f}s "
-                     "(axon tunnel down); no measurement taken",
+            "error": f"no measurement taken: {reason}",
         }), flush=True)
         os._exit(0)
 

@@ -60,7 +60,7 @@ def main(argv=None):
 
     from ..config.config import load_config, make_argparser
     from ..render.renderer import (RenderOptions, options_from_cfg,
-                                   render_scene)
+                                   render_scene, render_until_fit)
 
     parser = make_argparser("gaussianrpg_tpu rendering")
     args = parser.parse_args(argv)
@@ -87,13 +87,14 @@ def main(argv=None):
             t0 = time.time()
             res = render_jit(models, meta, arrays, cam,
                              active_sh_degree=sh, options=options)
-            # pair-capacity overflow would silently composite background
-            # tiles; grow + recompile instead (the CUDA resize-closure
-            # analog, same policy as apps/train.py)
-            while bool(res.overflow):
-                options = options.replace(capacity=options.capacity * 2)
-                print(f"  pair overflow: growing capacity to "
-                      f"{options.capacity} (recompile)")
+            if bool(res.overflow):
+                res, options = render_until_fit(
+                    lambda o: render_jit(models, meta, arrays, cam,
+                                         active_sh_degree=sh, options=o),
+                    options)
+                # re-time a clean re-execution so the reported ms/view
+                # excludes the growth recompiles
+                t0 = time.time()
                 res = render_jit(models, meta, arrays, cam,
                                  active_sh_degree=sh, options=options)
             rgb = np.asarray(res.rgb)

@@ -99,7 +99,7 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
     from ..models.scene_builder import build_scene_from_waymo
     from ..models.scene_io import load_latest_checkpoint
     from ..render.renderer import (RenderOptions, options_from_cfg,
-                                   render_scene)
+                                   render_scene, render_until_fit)
     from ..sim.detector import (BoxProjectionDetector, JaxYoloDetector,
                                 TorchHubYoloDetector)
     from ..sim.tape import load_tape
@@ -123,18 +123,12 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
 
     def render_fn(cam):
         nonlocal options
-        res = render_jit(models, meta, arrays, cam,
-                         active_sh_degree=meta.bkgd_sh_degree,
-                         options=options)
         # grow + recompile on pair-capacity overflow rather than feeding
         # perception background-masked tiles (same policy as apps/train)
-        while bool(res.overflow):
-            options = options.replace(capacity=options.capacity * 2)
-            print(f"  pair overflow: growing capacity to "
-                  f"{options.capacity} (recompile)")
-            res = render_jit(models, meta, arrays, cam,
-                             active_sh_degree=meta.bkgd_sh_degree,
-                             options=options)
+        res, options = render_until_fit(
+            lambda o: render_jit(models, meta, arrays, cam,
+                                 active_sh_degree=meta.bkgd_sh_degree,
+                                 options=o), options)
         return res.rgb
 
     weights = cfg.sim.get("yolov5_weights_path", "")

@@ -18,7 +18,7 @@ def main(argv=None):
 
     from ..config.config import load_config, make_argparser
     from ..render.renderer import (RenderOptions, options_from_cfg,
-                                   render_scene)
+                                   render_scene, render_until_fit)
 
     parser = make_argparser("gaussianrpg_tpu live viewer")
     parser.add_argument("--synthetic", action="store_true")
@@ -67,13 +67,10 @@ def main(argv=None):
     times = []
     for idx, cam in enumerate(cameras):
         t0 = time.perf_counter()
-        res = render(models, meta, arrays, cam,
-                     active_sh_degree=meta.bkgd_sh_degree, options=opts)
-        while bool(res.overflow):  # grow + recompile, same as apps/render
-            opts = opts.replace(capacity=opts.capacity * 2)
-            print(f"  pair overflow: growing capacity to {opts.capacity}")
-            res = render(models, meta, arrays, cam,
-                         active_sh_degree=meta.bkgd_sh_degree, options=opts)
+        res, opts = render_until_fit(
+            lambda o: render(models, meta, arrays, cam,
+                             active_sh_degree=meta.bkgd_sh_degree,
+                             options=o), opts)
         rgb = np.clip(np.asarray(res.rgb), 0, 1)
         img = (rgb.transpose(1, 2, 0) * 255).astype(np.uint8)
         dt = time.perf_counter() - t0

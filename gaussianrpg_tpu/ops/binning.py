@@ -177,6 +177,11 @@ def build_pair_lists(
     # range -> mode="drop".
     scat_idx = offs
     rw_payload = jnp.where(area > 0, rw, 0).astype(jnp.int32)
+    # zero-area payloads are zeroed across the board: rw to lose the
+    # offs-marker tie (above), base0 because a tightened/dead rect can be
+    # clipped to (grid_x, grid_y), making y0*ntx+x0 reach n_tiles+ntx and
+    # OVERFLOW the tb_base payload field into the id bits (a corrupted
+    # word could then out-max the real collider)
 
     def scat(packed):
         if SCATTER_COLS and len(packed) > 1:
@@ -200,7 +205,7 @@ def build_pair_lists(
     tb_rw = max(int(ntx).bit_length(), 1)
     if (not _FORCE_SPLIT_MARKERS and n < (1 << (30 - tb_base))
             and capacity < (1 << (30 - tb_rw))):
-        base0 = (y0 * ntx + x0).astype(jnp.int32)
+        base0 = jnp.where(area > 0, y0 * ntx + x0, 0).astype(jnp.int32)
         fb, fsr = fills((
             (gp1 << tb_base) | base0,
             ((offs + 1) << tb_rw) | rw_payload,
@@ -278,7 +283,14 @@ def build_pair_lists(
     # directly, with no 4M gather/scatter placement pass.
     pad_needed = pcounts - counts
     cum_pad_excl = jnp.cumsum(pad_needed) - pad_needed
-    spare_pos = jnp.where(pad_needed > 0, raw_total + cum_pad_excl, p_max)
+    # same sorted-collision scheme as the marker scatter: EVERY tile
+    # scatters at its exclusive pad offset (non-decreasing, so the
+    # indices_are_sorted contract holds — a pad_needed==0 sentinel would
+    # interleave p_max between increasing positions and break it). A
+    # zero-pad tile collides with the next padding tile's start and loses
+    # the max (tile ids are scattered ascending); trailing zero-pad tiles
+    # land at padded_total, beyond the spare_ok window.
+    spare_pos = raw_total + cum_pad_excl
     spare_marks = jnp.zeros((p_max,), jnp.int32).at[spare_pos].max(
         jnp.arange(1, n_tiles + 1, dtype=jnp.int32), mode="drop",
         indices_are_sorted=True)

@@ -274,8 +274,10 @@ def preprocess(
         tmax = jnp.stack([tmax_x, tmax_y], axis=-1).astype(jnp.int32)
         rect_min = jnp.maximum(rect_min, tmin)
         rect_max = jnp.minimum(rect_max, tmax)
-        # op <= 1/255 contributes to no pixel at all: emit zero pairs
-        dead = (op * 255.0 <= 1.0) & tighten
+        # op < 1/255 contributes to no pixel at all (the blend skip is
+        # the STRICT alpha_raw < 1/255, so op == 1/255 with power == 0
+        # still contributes): emit zero pairs only below the threshold
+        dead = (op * 255.0 < 1.0) & tighten
         rect_max = jnp.where(dead[..., None], rect_min, rect_max)
         rect_max = jnp.maximum(rect_max, rect_min)
         area = (rect_max[..., 0] - rect_min[..., 0]) * (

@@ -59,6 +59,22 @@ class RenderOptions:
     sub_chunks: int = struct.field(pytree_node=False, default=1)
 
 
+def render_until_fit(render_once, options: "RenderOptions"):
+    """Render, doubling pair capacity + recompiling while the result flags
+    overflow (the CUDA resize-closure analog, `rasterizer_impl.cu:155-193`;
+    same policy as the training loop). `render_once(options)` -> result
+    with an `.overflow` scalar. Returns (result, options) so callers keep
+    the grown capacity for subsequent frames. Doubling preserves the
+    sub_chunks*128 and fused-scan divisibility of the starting capacity."""
+    res = render_once(options)
+    while bool(res.overflow):
+        options = options.replace(capacity=options.capacity * 2)
+        print(f"  pair overflow: growing capacity to {options.capacity} "
+              f"(recompile)")
+        res = render_once(options)
+    return res, options
+
+
 def options_from_cfg(render_cfg, **overrides) -> "RenderOptions":
     """Build RenderOptions from a cfg.render block (tile/capacity knobs)."""
     kw = dict(
