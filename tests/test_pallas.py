@@ -313,3 +313,37 @@ def test_scatter_cols_knob_matches(force_split):
                                   np.asarray(sep.color))
     np.testing.assert_array_equal(np.asarray(cols.alpha),
                                   np.asarray(sep.alpha))
+
+
+def test_binning_fuzz_vs_oracle():
+    """Randomized mini-scenes across odd image sizes, tilings, and tight
+    (but sufficient) capacities must track the oracle — hardens the
+    scatter/fill/padding edge cases (boundary tiles, empty tiles,
+    capacity == padded_total)."""
+    for seed in range(4):
+        rng = np.random.default_rng(100 + seed)
+        W = int(rng.integers(33, 97))
+        H = int(rng.integers(17, 65))
+        n = int(rng.integers(40, 260))
+        tx, ty = [(16, 16), (16, 8), (32, 16), (8, 16)][seed % 4]
+        cam = make_test_camera(width=W, height=H, seed=seed)
+        means, scales, q, opac, colors = random_gaussians(n, rng)
+        kw = dict(camera=cam, bg_color=jnp.asarray([0.3, 0.1, 0.6]),
+                  scales=jnp.asarray(scales), rotations=jnp.asarray(q),
+                  colors=jnp.asarray(colors))
+        m, op = jnp.asarray(means), jnp.asarray(opac)
+        o = rasterize_oracle(m, op, **kw)
+        # generous probe to learn the padded total, then re-run at the
+        # exact padded capacity (the tightest legal static size)
+        probe = rasterize(m, op, capacity=1 << 15, interpret=True,
+                          tile_x=tx, tile_y=ty, **kw)
+        assert not bool(probe.overflow)
+        exact = max(int(probe.n_pairs), 128)
+        exact += -exact % 128
+        p = rasterize(m, op, capacity=exact, interpret=True,
+                      tile_x=tx, tile_y=ty, **kw)
+        assert not bool(p.overflow), (seed, exact)
+        np.testing.assert_allclose(np.asarray(p.color), np.asarray(o.color),
+                                   atol=8e-3)
+        np.testing.assert_allclose(np.asarray(probe.color),
+                                   np.asarray(p.color), rtol=3e-6, atol=3e-7)
