@@ -424,6 +424,49 @@ def blend_fields(
     )
 
 
+def suggest_capacity(
+    fs: FieldSet,
+    *,
+    width: int,
+    height: int,
+    slack: float = 1.25,
+    sub_chunks: int = 1,
+    quantum: int = 65536,
+) -> int:
+    """Right-size the static pair capacity for a scene/camera/tiling.
+
+    Runs only the O(N) rect math + the per-tile counting sort (no blend),
+    returning padded_total * slack rounded up to `quantum` (the fused
+    marker-fill scan needs a 64K multiple; also a multiple of
+    sub_chunks*128). The CUDA analog sizes its binning buffers from
+    `num_rendered` reactively (`rasterizer_impl.cu:155-193`); here the
+    shape is static per compile, so callers probe once (e.g. on the first
+    frame of a render/eval run) and reuse the suggestion. Returns a
+    python int — call outside jit."""
+    visible = fs.radii > 0
+    empty = ~visible | (fs.rect_max[:, 0] <= fs.rect_min[:, 0]) | (
+        fs.rect_max[:, 1] <= fs.rect_min[:, 1])
+    rect_min = jnp.where(empty[:, None], 0, fs.rect_min)
+    rect_max = jnp.where(empty[:, None], 0, fs.rect_max)
+    ntx, nty = binning.tile_grid_dims(width, height, fs.tile_x, fs.tile_y)
+    # exact per-tile counts WITHOUT pair expansion: each rect adds +1 over
+    # a tile sub-grid, so scatter its four corner deltas and integrate
+    # with a 2D prefix sum (empty rects collapse to four deltas at (0,0)
+    # that cancel)
+    delta = jnp.zeros((nty + 1, ntx + 1), jnp.int32)
+    x0, y0 = rect_min[:, 0], rect_min[:, 1]
+    x1, y1 = rect_max[:, 0], rect_max[:, 1]
+    delta = delta.at[y0, x0].add(1).at[y0, x1].add(-1) \
+                 .at[y1, x0].add(-1).at[y1, x1].add(1)
+    counts = jnp.cumsum(jnp.cumsum(delta, axis=0), axis=1)[:nty, :ntx]
+    align = binning.G_CHUNK * sub_chunks
+    padded_total = int(jnp.sum((counts + align - 1) // align * align))
+    cap = int(padded_total * slack)
+    q = max(quantum, align)
+    q = q + (-q % align)
+    return max(cap + (-cap % q), q)
+
+
 def rasterize(
     means3d: jax.Array,
     opacities: jax.Array,

@@ -347,3 +347,35 @@ def test_binning_fuzz_vs_oracle():
                                    atol=8e-3)
         np.testing.assert_allclose(np.asarray(probe.color),
                                    np.asarray(p.color), rtol=3e-6, atol=3e-7)
+
+
+def test_suggest_capacity_matches_actual_padding():
+    """The 2D corner-delta count must reproduce build_pair_lists' exact
+    padded totals (slack 1, quantum = alignment) across tilings/subs."""
+    from gaussianrpg_tpu.ops import binning
+    from gaussianrpg_tpu.ops.rasterize import (primitive_fields,
+                                               suggest_capacity)
+    for seed, (tx, ty, sub) in enumerate([(16, 16, 1), (16, 8, 2),
+                                          (32, 16, 4)]):
+        rng = np.random.default_rng(40 + seed)
+        W, H = int(rng.integers(50, 120)), int(rng.integers(40, 90))
+        cam = make_test_camera(width=W, height=H, seed=seed)
+        means, scales, q, opac, colors = random_gaussians(300, rng)
+        fs = primitive_fields(jnp.asarray(means), jnp.asarray(opac),
+                              camera=cam, colors=jnp.asarray(colors),
+                              scales=jnp.asarray(scales),
+                              rotations=jnp.asarray(q), tile_x=tx, tile_y=ty)
+        align = binning.G_CHUNK * sub
+        cap = suggest_capacity(fs, width=W, height=H, slack=1.0,
+                               sub_chunks=sub, quantum=align)
+        order = jnp.argsort(jnp.where(fs.radii > 0, fs.depths, jnp.inf),
+                            stable=True)
+        lists = binning.build_pair_lists(
+            jnp.take(fs.rect_min, order, axis=0),
+            jnp.take(fs.rect_max, order, axis=0),
+            jnp.take(fs.radii > 0, order, axis=0),
+            W, H, capacity=max(cap, align), tile_x=tx, tile_y=ty,
+            sub_chunks=sub)
+        assert not bool(lists.overflowed)
+        padded = int(lists.padded_total)
+        assert cap == padded + (-padded % align) or cap == max(padded, align)
