@@ -26,8 +26,8 @@ overflow flag is returned so callers can re-run with a larger capacity
 (shape change = recompile — the XLA analog of the CUDA resize-closure
 buffers, `rasterizer_impl.cu:155-193`).
 
-Everything here is O(N + P) vector work plus one O(P log P) sort and two
-O(P) sorted-index scatters.
+Everything here is O(N + P) vector work plus one O(P log P) sort, one
+O(N) sorted-index scatter, and one O(P) sorted row take.
 """
 from __future__ import annotations
 
@@ -55,14 +55,25 @@ USE_PALLAS_FILLS = True  # single-pass Pallas scan for the marker fills
                          # (perf A/B knob; False = XLA lax.cummax)
 
 _FORCE_SPLIT_MARKERS = False  # tests only: force the three-marker fallback
-                              # (it normally triggers only on huge grids)
+                              # of the legacy packed path
 
-SCATTER_COLS = True  # scatter ALL marker words as ONE [N, K] row scatter
-                     # into a [P, K] table instead of K separate [N] -> [P]
-                     # scatters. Scatters are issue-rate bound (~8 ns/update)
-                     # and extra row width is nearly free (same reason the
-                     # wide row take wins), so this halves the dominant
-                     # binning cost. False = K independent scatters (A/B).
+TAKE_ROWS = True  # default expansion: ONE scatter (gaussian-id marker) +
+                  # cummax fill + ONE SORTED row take of the per-gaussian
+                  # (tile base, seg start, rect width) table. pair_g is
+                  # non-decreasing, so the take rides XLA's sorted-gather
+                  # fast path: measured 1.5 ms for 1.18M rows x [600k, 3]
+                  # on v5e vs ~4.8 ms per extra 1-D scatter — and no
+                  # packed-word bit-width limits (no huge-grid fallback).
+                  # False = legacy packed-marker scatters (cross-check).
+
+SCATTER_COLS = False  # True: scatter ALL marker words as ONE [N, K] row
+                      # scatter into a [P, K] table instead of K separate
+                      # [N] -> [P] scatters. Sounded right (scatters are
+                      # issue-rate bound and row width is nearly free on
+                      # GATHERS) but MEASURED a 16 ms/frame REGRESSION on
+                      # v5e (47.5 -> 63.9 ms full fwd): XLA lowers the
+                      # 2-column sorted row scatter far worse than two
+                      # 1-D sorted scatters. Kept as an A/B knob only.
 
 
 class PairLists(NamedTuple):
@@ -203,7 +214,33 @@ def build_pair_lists(
 
     tb_base = max(int(n_tiles).bit_length(), 1)
     tb_rw = max(int(ntx).bit_length(), 1)
-    if (not _FORCE_SPLIT_MARKERS and n < (1 << (30 - tb_base))
+    if TAKE_ROWS and not _FORCE_SPLIT_MARKERS:
+        # --- one-scatter expansion (default) ------------------------------
+        # Only the gaussian-id marker is scattered + cummax-filled; the
+        # other per-pair quantities come from one SORTED row take against
+        # the per-gaussian table. Collision semantics at a shared offset:
+        # the segment OWNER (area > 0) is always the max id at its offset
+        # (any later gaussian's offset is strictly past it), so no payload
+        # zeroing is needed; slots past raw_total may fill with a trailing
+        # zero-area id but are masked by pair_ok below.
+        mark = jnp.zeros((p_max,), jnp.int32).at[scat_idx].max(
+            gp1, mode="drop", indices_are_sorted=True)
+        if USE_PALLAS_FILLS and p_max % 65536 == 0:
+            fillg = fused_cummax((mark,))[0]
+        else:
+            fillg = jax.lax.cummax(mark)
+        pair_g = fillg - 1
+        base0 = (y0 * ntx + x0).astype(jnp.int32)
+        tab = jnp.stack(
+            [jnp.where(area > 0, base0, 0),
+             offs,
+             jnp.maximum(rw_payload, 1)], axis=1)
+        rows_tab = jnp.take(tab, jnp.maximum(pair_g, 0), axis=0,
+                            indices_are_sorted=True)
+        g_base = rows_tab[:, 0]
+        seg_start = rows_tab[:, 1]
+        g_rw = rows_tab[:, 2]
+    elif (not _FORCE_SPLIT_MARKERS and n < (1 << (30 - tb_base))
             and capacity < (1 << (30 - tb_rw))):
         base0 = jnp.where(area > 0, y0 * ntx + x0, 0).astype(jnp.int32)
         fb, fsr = fills((

@@ -294,25 +294,27 @@ def test_sub_chunked_padding_overflow_is_flagged():
                                   np.asarray(base.color))
 
 
-@pytest.mark.parametrize("force_split", [False, True])
-def test_scatter_cols_knob_matches(force_split):
-    """The single [N, K] row-scatter marker table must produce identical
-    renders to K independent scatters (both marker layouts)."""
+@pytest.mark.parametrize("scatter_cols", [False, True])
+def test_legacy_packed_markers_match_take_rows(scatter_cols):
+    """All three expansion implementations must render identically: the
+    default one-scatter + sorted-row-take path, and the legacy packed
+    two-marker path in both scatter layouts (K independent 1-D scatters
+    and the single [N, K] row scatter)."""
     from gaussianrpg_tpu.ops import binning
     means, opac, kw, _ = _setup(n=400, seed=7)
-    binning._FORCE_SPLIT_MARKERS = force_split
+    assert binning.TAKE_ROWS and not binning.SCATTER_COLS  # defaults
+    new = rasterize(means, opac, capacity=8192, interpret=True, **kw)
+    binning.TAKE_ROWS = False
+    binning.SCATTER_COLS = scatter_cols
     try:
-        assert binning.SCATTER_COLS  # default path under test elsewhere
-        cols = rasterize(means, opac, capacity=8192, interpret=True, **kw)
-        binning.SCATTER_COLS = False
-        sep = rasterize(means, opac, capacity=8192, interpret=True, **kw)
+        legacy = rasterize(means, opac, capacity=8192, interpret=True, **kw)
     finally:
-        binning.SCATTER_COLS = True
-        binning._FORCE_SPLIT_MARKERS = False
-    np.testing.assert_array_equal(np.asarray(cols.color),
-                                  np.asarray(sep.color))
-    np.testing.assert_array_equal(np.asarray(cols.alpha),
-                                  np.asarray(sep.alpha))
+        binning.TAKE_ROWS = True
+        binning.SCATTER_COLS = False
+    np.testing.assert_array_equal(np.asarray(new.color),
+                                  np.asarray(legacy.color))
+    np.testing.assert_array_equal(np.asarray(new.alpha),
+                                  np.asarray(legacy.alpha))
 
 
 def test_binning_fuzz_vs_oracle():
