@@ -54,6 +54,58 @@ def evaluate_views(models, meta, arrays, cam_gt, opts, active_sh,
             "n_views": len(psnrs)}
 
 
+def step_with_overflow_retry(step_fn, make_step, opts, state, cam, batch,
+                             key, active_sh):
+    """Run one train step; on pair-capacity overflow DISCARD the poisoned
+    update (background-masked tiles produce garbage gradients), grow the
+    capacity, recompile, and retry the same step from the pre-step state.
+    The CUDA peer resizes its binning buffers before the kernel ever
+    launches (`rasterizer_impl.cu:155-193`), so no overflowed step is ever
+    applied there either.
+
+    Returns (step_fn, opts, new_state, loss, scalars, res)."""
+    new_state, loss, scalars, res = step_fn(state, cam, batch, key,
+                                            active_sh)
+    while bool(scalars.get("overflow", False)):
+        opts = opts.replace(capacity=opts.capacity * 2)
+        print(f"  pair overflow: growing capacity to {opts.capacity}, "
+              "retrying step (recompile)", flush=True)
+        step_fn = make_step(opts)
+        new_state, loss, scalars, res = step_fn(state, cam, batch, key,
+                                                active_sh)
+    return step_fn, opts, new_state, loss, scalars, res
+
+
+def apply_opacity_reset(state, meta):
+    """Opacity reset fanned out to EVERY submodel, background and actors
+    alike (reference `street_gaussian_model.py:604-609` via
+    `train.py:296-301`); reset_opacity is elementwise so the stacked actor
+    pytree resets in one call."""
+    from ..models import gaussians as G
+
+    p2, adam2 = G.reset_opacity(
+        state.models.background,
+        G.AdamState(mu=state.adam.mu["background"],
+                    nu=state.adam.nu["background"],
+                    count=state.adam.count))
+    mu = dict(state.adam.mu)
+    nu = dict(state.adam.nu)
+    mu["background"] = adam2.mu
+    nu["background"] = adam2.nu
+    models2 = state.models.replace(background=p2)
+    if meta.num_actors > 0:
+        ap2, aadam2 = G.reset_opacity(
+            state.models.actors,
+            G.AdamState(mu=state.adam.mu["actors"],
+                        nu=state.adam.nu["actors"],
+                        count=state.adam.count))
+        mu["actors"] = aadam2.mu
+        nu["actors"] = aadam2.nu
+        models2 = models2.replace(actors=ap2)
+    return state.replace(models=models2,
+                         adam=state.adam.replace(mu=mu, nu=nu))
+
+
 def main(argv=None):
     import functools
 
@@ -230,8 +282,10 @@ def main(argv=None):
         if gt is None:
             continue
         batch = batches[ci]._replace(gt_image=jnp.asarray(gt))
-        state, loss, scalars, res = step_fn(
-            state, cam, batch, jax.random.PRNGKey(it), active_sh)
+        step_fn, opts, state, loss, scalars, res = step_with_overflow_retry(
+            step_fn,
+            lambda o: make_train_step(meta, arrays, ocfg, o, n_total),
+            opts, state, cam, batch, jax.random.PRNGKey(it), active_sh)
         ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
         ema_psnr = 0.4 * float(psnr(res.rgb, batch.gt_image)) \
             + 0.6 * ema_psnr
@@ -245,14 +299,6 @@ def main(argv=None):
             print(f"[{it}/{iters}] loss {ema_loss:.5f} psnr "
                   f"{ema_psnr:.2f} ({(time.time()-t0)/it:.2f}s/it)",
                   flush=True)
-
-        # pair-capacity overflow: the CUDA resize-closure analog
-        # (`rasterizer_impl.cu:155-193`) — grow + recompile
-        if bool(scalars.get("overflow", False)):
-            opts = opts.replace(capacity=opts.capacity * 2)
-            print(f"  pair overflow at iter {it}: growing capacity to "
-                  f"{opts.capacity} (recompile)", flush=True)
-            step_fn = make_train_step(meta, arrays, ocfg, opts, n_total)
 
         # densification (host-side interval events, train.py:276-301)
         if (ocfg.densify_from_iter < it < ocfg.densify_until_iter
@@ -352,18 +398,7 @@ def main(argv=None):
 
         if (it < ocfg.densify_until_iter
                 and it % ocfg.opacity_reset_interval == 0):
-            p2, adam2 = G.reset_opacity(
-                state.models.background,
-                G.AdamState(mu=state.adam.mu["background"],
-                            nu=state.adam.nu["background"],
-                            count=state.adam.count))
-            mu = dict(state.adam.mu)
-            nu = dict(state.adam.nu)
-            mu["background"] = adam2.mu
-            nu["background"] = adam2.nu
-            state = state.replace(
-                models=state.models.replace(background=p2),
-                adam=state.adam.replace(mu=mu, nu=nu))
+            state = apply_opacity_reset(state, meta)
 
         # periodic test-view evaluation (`train.py:353-399`)
         if it in test_iters:

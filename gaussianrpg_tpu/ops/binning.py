@@ -163,18 +163,24 @@ def build_pair_lists(
     raw_total = offs[-1] + area[-1]
 
     # --- segment-marker expansion ---------------------------------------
-    # Per-pair source/rect values are delivered by scattering a packed
-    # marker at each gaussian's first pair slot and cummax-filling the
-    # segment. Random per-pair `take`s from per-gaussian tables are
-    # PATHOLOGICAL on TPU (~75ms per 4M-element gather, measured); the
-    # fills are bandwidth-bound scans instead. Packing (g+1)<<bits|value
-    # keeps each marker monotone across segments so cummax fills exactly.
+    # Per-pair quantities are delivered by scattering a marker at each
+    # gaussian's first pair slot and cummax-filling the segment
+    # (packing (g+1)<<bits|value keeps each marker monotone across
+    # segments so cummax fills exactly). The DEFAULT (TAKE_ROWS) scatters
+    # only the gaussian-id marker and recovers the remaining quantities
+    # with one row take against the per-gaussian table — cheap ONLY
+    # because pair_g is non-decreasing, which puts the take on XLA's
+    # sorted-gather fast path (measured 1.5 ms for 1.18M rows x [600k,3]).
     #
-    # Scatters dominate binning (~8ns/update, ~79% measured at 64x32), so
-    # the marker count matters: when gaussian-id and tile-BASE bits fit in
-    # one word (large tiles / small grids), two scatters carry all five
-    # quantities; the three-scatter split (id|x0, id|y0, offs|rw) is the
-    # general fallback.
+    # The LEGACY packed-marker branches below avoid per-pair takes
+    # entirely by packing every quantity into the scattered words; their
+    # rationale — RANDOM per-pair takes are pathological on TPU (~75 ms
+    # per 4M-element gather, measured) — applies to unsorted gathers, not
+    # to the sorted take above. Scatters are issue-rate bound
+    # (~8 ns/update), so the legacy path minimizes marker count: two
+    # packed scatters when gaussian-id and tile-BASE bits fit in one word,
+    # the three-scatter split (id|x0, id|y0, offs|rw) as the general
+    # fallback.
     gp1 = jnp.arange(1, n + 1, dtype=jnp.int32)
     # Every row scatters at its exclusive-cumsum offset — zero-area rows
     # COLLIDE with the next segment's start instead of going to a dropped

@@ -86,12 +86,39 @@ def main():
         np.asarray(fwd_with(tight_rect=False).color) - base_color).max())
     knobs["sub_chunks_2"] = float(np.abs(
         np.asarray(fwd_with(sub_chunks=2).color) - base_color).max())
-    binning.SCATTER_COLS = False
+    # legacy binning paths A/B'd against the default (TAKE_ROWS=True,
+    # SCATTER_COLS=False): the packed-marker expansion, in both scatter
+    # layouts (SCATTER_COLS only affects the legacy path)
+    assert binning.TAKE_ROWS and not binning.SCATTER_COLS
     try:
-        knobs["scatter_cols_off"] = float(np.abs(
+        binning.TAKE_ROWS = False
+        knobs["legacy_packed_markers"] = float(np.abs(
+            np.asarray(fwd_with().color) - base_color).max())
+        binning.SCATTER_COLS = True
+        knobs["legacy_scatter_cols"] = float(np.abs(
             np.asarray(fwd_with().color) - base_color).max())
     finally:
-        binning.SCATTER_COLS = True
+        binning.TAKE_ROWS = True
+        binning.SCATTER_COLS = False
+
+    # --- bench-tiling certification: the configuration BENCH_r*.json is
+    # measured at (large tiles + sub-chunked grid) vs the numpy scalar
+    # oracle AT THE SAME TILING (candidate sets are tile-rect-based, so
+    # only same-tiling comparisons are exact) ------------------------------
+    bench_tx, bench_ty, bench_sub = 64, 32, 4
+    pb = fwd_with(tile_x=bench_tx, tile_y=bench_ty, sub_chunks=bench_sub)
+    ob = rasterize_np(means, opac, colors, np.asarray(cam.viewmatrix),
+                      np.asarray(cam.projmatrix), W, H,
+                      float(cam.tan_fovx), float(cam.tan_fovy), bg,
+                      scales=scales, rotations=q,
+                      tile_x=bench_tx, tile_y=bench_ty)
+    bench_tiling = {
+        "tile": [bench_tx, bench_ty], "sub_chunks": bench_sub,
+        "color_vs_numpy": float(np.abs(np.asarray(pb.color)
+                                       - ob["color"]).max()),
+        "alpha_vs_numpy": float(np.abs(np.asarray(pb.alpha)
+                                       - ob["alpha"]).max()),
+    }
 
     # --- backward: Pallas hand-derived VJP vs autodiff-through-oracle ----
     target = jnp.asarray(rng.uniform(0, 1, (3, H, W)).astype(np.float32))
@@ -115,16 +142,43 @@ def main():
         scale = np.abs(go).max() + 1e-8
         bwd[f"grad_{name}_rel_err"] = float(np.abs(gp - go).max() / scale)
 
+    # backward at the BENCH tiling: the oracle is 16x16-rect-based, so the
+    # same-tiling reference is the default-binning run at 64x32 — the
+    # hand-derived Pallas VJP + sort-free segment-sum must agree with the
+    # legacy binning expansion bit-for-bit up to f32 noise
+    def grad_bench(**extra):
+        return jax.jit(jax.grad(
+            lambda *a: loss(rasterize, *a, capacity=262144,
+                            tile_x=bench_tx, tile_y=bench_ty,
+                            sub_chunks=bench_sub, **extra),
+            argnums=(0, 1, 2, 3, 4)))(*args)
+
+    gb_default = grad_bench()
+    try:
+        binning.TAKE_ROWS = False
+        gb_legacy = grad_bench()
+    finally:
+        binning.TAKE_ROWS = True
+    for name, gd, gl in zip(names, gb_default, gb_legacy):
+        gd, gl = np.asarray(gd), np.asarray(gl)
+        scale = np.abs(gd).max() + 1e-8
+        bench_tiling[f"grad_{name}_vs_legacy_rel"] = float(
+            np.abs(gd - gl).max() / scale)
+
     report = {
         "backend": backend,
         "device": str(jax.devices()[0]),
         "scene": {"n": n, "W": W, "H": H},
         "forward_max_abs_err": fwd,
         "knob_parity_max_abs_err": knobs,
+        "bench_tiling": bench_tiling,
         "backward_max_rel_err": bwd,
         "pass": (fwd["color_vs_numpy"] < 1e-3
                  and fwd["radii_mismatches"] == 0
                  and max(knobs.values()) < 1e-5
+                 and bench_tiling["color_vs_numpy"] < 1e-3
+                 and max(v for k, v in bench_tiling.items()
+                         if k.startswith("grad_")) < 5e-4
                  and max(bwd.values()) < 5e-4),
     }
     with open("PARITY_TPU.json", "w") as f:

@@ -59,13 +59,18 @@ def rasterize_np(
     means3d, opacities, colors, viewmatrix, projmatrix, W, H,
     tan_fovx, tan_fovy, bg, scales=None, rotations=None, cov3d_precomp=None,
     shs=None, sh_degree=0, campos=None, semantics=None, scale_modifier=1.0,
+    tile_x=TILE, tile_y=TILE,
 ):
-    """Returns dict with color [3,H,W], depth, alpha, semantic, radii."""
+    """Returns dict with color [3,H,W], depth, alpha, semantic, radii.
+
+    tile_x/tile_y select the candidate-set tiling (16x16 = CUDA parity;
+    other sizes certify the Pallas bench tilings against the same scalar
+    blend semantics)."""
     n = means3d.shape[0]
     fx = W / (2 * tan_fovx)
     fy = H / (2 * tan_fovy)
-    grid_x = (W + TILE - 1) // TILE
-    grid_y = (H + TILE - 1) // TILE
+    grid_x = (W + tile_x - 1) // tile_x
+    grid_y = (H + tile_y - 1) // tile_y
     V = np.asarray(viewmatrix, np.float64)
     P = np.asarray(projmatrix, np.float64)
 
@@ -121,10 +126,10 @@ def rasterize_np(
         radius = math.ceil(3.0 * math.sqrt(max(lam, 0.0)))
         px = ((p_proj[0] + 1) * W - 1) * 0.5
         py = ((p_proj[1] + 1) * H - 1) * 0.5
-        x0 = min(grid_x, max(0, int((px - radius) / TILE)))
-        y0 = min(grid_y, max(0, int((py - radius) / TILE)))
-        x1 = min(grid_x, max(0, int((px + radius + TILE - 1) / TILE)))
-        y1 = min(grid_y, max(0, int((py + radius + TILE - 1) / TILE)))
+        x0 = min(grid_x, max(0, int((px - radius) / tile_x)))
+        y0 = min(grid_y, max(0, int((py - radius) / tile_y)))
+        x1 = min(grid_x, max(0, int((px + radius + tile_x - 1) / tile_x)))
+        y1 = min(grid_y, max(0, int((py + radius + tile_y - 1) / tile_y)))
         if (x1 - x0) * (y1 - y0) == 0:
             continue
         if shs is not None:
@@ -154,8 +159,8 @@ def rasterize_np(
             lst = [i for i in order
                    if rect[i][0] <= tx < rect[i][2]
                    and rect[i][1] <= ty < rect[i][3]]
-            for yy in range(ty * TILE, min((ty + 1) * TILE, H)):
-                for xx in range(tx * TILE, min((tx + 1) * TILE, W)):
+            for yy in range(ty * tile_y, min((ty + 1) * tile_y, H)):
+                for xx in range(tx * tile_x, min((tx + 1) * tile_x, W)):
                     T = 1.0
                     C = np.zeros(3)
                     D = 0.0

@@ -175,17 +175,21 @@ def test_tile_size_parameterization(tx, ty):
     assert bool(jnp.all(jnp.isfinite(g))) and float(jnp.linalg.norm(g)) > 0
 
 
-def test_split_marker_fallback_matches():
+@pytest.mark.parametrize("scatter_cols", [False, True])
+def test_split_marker_fallback_matches(scatter_cols):
     """The three-marker expansion fallback (huge grids, forced here) must
-    produce identical renders to the packed two-marker fast path."""
+    produce identical renders to the default path, in both scatter layouts
+    (K independent 1-D scatters and the single [N, K] row scatter)."""
     from gaussianrpg_tpu.ops import binning
     means, opac, kw, _ = _setup(n=400)
     fast = rasterize(means, opac, capacity=8192, interpret=True, **kw)
     binning._FORCE_SPLIT_MARKERS = True
+    binning.SCATTER_COLS = scatter_cols
     try:
         slow = rasterize(means, opac, capacity=8192, interpret=True, **kw)
     finally:
         binning._FORCE_SPLIT_MARKERS = False
+        binning.SCATTER_COLS = False
     np.testing.assert_array_equal(np.asarray(fast.color),
                                   np.asarray(slow.color))
 
@@ -315,6 +319,30 @@ def test_legacy_packed_markers_match_take_rows(scatter_cols):
                                   np.asarray(legacy.color))
     np.testing.assert_array_equal(np.asarray(new.alpha),
                                   np.asarray(legacy.alpha))
+
+
+def test_bench_tiling_matches_numpy_same_tiling():
+    """At a non-default tiling (the bench's large-tile family) the pallas
+    pipeline must match the scalar numpy CUDA transliteration run at the
+    SAME tiling — candidate sets are tile-rect-based, so only same-tiling
+    comparisons are exact (cross-tiling differs by sub-1/255 alpha
+    tails)."""
+    from .np_reference import rasterize_np
+    means, opac, kw, _ = _setup(n=300, seed=4, W=128, H=64)
+    cam = kw["camera"]
+    tx, ty = 64, 32
+    p = rasterize(means, opac, capacity=8192, interpret=True,
+                  tile_x=tx, tile_y=ty, sub_chunks=2, **kw)
+    ref = rasterize_np(
+        np.asarray(means), np.asarray(opac), np.asarray(kw["colors"]),
+        np.asarray(cam.viewmatrix), np.asarray(cam.projmatrix),
+        cam.width, cam.height, cam.tan_fovx, cam.tan_fovy,
+        np.asarray(kw["bg_color"]), scales=np.asarray(kw["scales"]),
+        rotations=np.asarray(kw["rotations"]), tile_x=tx, tile_y=ty)
+    np.testing.assert_allclose(np.asarray(p.color), ref["color"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(p.alpha), ref["alpha"],
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_binning_fuzz_vs_oracle():

@@ -274,6 +274,78 @@ def test_grow_capacity_continues_training():
     assert not bool(scalars["overflow"])
 
 
+def test_overflow_step_discarded_and_retried():
+    """The trainer's overflow handling must DISCARD the overflowed step's
+    Adam update and retry from the pre-step state: the post-growth state
+    must match a never-overflowed run step-for-step (the CUDA peer resizes
+    binning buffers before launch, `rasterizer_impl.cu:155-193`)."""
+    from gaussianrpg_tpu.apps.train import step_with_overflow_retry
+    from gaussianrpg_tpu.models.scene_graph import total_capacity
+
+    models, meta, arrays = _tiny_scene()
+    cams = make_cameras(n_frames=4, width=64, height=48)
+    gt = np.asarray(render_scene(models, meta, arrays, cams[1],
+                                 active_sh_degree=1, options=OPTS).rgb)
+    n_total = total_capacity(models)
+    cfg = OptimConfig(lambda_dssim=0.0)
+    make_step = lambda o: make_train_step(meta, arrays, cfg, o, n_total)
+    batch = Batch(gt_image=jnp.asarray(gt))
+    key = jax.random.PRNGKey(0)
+
+    # undersized capacity: first step overflows, retry grows until it fits
+    small = RenderOptions(capacity=256, interpret=True, backend="pallas")
+    state0 = init_train_state(models)
+    step_fn, opts2, state_r, loss_r, scalars_r, _ = step_with_overflow_retry(
+        make_step(small), make_step, small, state0, cams[1], batch, key, 1)
+    assert opts2.capacity > small.capacity            # growth happened
+    assert not bool(scalars_r["overflow"])
+
+    # never-overflowed reference run at the final capacity
+    state_ref, loss_ref, _, _ = make_step(opts2)(state0, cams[1], batch,
+                                                 key, 1)
+    np.testing.assert_allclose(float(loss_r), float(loss_ref), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-7),
+        state_r.models.background, state_ref.models.background)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-7),
+        state_r.adam.mu["background"], state_ref.adam.mu["background"])
+
+
+def test_opacity_reset_fans_out_to_actors():
+    """`apply_opacity_reset` resets EVERY submodel's opacity (reference
+    `street_gaussian_model.py:604-609` fan-out), actors included, and
+    zeroes the corresponding Adam moments."""
+    from gaussianrpg_tpu.apps.train import apply_opacity_reset
+
+    models, meta, arrays = _tiny_scene()
+    assert meta.num_actors > 0
+    # push opacities high so the clamp is observable
+    models = models.replace(
+        background=models.background.replace(
+            opacity=jnp.full_like(models.background.opacity, 3.0)),
+        actors=models.actors.replace(
+            opacity=jnp.full_like(models.actors.opacity, 3.0)))
+    state = init_train_state(models)
+    # non-zero Adam moments to verify the reset zeroes them
+    mu = dict(state.adam.mu)
+    mu["actors"] = mu["actors"].replace(
+        opacity=jnp.ones_like(mu["actors"].opacity))
+    state = state.replace(adam=state.adam.replace(mu=mu))
+
+    state2 = apply_opacity_reset(state, meta)
+    assert float(jax.nn.sigmoid(
+        state2.models.background.opacity).max()) <= 0.011
+    assert float(jax.nn.sigmoid(
+        state2.models.actors.opacity).max()) <= 0.011
+    assert float(jnp.abs(state2.adam.mu["actors"].opacity).max()) == 0.0
+    # other actor params untouched
+    np.testing.assert_array_equal(np.asarray(state2.models.actors.xyz),
+                                  np.asarray(models.actors.xyz))
+
+
 def test_render_normals_planes():
     """Normals feature planes (`street_gaussian_renderer.py:200-220`):
     rendered normals are unit-length where covered."""

@@ -1,0 +1,165 @@
+"""Round-3 perf sweep on the real chip: sub_chunks x capacity x tiling.
+
+Targets the ~26 ms of pair bookkeeping VERDICT.md flags (per-step floor,
+oversized capacity). Uses the bench.py scene + measurement method
+(streamed depth-2 forward, scalar-forced train step) so numbers are
+directly comparable to BENCH_r02.json. One config at a time, one process
+(the remote compile queue serializes anyway).
+
+Run with the ambient axon env:  python tools/perf_sweep.py [quick]
+"""
+import json
+import math
+import sys
+import time
+
+import numpy as np
+
+
+def make_scene_args(jnp):
+    H, W = 1066, 1600
+    n = 600_000
+    rng = np.random.default_rng(0)
+    n_g, n_f, n_s = n // 2, n // 3, n - n // 2 - n // 3
+    ground = np.stack([rng.uniform(-40, 40, n_g), np.full(n_g, 1.6)
+                       + 0.05 * rng.standard_normal(n_g),
+                       rng.uniform(0.5, 120, n_g)], -1)
+    facades = np.stack([np.where(rng.random(n_f) < 0.5, -1, 1)
+                        * rng.uniform(6, 12, n_f),
+                        rng.uniform(-6, 1.6, n_f),
+                        rng.uniform(0.5, 120, n_f)], -1)
+    sky = np.stack([rng.uniform(-60, 60, n_s), rng.uniform(-30, -6, n_s),
+                    rng.uniform(20, 150, n_s)], -1)
+    means = np.concatenate([ground, facades, sky]).astype(np.float32)
+    fovx = math.radians(50.0)
+    fl = W / (2 * math.tan(fovx / 2))
+    sigma_px = rng.uniform(2.0, 6.0, n)
+    z = np.clip(means[:, 2], 1.0, None)
+    scales = (sigma_px * z / fl)[:, None].repeat(3, 1).astype(np.float32)
+    q = rng.standard_normal((n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    opac = rng.uniform(0.6, 0.99, n).astype(np.float32)
+    colors = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * H / W)
+
+    from gaussianrpg_tpu.render.camera import make_camera
+    cam = make_camera(R=np.eye(3), T=np.zeros(3), K=None, width=W, height=H,
+                      fovx=fovx, fovy=fovy)
+    args = tuple(map(jnp.asarray, (means, opac, colors, scales, q)))
+    return cam, args, H, W
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianrpg_tpu.ops.rasterize import (primitive_fields, rasterize,
+                                               suggest_capacity)
+
+    cam, args, H, W = make_scene_args(jnp)
+    means, opac, colors, scales, q = args
+
+    quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
+
+    # (tile_x, tile_y, sub_chunks, capacity or None=suggest)
+    configs = [
+        (64, 32, 1, 1_179_648),   # r2 bench baseline
+        (64, 32, 2, None),
+        (64, 32, 4, None),
+        (64, 32, 8, None),
+        (64, 32, 1, None),        # right-size only
+        (96, 32, 4, None),
+        (64, 64, 4, None),
+        (128, 32, 4, None),
+    ]
+    if quick:
+        configs = configs[:4]
+
+    results = []
+    for (tx, ty, sub, cap) in configs:
+        tag = f"{tx}x{ty} sub={sub}"
+        try:
+            if cap is None:
+                fs = jax.jit(lambda m, op, c, s, r: primitive_fields(
+                    m, op, camera=cam, colors=c, scales=s, rotations=r,
+                    tile_x=tx, tile_y=ty), static_argnums=())(*args)
+                cap = suggest_capacity(fs, width=W, height=H, slack=1.12,
+                                       sub_chunks=sub)
+            tag += f" cap={cap}"
+            print(f"--- {tag}", flush=True)
+
+            @jax.jit
+            def render(cam, m, op, c, s, r):
+                out = rasterize(m, op, colors=c, scales=s, rotations=r,
+                                camera=cam, bg_color=jnp.zeros(3),
+                                capacity=cap, tile_x=tx, tile_y=ty,
+                                sub_chunks=sub)
+                return (jnp.sum(out.color)
+                        + 1e9 * out.overflow.astype(jnp.float32))
+
+            t_c0 = time.time()
+            v0 = float(render(cam, *args))
+            compile_s = time.time() - t_c0
+            if v0 > 1e8:
+                print(f"    OVERFLOW at cap={cap}; skipping", flush=True)
+                results.append(dict(tile=[tx, ty], sub=sub, cap=cap,
+                                    overflow=True))
+                continue
+
+            reps = 10
+            varied = [colors * (1.0 + 1e-6 * (i + 1)) for i in range(reps)]
+            jax.block_until_ready(varied)
+            float(render(cam, means, opac, varied[0], scales, q))
+            t0 = time.time()
+            pending = []
+            for v in varied:
+                pending.append(render(cam, means, opac, v, scales, q))
+                if len(pending) >= 2:
+                    float(pending.pop(0))
+            for s_ in pending:
+                float(s_)
+            fwd_ms = (time.time() - t0) / reps * 1e3
+            fps = 1e3 / fwd_ms
+
+            n_g = means.shape[0]
+
+            @jax.jit
+            def train_step(cam, m, op, c, s, r):
+                def loss(c_, off, sink):
+                    out = rasterize(m, op, colors=c_, scales=s, rotations=r,
+                                    camera=cam, bg_color=jnp.zeros(3),
+                                    capacity=cap, means2d_offset=off,
+                                    absgrad_sink=sink, tile_x=tx, tile_y=ty,
+                                    sub_chunks=sub)
+                    return jnp.sum(out.color ** 2) + jnp.sum(out.depth ** 2)
+                l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                    c, jnp.zeros((n_g, 2)), jnp.zeros((n_g,)))
+                return l + sum(jnp.sum(x) for x in g)
+
+            jax.block_until_ready(train_step(cam, means, opac, varied[0],
+                                             scales, q))
+            ttimes = []
+            for v in varied[:5]:
+                t0 = time.time()
+                float(train_step(cam, means, opac, v, scales, q))
+                ttimes.append(time.time() - t0)
+            train_ms = float(np.median(ttimes)) * 1e3
+
+            rec = dict(tile=[tx, ty], sub=sub, cap=cap,
+                       fwd_ms=round(fwd_ms, 1), fps=round(fps, 2),
+                       train_ms=round(train_ms, 1),
+                       compile_s=round(compile_s, 1))
+            print(f"    {json.dumps(rec)}", flush=True)
+            results.append(rec)
+        except Exception as e:
+            print(f"    FAILED {tag}: {type(e).__name__}: {e}", flush=True)
+            results.append(dict(tile=[tx, ty], sub=sub, cap=cap,
+                                error=str(e)[:200]))
+
+    print(json.dumps(results, indent=1), flush=True)
+    with open("/tmp/perf_sweep_r3.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

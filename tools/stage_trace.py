@@ -1,0 +1,136 @@
+"""Per-stage cost breakdown of the forward pipeline on the real chip.
+
+Method (PERF.md): each pipeline PREFIX is run K times inside one jit with
+varied inputs; cost = (t_K - t_1)/(K-1) cancels the fixed dispatch
+overhead. Stage cost = prefix delta. Forward eval mode (no grad hooks).
+
+Run with the ambient axon env:
+    PYTHONPATH=/root/repo python tools/stage_trace.py
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianrpg_tpu.ops import binning
+    from gaussianrpg_tpu.ops.pallas_blend import NF_BASE, blend_pairs
+    from gaussianrpg_tpu.ops.rasterize import _take8, primitive_fields
+    from tools.perf_sweep import make_scene_args
+
+    cam, args, H, W = make_scene_args(jnp)
+    means, opac, colors, scales, q = args
+    tx, ty = 64, 32
+    cap = 1_179_648
+
+    def p_fields(cam, m, op, c, s, r):
+        fs = primitive_fields(m, op, camera=cam, colors=c, scales=s,
+                              rotations=r, tile_x=tx, tile_y=ty)
+        return (jnp.sum(fs.fields) + jnp.sum(fs.rect_min)
+                + jnp.sum(fs.rect_max) + jnp.sum(fs.radii))
+
+    def _sorted_ext(cam, m, op, c, s, r):
+        fs = primitive_fields(m, op, camera=cam, colors=c, scales=s,
+                              rotations=r, tile_x=tx, tile_y=ty)
+        n = fs.fields.shape[0]
+        nf = fs.fields.shape[1]
+        visible = fs.radii > 0
+        key = jnp.where(visible, fs.depths, jnp.inf)
+        order = jnp.argsort(key, stable=True)
+        rectf = jnp.concatenate([fs.rect_min, fs.rect_max], axis=1).astype(
+            fs.fields.dtype)
+        rectf = jnp.where(visible[:, None], rectf, 0.0)
+        spare = nf - (NF_BASE + fs.s_ch)
+        if spare >= 4:
+            rect_col = nf - 4
+            ext = jnp.concatenate([fs.fields[:, :rect_col], rectf], axis=1)
+        else:
+            rect_col = nf
+            ext = jnp.concatenate([fs.fields, rectf], axis=1)
+        ext_sorted = jnp.take(ext, order, axis=0)
+        return fs, ext_sorted, rect_col, nf
+
+    def p_sort(cam, m, op, c, s, r):
+        _, ext_sorted, _, _ = _sorted_ext(cam, m, op, c, s, r)
+        return jnp.sum(ext_sorted)
+
+    def _lists(cam, m, op, c, s, r):
+        fs, ext_sorted, rect_col, nf = _sorted_ext(cam, m, op, c, s, r)
+        rect_s = ext_sorted[:, rect_col:rect_col + 4].astype(jnp.int32)
+        visible_s = (rect_s[:, 2] > rect_s[:, 0]) & (rect_s[:, 3]
+                                                     > rect_s[:, 1])
+        lists = binning.build_pair_lists(
+            rect_s[:, 0:2], rect_s[:, 2:4], visible_s, W, H, cap,
+            tile_x=tx, tile_y=ty)
+        fields_sorted = ext_sorted if rect_col < nf else ext_sorted[:, :nf]
+        return fs, lists, fields_sorted
+
+    def p_binning(cam, m, op, c, s, r):
+        _, lists, _ = _lists(cam, m, op, c, s, r)
+        return (jnp.sum(lists.pair_src) + jnp.sum(lists.chunk_meta)
+                + jnp.sum(lists.pair_valid)).astype(jnp.float32)
+
+    def p_gather(cam, m, op, c, s, r):
+        _, lists, fields_sorted = _lists(cam, m, op, c, s, r)
+        src = jnp.maximum(lists.pair_src, 0)
+        valid = lists.pair_valid.astype(fields_sorted.dtype)
+        gdata = _take8(fields_sorted, src) * valid[:, None]
+        return jnp.sum(gdata)
+
+    def p_blend(cam, m, op, c, s, r):
+        fs, lists, fields_sorted = _lists(cam, m, op, c, s, r)
+        src = jnp.maximum(lists.pair_src, 0)
+        valid = lists.pair_valid.astype(fields_sorted.dtype)
+        gdata = _take8(fields_sorted, src) * valid[:, None]
+        sink = jnp.zeros((cap,), fields_sorted.dtype)
+        planes = blend_pairs(gdata, lists, jnp.zeros(3), sink,
+                             width=W, height=H, s_ch=0)
+        return jnp.sum(planes)
+
+    stages = [("fields", p_fields), ("sort+take", p_sort),
+              ("binning", p_binning), ("pair_gather", p_gather),
+              ("blend", p_blend)]
+    K = 5
+    report = {}
+    prev = 0.0
+    for name, fn in stages:
+        def chained(k, fn=fn):
+            @jax.jit
+            def run(cam, m, op, c, s, r):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    acc += fn(cam, m, op, c * (1.0 + 1e-6 * (i + 1)),
+                              s, r)
+                return acc
+            return run
+
+        r1, rk = chained(1), chained(K)
+        float(r1(cam, *args))     # compile
+        float(rk(cam, *args))
+        t1s, tks = [], []
+        for rep in range(3):
+            c2 = colors * (1.0 + 1e-7 * rep)
+            t0 = time.time()
+            float(r1(cam, means, opac, c2, scales, q))
+            t1s.append(time.time() - t0)
+            t0 = time.time()
+            float(rk(cam, means, opac, c2, scales, q))
+            tks.append(time.time() - t0)
+        t1 = float(np.median(t1s))
+        tk = float(np.median(tks))
+        cum = (tk - t1) / (K - 1) * 1e3
+        report[name] = dict(cum_ms=round(cum, 2),
+                            stage_ms=round(cum - prev, 2))
+        print(f"{name:12s} cum {cum:7.2f} ms   stage "
+              f"{cum - prev:7.2f} ms", flush=True)
+        prev = cum
+
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
