@@ -125,9 +125,26 @@ def main(argv=None):
     parser = make_argparser("gaussianrpg_tpu training")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--iterations", type=int, default=None)
+    parser.add_argument(
+        "--mesh", type=int, default=0, metavar="N",
+        help="train with the render tile-strip-sharded over N devices "
+             "(replicated params, psum gradient all-reduce; multi-host "
+             "slices auto-init via parallel.distributed)")
     args = parser.parse_args(argv)
     cfg = load_config(args.config, args.opts, mode="train")
     iters = args.iterations or cfg.train.iterations
+
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        from ..parallel.distributed import initialize as dist_init
+        from ..parallel.sharded import make_mesh
+        dist_init()
+        devs = jax.devices()
+        assert len(devs) >= args.mesh, (
+            f"--mesh {args.mesh} but only {len(devs)} devices")
+        mesh = make_mesh(devs[:args.mesh])
+        print(f"training on a {args.mesh}-device 'data' mesh "
+              f"({devs[0].platform})", flush=True)
 
     rng = np.random.default_rng(cfg.seed)
     if args.synthetic or not cfg.source_path:
@@ -214,7 +231,8 @@ def main(argv=None):
         percent_big_ws=cfg.optim.percent_big_ws,
     )
     n_total = total_capacity(models)
-    step_fn = make_train_step(meta, arrays, ocfg, opts, n_total)
+    step_fn = make_train_step(meta, arrays, ocfg, opts, n_total,
+                              mesh=mesh)
     state = init_train_state(models)
 
     # best-effort resume from the latest checkpoint (`train.py:36-47`)
@@ -284,7 +302,8 @@ def main(argv=None):
         batch = batches[ci]._replace(gt_image=jnp.asarray(gt))
         step_fn, opts, state, loss, scalars, res = step_with_overflow_retry(
             step_fn,
-            lambda o: make_train_step(meta, arrays, ocfg, o, n_total),
+            lambda o: make_train_step(meta, arrays, ocfg, o, n_total,
+                                      mesh=mesh),
             opts, state, cam, batch, jax.random.PRNGKey(it), active_sh)
         ema_loss = 0.4 * float(loss) + 0.6 * ema_loss
         ema_psnr = 0.4 * float(psnr(res.rgb, batch.gt_image)) \
@@ -394,7 +413,7 @@ def main(argv=None):
                 print(f"  background capacity grown to {bcap * 2} "
                       "(recompile)", flush=True)
                 step_fn = make_train_step(meta, arrays, ocfg, opts,
-                                          n_total)
+                                          n_total, mesh=mesh)
 
         if (it < ocfg.densify_until_iter
                 and it % ocfg.opacity_reset_interval == 0):

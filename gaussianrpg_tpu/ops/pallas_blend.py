@@ -567,6 +567,8 @@ def blend_pairs(
     height: int,
     s_ch: int = 0,
     interpret: bool = False,
+    stat_width: int | None = None,   # NDC scale for the AbsGS statistic —
+    stat_height: int | None = None,  # the PHYSICAL dims for strip renders
 ) -> jax.Array:
     """Blend entry point: returns image planes [5 + S, height, width]
     (rgb, depth, alpha, semantics...)."""
@@ -577,8 +579,11 @@ def blend_pairs(
         "capacity must be a multiple of sub_chunks*128"
     assert nf_cols >= NF_BASE + s_ch
     tx, ty = lists.tile_x, lists.tile_y
+    # the kernels consume width/height ONLY as the AbsGS half_w/half_h
+    # scale (backward.cu:627 uses the full image's 0.5*W/0.5*H)
     fn = _make_blend(lists.n_tiles_x, lists.n_tiles_y, s_ch, capacity,
-                     nf_cols, width, height, interpret, tx, ty, sub)
+                     nf_cols, stat_width or width, stat_height or height,
+                     interpret, tx, ty, sub)
     planes = fn(gdata, lists.chunk_meta, bg, absgrad_sink)
     # tiles with no pairs never get a chunk: composite pure background
     nfo = planes.shape[1]

@@ -262,8 +262,13 @@ def primitive_fields(
 
     means2d = pre.means2d
     if means2d_offset is not None:
+        # NDC hook scale uses the PHYSICAL image dims (strip sub-cameras
+        # render a slice but report full-image-scale viewspace grads, like
+        # the reference's dummy screenspace tensor)
+        fw = camera.full_width or W
+        fh = camera.full_height or H
         means2d = means2d + means2d_offset * jnp.asarray(
-            [0.5 * W, 0.5 * H], means2d.dtype)
+            [0.5 * fw, 0.5 * fh], means2d.dtype)
 
     radii = pre.radii
     if active_mask is not None:
@@ -320,6 +325,8 @@ def blend_fields(
     train_mode: bool,
     interpret: bool = False,
     sub_chunks: int | None = None,
+    stat_width: int | None = None,
+    stat_height: int | None = None,
 ) -> RasterOut:
     """O(P) tile stage on the full (gathered) field set: depth sort, tile
     binning, pair gather, Pallas blend (`rasterizer_impl.cu:278-321` +
@@ -407,6 +414,8 @@ def blend_fields(
         height=H,
         s_ch=s_ch,
         interpret=interpret,
+        stat_width=stat_width,
+        stat_height=stat_height,
     )
     color = planes[0:3]
     depth = planes[3:4]
@@ -529,4 +538,6 @@ def rasterize(
     return blend_fields(fs, width=camera.width, height=camera.height,
                         bg_color=bg_color, capacity=capacity,
                         train_mode=train_mode, interpret=interpret,
-                        sub_chunks=sub_chunks)
+                        sub_chunks=sub_chunks,
+                        stat_width=camera.full_width,
+                        stat_height=camera.full_height)

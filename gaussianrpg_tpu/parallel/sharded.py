@@ -54,9 +54,15 @@ def make_mesh_2d(n_data: int, n_model: int, devices=None) -> Mesh:
 def strip_cameras(camera: Camera, n_strips: int) -> Camera:
     """Stack n_strips strip cameras as one pytree with a leading device
     axis. Strip height is padded to a multiple of 16 (the tile size) so
-    every strip blends whole tiles."""
+    every strip blends whole tiles.
+
+    Works both eagerly (float64 host math) and under jit — the mesh-wired
+    trainer traces the camera, so the strip projection is then built with
+    jnp (f32; ~1e-7 relative vs the f64 path)."""
     H, W = camera.height, camera.width
     strip_h = int(math.ceil(H / n_strips / 16.0) * 16)
+    if isinstance(camera.K, jax.core.Tracer):
+        return _strip_cameras_traced(camera, n_strips, strip_h)
     K = np.asarray(camera.K)
 
     views, projs, ks = [], [], []
@@ -90,8 +96,62 @@ def strip_cameras(camera: Camera, n_strips: int) -> Camera:
     )
 
 
+def _strip_cameras_traced(camera: Camera, n_strips: int,
+                          strip_h: int) -> Camera:
+    """jnp (traceable) variant of strip_cameras: per-strip K with shifted
+    principal point, projection rebuilt from K (same formula as
+    `render.camera.projection_matrix_from_K`, incl. skew) and composed
+    with the view matrix."""
+    from ..render.camera import Z_FAR, Z_NEAR
+
+    W = camera.width
+    K = camera.K.astype(jnp.float32)
+    V = camera.viewmatrix.astype(jnp.float32)
+    fx, fy = K[0, 0], K[1, 1]
+    cx, s = K[0, 2], K[0, 1]
+
+    views, projs, ks = [], [], []
+    for d in range(n_strips):
+        y0 = d * strip_h
+        cy = K[1, 2] - y0
+        Kd = K.at[1, 2].set(cy)
+        P = jnp.zeros((4, 4), jnp.float32)
+        P = P.at[0, 0].set(2 * fx / W)
+        P = P.at[0, 1].set(2 * s / W)
+        P = P.at[0, 2].set(-1 + 2 * (cx / W))
+        P = P.at[1, 1].set(2 * fy / strip_h)
+        P = P.at[1, 2].set(-1 + 2 * (cy / strip_h))
+        P = P.at[2, 2].set((Z_FAR + Z_NEAR) / (Z_FAR - Z_NEAR))
+        P = P.at[2, 3].set(-2 * Z_FAR * Z_NEAR / (Z_FAR - Z_NEAR))
+        P = P.at[3, 2].set(1.0)
+        views.append(V)
+        projs.append(P @ V)
+        ks.append(Kd)
+
+    return Camera(
+        viewmatrix=jnp.stack(views),
+        projmatrix=jnp.stack(projs),
+        cam_center=jnp.broadcast_to(camera.cam_center, (n_strips, 3)),
+        K=jnp.stack(ks),
+        width=W,
+        height=strip_h,
+        tan_fovx=camera.tan_fovx,
+        tan_fovy=camera.tan_fovy,
+        ego_pose=jnp.broadcast_to(camera.ego_pose, (n_strips, 4, 4)),
+        extrinsic=jnp.broadcast_to(camera.extrinsic, (n_strips, 4, 4)),
+        timestamp=jnp.broadcast_to(camera.timestamp, (n_strips,)),
+        frame=camera.frame,
+        cam_id=camera.cam_id,
+        meta=camera.meta,
+    )
+
+
 def _strip_tan_fovy(camera: Camera, strip_h: int) -> float:
-    # focal_y is preserved; the strip's tan_fovy follows from its height
+    # focal_y is preserved; the strip's tan_fovy follows from its height.
+    # Derived from the STATIC tan_fovy (fy = H / (2 tan_fovy)) so it stays
+    # a python float when the camera is traced (jit-arg cameras).
+    if isinstance(camera.K, jax.core.Tracer):
+        return strip_h * camera.tan_fovy / camera.height
     focal_y = np.asarray(camera.K)[1, 1]
     return strip_h / (2.0 * focal_y)
 
@@ -149,6 +209,131 @@ def render_strips(
     c = out.shape[1]
     out = jnp.moveaxis(out, 0, 1).reshape(c, n * strip_h, camera.width)
     return out[:, :camera.height, :]
+
+
+def _strip_camera_local(camera: Camera, local, strip_h: int,
+                        tan_fovy: float) -> Camera:
+    """Rebuild one device's strip Camera (static dims + local arrays).
+    Carries the physical dims so NDC-scale gradient stats (viewspace hook,
+    AbsGS) come out at full-image scale."""
+    return Camera(
+        viewmatrix=local.viewmatrix, projmatrix=local.projmatrix,
+        cam_center=local.cam_center, K=local.K,
+        width=camera.width, height=strip_h,
+        tan_fovx=camera.tan_fovx, tan_fovy=tan_fovy,
+        ego_pose=local.ego_pose, extrinsic=local.extrinsic,
+        timestamp=local.timestamp, frame=camera.frame,
+        cam_id=camera.cam_id, meta=camera.meta,
+        lim_tan_fovx=camera.tan_fovx, lim_tan_fovy=camera.tan_fovy,
+        full_width=camera.width, full_height=camera.height)
+
+
+def render_scene_sharded(
+    models,
+    meta,
+    arrays,
+    camera: Camera,
+    mesh: Mesh,
+    *,
+    active_sh_degree: int,
+    options,
+    include_background: bool = True,
+    include_objects: bool = True,
+    train_mode: bool = False,
+    rng_key=None,
+    means2d_offset=None,
+    absgrad_sink=None,
+):
+    """The PRODUCTION composite render (`render.renderer.render_scene` —
+    scene graph, sky, corrections, gradient hooks and all) under a 'data'
+    tile-strip mesh. This is what the mesh-wired trainer calls: parameters
+    are replicated, each chip renders its strip, and under autodiff every
+    replicated input's gradient — Gaussian params, means2d_offset,
+    absgrad_sink — is summed across chips by shard_map's automatic psum
+    (the ICI all-reduce that BASELINE's north star requires, overlapped
+    with the blend backward by the XLA scheduler).
+
+    Returns a RenderResult with global [C, H, W] planes. Per-Gaussian
+    radii/visibility are pmax'd across strips: identical to the
+    single-chip values except for gaussians that only touch the last
+    strip's sub-tile padding rows (height rounds up to the tile quantum —
+    the same partial-tile overcount the CUDA grid itself has); gradient
+    stats are exact because cropped pad rows carry no loss. The per-strip
+    rng_key is shared, so actor flip masks agree across strips; the sky
+    ray jitter repeats per strip (random perturbation either way)."""
+    from ..render.renderer import RenderResult, render_scene
+
+    n = mesh.devices.size
+    axis = mesh.axis_names[0]
+    strips = strip_cameras(camera, n)
+    strip_h = strips.height
+    tan_fovy = _strip_tan_fovy(camera, strip_h)
+    if rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+        use_key = False
+    else:
+        use_key = True
+
+    def per_device(strip_cam_arrays, models_, arrays_, m2d, sink, key):
+        local = jax.tree.map(lambda x: x[0], strip_cam_arrays)
+        cam = _strip_camera_local(camera, local, strip_h, tan_fovy)
+        res = render_scene(
+            models_, meta, arrays_, cam,
+            active_sh_degree=active_sh_degree, options=options,
+            include_background=include_background,
+            include_objects=include_objects,
+            train_mode=train_mode, rng_key=key if use_key else None,
+            means2d_offset=m2d, absgrad_sink=sink)
+        planes = [res.rgb, res.acc, res.depth]
+        if res.normals is not None:
+            planes.append(res.normals)
+        if res.semantic is not None:
+            planes.append(res.semantic)
+        planes = jnp.concatenate(planes, axis=0)
+        radii = jax.lax.pmax(res.radii, axis)
+        overflow = jax.lax.pmax(res.overflow.astype(jnp.int32), axis)
+        n_pairs = jax.lax.pmax(res.n_pairs, axis)
+        return planes[None], radii, overflow, n_pairs
+
+    m2d = means2d_offset
+    sink = absgrad_sink
+    dummy_m2d = m2d is None
+    dummy_sink = sink is None
+    if dummy_m2d:
+        m2d = jnp.zeros((0, 2))
+    if dummy_sink:
+        sink = jnp.zeros((0,))
+
+    def wrapper(strip_cams, models_, arrays_, m2d_, sink_, key):
+        return per_device(strip_cams, models_, arrays_,
+                          None if dummy_m2d else m2d_,
+                          None if dummy_sink else sink_, key)
+
+    planes, radii, overflow, n_pairs = shard_map(
+        wrapper, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P()),
+        out_specs=(P(axis), P(), P(), P()),
+        check_vma=False,
+    )(strips, models, arrays, m2d, sink, rng_key)
+
+    c = planes.shape[1]
+    planes = jnp.moveaxis(planes, 0, 1).reshape(c, n * strip_h, camera.width)
+    planes = planes[:, :camera.height, :]
+
+    rgb = planes[0:3]
+    acc = planes[3:4]
+    depth = planes[4:5]
+    off = 5
+    normals = None
+    # static plane layout mirrors the per-device concatenation order
+    if options.render_normals:
+        normals = planes[off:off + 3]
+        off += 3
+    sem = planes[off:] if planes.shape[0] > off else None
+    return RenderResult(
+        rgb=rgb, acc=acc, depth=depth, semantic=sem, radii=radii,
+        visibility=radii > 0, viewspace_grad_sink=None,
+        overflow=overflow > 0, n_pairs=n_pairs, normals=normals)
 
 
 def render_sharded_2d(

@@ -103,6 +103,11 @@ class Camera:
     # tan_fov* only for strip-sharded sub-cameras (parallel/sharded.py)
     lim_tan_fovx: float = struct.field(pytree_node=False, default=None)
     lim_tan_fovy: float = struct.field(pytree_node=False, default=None)
+    # physical image dims for NDC-scale gradient statistics (viewspace
+    # hook + AbsGS); differ from width/height only for strip sub-cameras —
+    # the reference's stats are w.r.t. the FULL image (backward.cu:627)
+    full_width: int = struct.field(pytree_node=False, default=None)
+    full_height: int = struct.field(pytree_node=False, default=None)
 
     @property
     def focal_x(self) -> float:

@@ -334,14 +334,38 @@ def compute_losses(result, batch: Batch, models, meta, cfg: OptimConfig,
 
 def make_train_step(meta: SceneMeta, arrays: SceneArrays,
                     cfg: OptimConfig, options: RenderOptions,
-                    n_total: int):
+                    n_total: int, mesh=None):
     """Build the jitted train step for a given (static) scene config.
 
     active_sh_degree is a static argument — the reference bumps it every
     1000 iters (`oneupSHdegree`), costing at most max_sh_degree recompiles.
+
+    `mesh` (a 1-axis jax.sharding.Mesh) runs the SAME production step —
+    full loss set, AbsGS/densification stats, Adam — with the render
+    tile-strip-sharded over the mesh ('data' parallelism over pixels,
+    replicated parameters, gradient all-reduce via shard_map's automatic
+    psum riding ICI collectives; SURVEY.md §2.4/§7.9).
     """
 
     from ..models.scene_graph import actor_extents
+    if mesh is not None:
+        from ..parallel.sharded import render_scene_sharded
+
+    def _render(models, camera, key, off=None, sink=None,
+                active_sh_degree=0, include_background=True):
+        if mesh is None:
+            return render_scene(
+                models, meta, arrays, camera,
+                active_sh_degree=active_sh_degree, options=options,
+                include_background=include_background,
+                train_mode=True, rng_key=key,
+                means2d_offset=off, absgrad_sink=sink)
+        return render_scene_sharded(
+            models, meta, arrays, camera, mesh,
+            active_sh_degree=active_sh_degree, options=options,
+            include_background=include_background,
+            train_mode=True, rng_key=key,
+            means2d_offset=off, absgrad_sink=sink)
 
     @functools.partial(jax.jit, static_argnames=("active_sh_degree",))
     def train_step(state: TrainState, camera, batch: Batch, key: jax.Array,
@@ -351,11 +375,8 @@ def make_train_step(meta: SceneMeta, arrays: SceneArrays,
 
         def loss_fn(lrn, off, sink):
             models = _with_learnables(state.models, lrn)
-            res = render_scene(
-                models, meta, arrays, camera,
-                active_sh_degree=active_sh_degree,
-                options=options, train_mode=True, rng_key=key,
-                means2d_offset=off, absgrad_sink=sink)
+            res = _render(models, camera, key, off, sink,
+                          active_sh_degree=active_sh_degree)
             from ..models.scene_graph import compose
             scene_op = jax.lax.stop_gradient(jax.nn.sigmoid(jnp.concatenate(
                 [models.background.opacity[:, 0],
@@ -367,11 +388,9 @@ def make_train_step(meta: SceneMeta, arrays: SceneArrays,
             # object accumulation-entropy + box regularization
             # (train.py:145-162; active from densify_until_iter on)
             if cfg.lambda_reg > 0 and meta.num_actors > 0:
-                res_obj = render_scene(
-                    models, meta, arrays, camera,
-                    active_sh_degree=active_sh_degree, options=options,
-                    include_background=False, train_mode=True,
-                    rng_key=key)
+                res_obj = _render(models, camera, key,
+                                  active_sh_degree=active_sh_degree,
+                                  include_background=False)
                 acc_obj = jnp.clip(res_obj.acc, 1e-6, 1 - 1e-6)
                 ent = -(acc_obj * jnp.log(acc_obj)
                         + (1 - acc_obj) * jnp.log(1 - acc_obj))

@@ -28,6 +28,7 @@ def _render_fn(capacity=8192):
     return fn
 
 
+@pytest.mark.slow
 def test_sharded_matches_single_device():
     assert len(jax.devices()) >= 8, "conftest forces 8 CPU devices"
     cam = make_test_camera(width=64, height=96)
@@ -40,6 +41,7 @@ def test_sharded_matches_single_device():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_gradients_match():
     # 2 strips / capacity 1024: the psum-exactness signal is per-collective,
     # not per-scale — the smallest config that still splits the image
@@ -62,12 +64,74 @@ def test_sharded_gradients_match():
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-5
 
 
+def test_production_train_step_on_mesh_matches_single():
+    """THE trainer step (full losses, AbsGS stats, Adam) under a 2-device
+    'data' mesh must reproduce the single-device step: identical loss and
+    post-step learnables (shard_map psum gradient all-reduce is exact;
+    BASELINE north star / SURVEY §7.9)."""
+    import jax.numpy as jnp
+
+    from gaussianrpg_tpu.models.scene_graph import total_capacity
+    from gaussianrpg_tpu.render.renderer import RenderOptions, render_scene
+    from gaussianrpg_tpu.train.trainer import (Batch, OptimConfig,
+                                               init_train_state,
+                                               make_train_step)
+    from gaussianrpg_tpu.utils.synthetic import make_cameras, make_scene
+
+    models, meta, arrays = make_scene(
+        n_background=400, bkgd_capacity=512, n_actors=1, actor_capacity=128,
+        n_frames=4)
+    cams = make_cameras(n_frames=4, width=64, height=64)
+    opts = RenderOptions(capacity=8192, interpret=True, backend="pallas")
+    gt = np.asarray(render_scene(models, meta, arrays, cams[1],
+                                 active_sh_degree=1, options=opts).rgb)
+    # perturb so the step has a real loss and real gradients
+    models = models.replace(background=models.background.replace(
+        features_dc=models.background.features_dc
+        + 0.3 * jax.random.normal(jax.random.PRNGKey(5),
+                                  models.background.features_dc.shape)))
+    n_total = total_capacity(models)
+    cfg = OptimConfig(lambda_dssim=0.0)
+    mesh = make_mesh(jax.devices()[:2])
+
+    batch = Batch(gt_image=jnp.asarray(gt))
+    key = jax.random.PRNGKey(3)
+    s1, l1, sc1, _ = make_train_step(meta, arrays, cfg, opts, n_total)(
+        init_train_state(models), cams[1], batch, key, 1)
+    s2, l2, sc2, _ = make_train_step(meta, arrays, cfg, opts, n_total,
+                                     mesh=mesh)(
+        init_train_state(models), cams[1], batch, key, 1)
+
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    # densification stats ARE the psum'd viewspace/AbsGS hook gradients —
+    # the direct all-reduce-exactness signal (no Adam in the way)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-4),
+        s1.models.bkgd_aux, s2.models.bkgd_aux)
+    # post-Adam params: a single Adam step is bounded by ~lr per leaf, and
+    # f32 gradient noise can flip the normalized update's sign on
+    # near-zero-gradient entries (diff up to 2*lr) — so bound divergence
+    # by 2.5x the per-leaf learning rate instead of demanding bitwise Adam
+    from gaussianrpg_tpu.models.scene_graph import actor_extents
+    from gaussianrpg_tpu.train.trainer import _learnables, _lr_tree
+    lrs = _lr_tree(_learnables(models), cfg, 0,
+                   actor_extent=actor_extents(arrays, meta.box_scale))
+    for name in ("background", "actors"):
+        jax.tree.map(
+            lambda a, b, lr: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b),
+                atol=2.5 * float(np.max(np.asarray(lr))) + 1e-7),
+            getattr(s1.models, name), getattr(s2.models, name), lrs[name])
+
+
 def _fields_fn(cam, m, op, c, s, r):
     from gaussianrpg_tpu.ops.rasterize import primitive_fields
     return primitive_fields(m, op, camera=cam, colors=c, scales=s,
                             rotations=r)
 
 
+@pytest.mark.slow
 def test_sharded_2d_matches_single_device():
     """('data','model') mesh: strip sharding x Gaussian sharding, forward
     bit-compatible with single device (tiled all-gather restores global
@@ -88,12 +152,16 @@ def test_sharded_2d_matches_single_device():
 
 def test_sharded_2d_gradients_match():
     """Gradient exactness on the 2-axis mesh: reduce-scatter ownership
-    along 'model' + psum along 'data' reproduces single-device grads."""
+    along 'model' + psum along 'data' reproduces single-device grads.
+    1 data strip x 2 model shards — the model-axis ownership is the
+    unique signal here (the data-axis psum is covered by the production
+    trainer test); the minimal mesh keeps the interpret-mode autodiff
+    compile tractable."""
     from gaussianrpg_tpu.parallel.sharded import (make_mesh_2d,
                                                   render_sharded_2d)
-    cam = make_test_camera(width=32, height=32)
+    cam = make_test_camera(width=32, height=16)
     args = _scene(n=100)   # 100 = 2 * 50 model shards
-    mesh = make_mesh_2d(2, 2)
+    mesh = make_mesh_2d(1, 2)
     fn = _render_fn(capacity=1024)
 
     def loss_single(m, op, c, s, r):

@@ -1,0 +1,121 @@
+"""Isolate the blend kernel's per-grid-step floor (~1.85us/step at 9.2k
+steps even with every chunk skipped — PERF.md).
+
+Variants over the same 9216-step grid shape as the 64x32 bench config:
+  A. real fwd kernel, all chunks valid=0 (body fully skipped)   = floor
+  B. same, but OUTPUT block index fixed (no dynamic cm lookup)
+  C. same as A with no input gdata spec at all (meta-only kernel)
+  D. step counts 9216 / 4608 / 2304 at block sizes 128/256/512
+     with a trivial body (accumulate sum into one block)
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/floor_bench.py
+"""
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    CAP = 1_179_648
+    NF = 16
+    N_PIX = 2048
+    NFO = 5
+    N_TILES = 850
+
+    gdata = jnp.zeros((CAP, NF), jnp.float32)
+
+    def timeit(fn, *args, reps=8):
+        jax.block_until_ready(fn(*args))
+        ts = []
+        for i in range(reps):
+            a2 = tuple(a * (1.0 + 1e-6 * i) if a.dtype == jnp.float32
+                       else a for a in args)
+            t0 = time.time()
+            float(jnp.sum(fn(*a2)))
+            ts.append(time.time() - t0)
+        return float(np.median(ts)) * 1e3
+
+    # --- A: fwd-like kernel, all chunks invalid (pure skip) -------------
+    def make_kernel(read_gdata, dyn_out):
+        def kernel(cm_ref, gdata_ref, out_ref, acc_s):
+            c = pl.program_id(0)
+            meta = cm_ref[c]
+            valid = (meta >> 26) & 1
+
+            @pl.when(c == 0)
+            def _():
+                acc_s[...] = jnp.zeros((NFO, N_PIX), jnp.float32)
+
+            @pl.when(valid == 1)
+            def _():
+                if read_gdata:
+                    acc_s[...] += jnp.sum(gdata_ref[...]) * jnp.ones(
+                        (NFO, N_PIX), jnp.float32)
+                else:
+                    acc_s[...] += 1.0
+
+            @pl.when((meta >> 25) & 1 == 1)
+            def _():
+                out_ref[0, :, :] = acc_s[...]
+        return kernel
+
+    def build(n_steps, block, valid_frac, dyn_out=True):
+        cm = np.zeros(n_steps, np.int32)
+        n_valid = int(n_steps * valid_frac)
+        cm[:n_valid] |= 1 << 26
+        # spread tiles over the chunk range; mark last-of-tile
+        tiles = (np.arange(n_steps) * N_TILES // n_steps).astype(np.int32)
+        cm |= tiles
+        last = np.r_[tiles[1:] != tiles[:-1], True]
+        cm |= (last.astype(np.int32) << 25)
+        cm = jnp.asarray(cm)
+
+        gspec = pl.BlockSpec((block, NF), lambda c, cm: (c, 0))
+        if dyn_out:
+            out_spec = pl.BlockSpec((1, NFO, N_PIX),
+                                    lambda c, cm: (cm[c] & 0xFFFFFF, 0, 0))
+        else:
+            out_spec = pl.BlockSpec((1, NFO, N_PIX), lambda c, cm: (0, 0, 0))
+        call = pl.pallas_call(
+            make_kernel(read_gdata=True, dyn_out=dyn_out),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_steps,),
+                in_specs=[gspec],
+                out_specs=out_spec,
+                scratch_shapes=[pltpu.VMEM((NFO, N_PIX), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((N_TILES, NFO, N_PIX),
+                                           jnp.float32),
+        )
+        g = gdata[:n_steps * block].reshape(n_steps * block // block * block
+                                            // block * block // block, -1) \
+            if False else gdata[:n_steps * block]
+        return jax.jit(lambda g: call(cm, g)), g
+
+    results = {}
+    for tag, (n_steps, block, vf, dyn) in {
+        "A 9216x128 skip-all dynout": (9216, 128, 0.0, True),
+        "A2 9216x128 valid-all dynout": (9216, 128, 1.0, True),
+        "B 9216x128 skip-all fixout": (9216, 128, 0.0, False),
+        "D1 4608x256 skip-all dynout": (4608, 256, 0.0, True),
+        "D2 2304x512 skip-all dynout": (2304, 512, 0.0, True),
+        "D3 1152x1024 skip-all dynout": (1152, 1024, 0.0, True),
+        "D4 2304x512 valid-all dynout": (2304, 512, 1.0, True),
+    }.items():
+        fn, g = build(n_steps, block, vf, dyn)
+        ms = timeit(fn, g)
+        results[tag] = round(ms, 2)
+        print(f"{tag:32s} {ms:7.2f} ms   ({ms / n_steps * 1e3:.2f} us/step)",
+              flush=True)
+
+    print(results)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,11 +99,14 @@ def main():
     prev = 0.0
     for name, fn in stages:
         def chained(k, fn=fn):
+            # vary MEANS per rep: every stage depends on them, so no rep
+            # can be CSE'd/hoisted (colors-only variation let XLA compute
+            # projection/sort/binning once for all reps)
             @jax.jit
             def run(cam, m, op, c, s, r):
                 acc = jnp.float32(0)
                 for i in range(k):
-                    acc += fn(cam, m, op, c * (1.0 + 1e-6 * (i + 1)),
+                    acc += fn(cam, m * (1.0 + 1e-6 * (i + 1)), op, c,
                               s, r)
                 return acc
             return run
