@@ -1,0 +1,157 @@
+"""Sub-stage cost breakdown of build_pair_lists (TAKE_ROWS default) on the
+real chip, same chained-prefix method as stage_trace.py. Inputs are the
+depth-sorted rects of the bench scene at 64x32.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/binning_trace.py
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianrpg_tpu.ops import binning
+    from gaussianrpg_tpu.ops.pallas_scan import fused_cummax
+    from gaussianrpg_tpu.ops.rasterize import primitive_fields
+    from tools.perf_sweep import make_scene_args
+
+    cam, args, H, W = make_scene_args(jnp)
+    tx, ty = 64, 32
+    cap = 1_179_648
+
+    fs = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+    order = jnp.argsort(jnp.where(fs.radii > 0, fs.depths, jnp.inf),
+                        stable=True)
+    rect_min = jax.device_put(jnp.take(fs.rect_min, order, axis=0))
+    rect_max = jax.device_put(jnp.take(fs.rect_max, order, axis=0))
+    visible = jax.device_put(jnp.take(fs.radii > 0, order, axis=0))
+    ntx, nty = binning.tile_grid_dims(W, H, tx, ty)
+    n_tiles = ntx * nty
+    n = rect_min.shape[0]
+    p_max = cap
+
+    # prefix functions over (rect_min, rect_max, visible); vary rect_min
+    # per rep (shifts offsets/areas -> nothing hoistable)
+
+    def _base(rmin, rmax, vis):
+        x0 = rmin[:, 0]
+        y0 = rmin[:, 1]
+        rw = jnp.maximum(rmax[:, 0] - x0, 0)
+        rh = jnp.maximum(rmax[:, 1] - y0, 0)
+        area = jnp.where(vis, rw * rh, 0).astype(jnp.int32)
+        offs = jnp.cumsum(area) - area
+        raw_total = offs[-1] + area[-1]
+        return x0, y0, rw, area, offs, raw_total
+
+    def p_cumsum(rmin, rmax, vis):
+        *_, offs, raw_total = _base(rmin, rmax, vis)
+        return (jnp.sum(offs) + raw_total).astype(jnp.float32)
+
+    def _fill(rmin, rmax, vis):
+        x0, y0, rw, area, offs, raw_total = _base(rmin, rmax, vis)
+        gp1 = jnp.arange(1, n + 1, dtype=jnp.int32)
+        mark = jnp.zeros((p_max,), jnp.int32).at[offs].max(
+            gp1, mode="drop", indices_are_sorted=True)
+        fillg = fused_cummax((mark,))[0]
+        return x0, y0, rw, area, offs, raw_total, fillg - 1
+
+    def p_scatter_fill(rmin, rmax, vis):
+        *_, pair_g = _fill(rmin, rmax, vis)
+        return jnp.sum(pair_g).astype(jnp.float32)
+
+    def _tile(rmin, rmax, vis):
+        x0, y0, rw, area, offs, raw_total, pair_g = _fill(rmin, rmax, vis)
+        base0 = (y0 * ntx + x0).astype(jnp.int32)
+        rw_payload = jnp.where(area > 0, rw, 0).astype(jnp.int32)
+        tab = jnp.stack([jnp.where(area > 0, base0, 0), offs,
+                         jnp.maximum(rw_payload, 1)], axis=1)
+        rows_tab = jnp.take(tab, jnp.maximum(pair_g, 0), axis=0,
+                            indices_are_sorted=True)
+        pair_idx = jnp.arange(p_max, dtype=jnp.int32)
+        pair_ok = (pair_idx < raw_total) & (pair_g >= 0)
+        k = pair_idx - rows_tab[:, 1]
+        row = jnp.floor((k.astype(jnp.float32) + 0.5)
+                        / rows_tab[:, 2].astype(jnp.float32)).astype(
+            jnp.int32)
+        col = k - row * rows_tab[:, 2]
+        tile = rows_tab[:, 0] + row * ntx + col
+        tile = jnp.where(pair_ok, tile, n_tiles).astype(jnp.int32)
+        return tile, pair_g, pair_ok, raw_total
+
+    def p_take_decode(rmin, rmax, vis):
+        tile, *_ = _tile(rmin, rmax, vis)
+        return jnp.sum(tile).astype(jnp.float32)
+
+    def _counts(rmin, rmax, vis):
+        tile, pair_g, pair_ok, raw_total = _tile(rmin, rmax, vis)
+        tile_sorted = jax.lax.sort(tile)
+        starts = jnp.searchsorted(
+            tile_sorted, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
+        counts = starts[1:] - starts[:-1]
+        return tile, pair_g, pair_ok, raw_total, counts
+
+    def p_keysort_counts(rmin, rmax, vis):
+        *_, counts = _counts(rmin, rmax, vis)
+        return jnp.sum(counts).astype(jnp.float32)
+
+    def p_full(rmin, rmax, vis):
+        lists = binning.build_pair_lists(rmin, rmax, vis, W, H, cap,
+                                         tile_x=tx, tile_y=ty)
+        return (jnp.sum(lists.pair_src) + jnp.sum(lists.chunk_meta)
+                ).astype(jnp.float32)
+
+    def p_full_gm(rmin, rmax, vis):
+        lists = binning.build_pair_lists(rmin, rmax, vis, W, H, cap,
+                                         ride_gm=True, tile_x=tx, tile_y=ty)
+        return (jnp.sum(lists.pair_src) + jnp.sum(lists.pair_gm)
+                ).astype(jnp.float32)
+
+    stages = [("cumsum", p_cumsum), ("scatter+fill", p_scatter_fill),
+              ("take+decode", p_take_decode),
+              ("keysort+counts", p_keysort_counts),
+              ("full(eval)", p_full), ("full(train,gm)", p_full_gm)]
+    K = 5
+    report = {}
+    prev = 0.0
+    for name, fn in stages:
+        def chained(k, fn=fn):
+            @jax.jit
+            def run(rmin, rmax, vis):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    acc += fn(jnp.minimum(rmin + i, rmax), rmax, vis)
+                return acc
+            return run
+
+        r1, rk = chained(1), chained(K)
+        float(r1(rect_min, rect_max, visible))
+        float(rk(rect_min, rect_max, visible))
+        t1s, tks = [], []
+        for rep in range(3):
+            rm = rect_min - (rep % 2)
+            t0 = time.time()
+            float(r1(rm, rect_max, visible))
+            t1s.append(time.time() - t0)
+            t0 = time.time()
+            float(rk(rm, rect_max, visible))
+            tks.append(time.time() - t0)
+        cum = (float(np.median(tks)) - float(np.median(t1s))) / (K - 1) * 1e3
+        report[name] = dict(cum_ms=round(cum, 2),
+                            stage_ms=round(cum - prev, 2))
+        print(f"{name:16s} cum {cum:7.2f} ms   stage {cum - prev:7.2f} ms",
+              flush=True)
+        if not name.startswith("full"):
+            prev = cum
+
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Floor bench round 2: isolate dynamic-index block specs (chained-jit
+method so the ~25 ms tunnel dispatch overhead cancels).
+
+Variants at 9216 steps x 128-pair blocks, all-chunks-skipped bodies:
+  A  dynamic OUT index (cm[c])             — the fwd kernel's layout
+  B  static OUT index (c-major)            — the proposed fwd layout
+  E  static OUT + 1 dynamic IN tile spec   — half the bwd kernel's layout
+  F  static OUT + 2 dynamic IN tile specs  — the bwd kernel's layout
+  G  static OUT + 2 static (c-major) INs   — the proposed bwd layout
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/floor_bench2.py
+"""
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N_STEPS = 9216
+    BLOCK = 128
+    NF = 16
+    N_PIX = 2048
+    NFO = 5
+    N_TILES = 850
+
+    cm_np = np.zeros(N_STEPS, np.int32)  # valid=0 everywhere (skip-all)
+    tiles = (np.arange(N_STEPS) * N_TILES // N_STEPS).astype(np.int32)
+    cm_np |= tiles
+    cm = jnp.asarray(cm_np)
+    gdata = jnp.ones((N_STEPS * BLOCK, NF), jnp.float32)
+    planes = jnp.ones((N_TILES, NFO, N_PIX), jnp.float32)
+    planes_c = jnp.ones((N_STEPS, NFO, N_PIX), jnp.float32)
+
+    gspec = pl.BlockSpec((BLOCK, NF), lambda c, cm: (c, 0))
+    tile_in = pl.BlockSpec((1, NFO, N_PIX),
+                           lambda c, cm: (cm[c] & 0xFFFFFF, 0, 0))
+    cmaj_in = pl.BlockSpec((1, NFO, N_PIX), lambda c, cm: (c, 0, 0))
+    dyn_out = pl.BlockSpec((1, NFO, N_PIX),
+                           lambda c, cm: (cm[c] & 0xFFFFFF, 0, 0))
+    fix_out = pl.BlockSpec((1, NFO, N_PIX), lambda c, cm: (c % 2, 0, 0))
+    cmaj_out = pl.BlockSpec((1, NFO, N_PIX), lambda c, cm: (c, 0, 0))
+
+    def make_kernel(n_in):
+        def kernel(cm_ref, gdata_ref, *rest):
+            ins = rest[:n_in]
+            out_ref = rest[n_in]
+            acc_s = rest[n_in + 1]
+            c = pl.program_id(0)
+            meta = cm_ref[c]
+            valid = (meta >> 26) & 1
+
+            @pl.when(c == 0)
+            def _():
+                acc_s[...] = jnp.zeros((NFO, N_PIX), jnp.float32)
+
+            @pl.when(valid == 1)
+            def _():
+                x = jnp.sum(gdata_ref[...])
+                for r in ins:
+                    x += jnp.sum(r[...])
+                acc_s[...] += x
+                out_ref[0, :, :] = acc_s[...]
+        return kernel
+
+    def build(n_in, in_spec, out_spec, out_tiles):
+        call = pl.pallas_call(
+            make_kernel(n_in),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(N_STEPS,),
+                in_specs=[gspec] + [in_spec] * n_in,
+                out_specs=out_spec,
+                scratch_shapes=[pltpu.VMEM((NFO, N_PIX), jnp.float32)],
+            ),
+            out_shape=jax.ShapeDtypeStruct((out_tiles, NFO, N_PIX),
+                                           jnp.float32),
+        )
+        p = planes if in_spec is tile_in else planes_c
+
+        def chained(k):
+            @jax.jit
+            def run(g):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    gi = g * (1.0 + 1e-6 * i)
+                    args = [cm, gi] + [p] * n_in
+                    acc += jnp.sum(call(*args)[0, 0, :8])
+                return acc
+            return run
+        return chained
+
+    K = 4
+    for tag, (n_in, in_spec, out_spec, out_tiles) in {
+        "A dyn-out": (0, None, dyn_out, N_TILES),
+        "B cmaj-out": (0, None, cmaj_out, N_STEPS),
+        "E cmaj-out +1 dyn-in": (1, tile_in, cmaj_out, N_STEPS),
+        "F cmaj-out +2 dyn-in": (2, tile_in, cmaj_out, N_STEPS),
+        "G cmaj-out +2 cmaj-in": (2, cmaj_in, cmaj_out, N_STEPS),
+    }.items():
+        ch = build(n_in, in_spec, out_spec, out_tiles)
+        r1, rk = ch(1), ch(K)
+        float(r1(gdata))
+        float(rk(gdata))
+        t1s, tks = [], []
+        for rep in range(3):
+            g = gdata * (1.0 + 1e-7 * rep)
+            t0 = time.time()
+            float(r1(g))
+            t1s.append(time.time() - t0)
+            t0 = time.time()
+            float(rk(g))
+            tks.append(time.time() - t0)
+        ms = (float(np.median(tks)) - float(np.median(t1s))) / (K - 1) * 1e3
+        print(f"{tag:24s} {ms:7.2f} ms  ({ms / N_STEPS * 1e3:.2f} us/step)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
