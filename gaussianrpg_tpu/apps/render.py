@@ -33,7 +33,8 @@ def load_scene_for_eval(cfg):
         scene = WaymoScene(
             cfg.source_path,
             selected_frames=cfg.data.selected_frames or None,
-            cameras=tuple(cfg.data.cameras))
+            cameras=tuple(cfg.data.cameras),
+            resolution=cfg.resolution)
         models, meta, arrays, names = build_scene_from_waymo(scene, cfg)
         cams = scene.build_cameras("train")
         test_cams = scene.build_cameras("test")

@@ -184,7 +184,8 @@ def main(argv=None):
             test_every=(cfg.data.split_test
                         if cfg.data.split_test > 0 else None),
             train_every=(cfg.data.split_train
-                         if cfg.data.split_train > 0 else None))
+                         if cfg.data.split_train > 0 else None),
+            resolution=cfg.resolution)
         models, meta, arrays, actor_names = build_scene_from_waymo(
             scene, cfg)
         cam_gt = scene.build_cameras("train")

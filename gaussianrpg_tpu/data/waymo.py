@@ -238,6 +238,7 @@ class WaymoScene:
                                          train_every)
         self.load_images = load_images
         self.resolution = resolution
+        self._native_hw: dict[int, tuple[int, int]] = {}
 
     # ------------------------------------------------------------------
     def image_path(self, frame: int, cam: int) -> str:
@@ -256,14 +257,37 @@ class WaymoScene:
         extrinsic (the converter bakes the OpenCV axis swap in)."""
         return self.ego_cam_poses[cam, frame] @ self.extrinsics[cam]
 
+    def native_size(self, cam: int) -> tuple[int, int]:
+        """(H, W) of the raw sensor images — the resolution the stored
+        intrinsics describe. Derived from the first image on disk (PIL
+        reads only the header); Waymo's (1280, 1920) when no images
+        exist."""
+        if cam not in self._native_hw:
+            hw = (1280, 1920)
+            for fi in range(self.num_frames):
+                p = self.image_path(self.start_frame + fi, cam)
+                if os.path.exists(p):
+                    from PIL import Image
+                    with Image.open(p) as img:
+                        hw = (img.size[1], img.size[0])
+                    break
+            self._native_hw[cam] = hw
+        return self._native_hw[cam]
+
     def load_image(self, frame: int, cam: int):
         from PIL import Image
         img = Image.open(self.image_path(frame, cam))
         w, h = img.size
         if self.resolution == -1 and w > 1600:
+            # auto-downscale beyond 1.6k (`camera_utils.py:169-187`)
             scale = w / 1600
             img = img.resize((int(w / scale), int(h / scale)),
                              Image.BILINEAR)
+        elif self.resolution and self.resolution > 1:
+            # explicit integer downscale factor (reference `loadCam`
+            # resolution semantics)
+            r = int(self.resolution)
+            img = img.resize((w // r, h // r), Image.BILINEAR)
         arr = np.asarray(img, np.float32) / 255.0
         return arr.transpose(2, 0, 1)[:3]
 
@@ -294,13 +318,21 @@ class WaymoScene:
                         self.image_path(frame, cam)):
                     gt = self.load_image(frame, cam)
                     h, w = gt.shape[1:]
-                    scale = 1920 / w
+                    # intrinsics are calibrated at the NATIVE sensor size;
+                    # rescale to whatever load_image returned
+                    scale = self.native_size(cam)[1] / w
                     K = K.copy()
                     K[:2] /= scale
-                elif self.resolution == -1:
+                else:
+                    nh, nw = self.native_size(cam)
+                    scale = 1.0
+                    if self.resolution == -1 and nw > 1600:
+                        scale = nw / 1600
+                    elif self.resolution and self.resolution > 1:
+                        scale = float(int(self.resolution))
                     K = K.copy()
-                    K[:2] /= 1920 / 1600
-                    w, h = 1600, int(1280 / (1920 / 1600))
+                    K[:2] /= scale
+                    w, h = int(nw / scale), int(nh / scale)
                 cams.append((make_camera(
                     R=w2c[:3, :3].T, T=w2c[:3, 3], K=K.astype(np.float32),
                     width=w, height=h,
@@ -314,16 +346,18 @@ class WaymoScene:
         return cams
 
     def load_batch_planes(self, frame: int, cam: int, hw: tuple,
-                          native_hw: tuple = (1280, 1920)):
+                          native_hw: tuple | None = None):
         """Per-image training planes for the loss terms
         (`camera_utils.loadmask:113-141` + `loadmetadata:143-164`):
         sky_mask [1,H,W] bool, lidar_depth [1,H,W] (0 where no return),
         obj_bound [1,H,W] bool, mono_normal [3,H,W] — each None when the
         corresponding data-prep output is absent. `hw` is the training
         resolution; `native_hw` the sensor resolution the intrinsics
-        describe."""
+        describe. When None, derived from the images on disk."""
         from PIL import Image
         h, w = hw
+        if native_hw is None:
+            native_hw = self.native_size(cam)
         out = {}
 
         p = os.path.join(self.datadir, "sky_mask", f"{frame:06d}_{cam}.png")

@@ -1,0 +1,158 @@
+"""One-command full-toolchain proof (reference README pipeline;
+`waymo_utils.py:291-712`): synthetic TFRecord -> waymo_converter ->
+lidar-depth/sky-mask generators -> lidar_init point clouds ->
+scene builder -> train N iters (real `apps.train.main`) -> render
+(`apps.render.main`) -> metrics (`apps.metrics.main`), all as ONE chain so
+stage-boundary contract drift fails loudly."""
+import json
+import os
+import struct  # noqa: F401  (helpers use it at import time)
+import zlib
+
+import numpy as np
+import pytest
+
+from gaussianrpg_tpu.data import waymo_proto as wp
+from gaussianrpg_tpu.data.native import load_library
+
+from .test_waymo_converter import (enc_matrix_float, enc_matrix_int32,
+                                   enc_transform, f_bytes, f_double, f_msg,
+                                   f_packed_doubles, f_varint,
+                                   write_tfrecord)
+
+
+def make_chain_frame(frame_id):
+    """A 640x480 camera + a 32x257 LiDAR sweep: a ~12 m background ring
+    dense enough to survive the 10-neighbor/0.5 m outlier filter (vertical
+    spacing ~0.16 m, azimuthal ~0.29 m), plus one in-box return for the
+    tracked vehicle."""
+    cam2vehicle = np.eye(4)
+    cam2vehicle[0, 3] = 1.5
+    calib = (f_varint(1, wp.CAMERA_FRONT)
+             + f_packed_doubles(2, [500.0, 500.0, 320.0, 240.0,
+                                    0, 0, 0, 0, 0])
+             + f_msg(3, enc_transform(cam2vehicle))
+             + f_varint(4, 640) + f_varint(5, 480))
+    laser_calib = (f_varint(1, wp.LASER_TOP)
+                   + f_double(3, -0.3) + f_double(4, 0.1)
+                   + f_msg(5, enc_transform(np.eye(4))))
+    context = f_msg(2, calib) + f_msg(3, laser_calib)
+
+    ego = np.eye(4)
+    ego[0, 3] = 2.0 * frame_id
+
+    jpeg = b"\xff\xd8fakejpegdata\xff\xd9"
+    image = (f_varint(1, wp.CAMERA_FRONT) + f_bytes(2, jpeg)
+             + f_msg(3, enc_transform(ego))
+             + f_double(5, 0.1 * frame_id + 0.05))
+
+    h, w = 32, 257
+    ri = np.zeros((h, w, 4), np.float32)
+    cp = np.zeros((h, w, 6), np.int64)
+    ri[:, :, 0] = 12.0
+    cp[:, :, 0] = wp.CAMERA_FRONT
+    cp[:, :, 1] = 320
+    cp[:, :, 2] = 200
+    # in-box return: row 0 = inclination 0.1, col 128 = azimuth 0
+    ri[0, 128, 0] = 8.05
+    ri_msg = (f_bytes(2, zlib.compress(enc_matrix_float(ri)))
+              + f_bytes(3, zlib.compress(enc_matrix_int32(cp))))
+    laser = f_varint(1, wp.LASER_TOP) + f_msg(2, ri_msg)
+
+    box = (f_double(1, 8.0) + f_double(2, 0.5 * frame_id) + f_double(3, 1.0)
+           + f_double(4, 2.0) + f_double(5, 4.5) + f_double(6, 1.8)
+           + f_double(7, 0.0))
+    meta = f_double(1, 3.0) + f_double(2, 0.0)
+    label = (f_msg(1, box) + f_msg(2, meta)
+             + f_varint(3, wp.TYPE_VEHICLE)
+             + f_bytes(4, b"obj-abc"))
+
+    frame = (f_msg(1, context) + f_varint(2, 1000000 + frame_id * 100000)
+             + f_msg(3, enc_transform(ego)) + f_msg(4, image)
+             + f_msg(5, laser) + f_msg(6, label))
+    return frame
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(load_library() is None, reason="native lib unavailable")
+def test_full_toolchain_chain(tmp_path):
+    from PIL import Image
+
+    from gaussianrpg_tpu.apps import metrics as metrics_app
+    from gaussianrpg_tpu.apps import render as render_app
+    from gaussianrpg_tpu.apps import train as train_app
+    from gaussianrpg_tpu.apps.generate_lidar_depth import \
+        generate_lidar_depth
+    from gaussianrpg_tpu.apps.generate_sky_mask import generate_sky_mask
+    from gaussianrpg_tpu.apps.waymo_converter import convert_sequence
+
+    # --- stage 1: TFRecord -> converter ---------------------------------
+    rec = str(tmp_path / "seq.tfrecord")
+    write_tfrecord(rec, [make_chain_frame(i) for i in range(3)])
+    src = str(tmp_path / "converted")
+    summary = convert_sequence(rec, src, log=lambda *_: None)
+    assert summary == {"frames": 3, "objects": 1}
+
+    # decodable GT images: a horizontal color gradient so training has a
+    # signal; the raw sensor bytes in the TFRecord are placeholders
+    grad = np.zeros((480, 640, 3), np.uint8)
+    grad[..., 0] = np.linspace(40, 215, 640, dtype=np.uint8)[None, :]
+    grad[..., 1] = 128
+    grad[..., 2] = np.linspace(200, 60, 480, dtype=np.uint8)[:, None]
+    for f in os.listdir(os.path.join(src, "images")):
+        Image.fromarray(grad).save(os.path.join(src, "images", f), "JPEG")
+    # single camera -> pad calibration dirs for cams 1..4
+    for i in range(1, 5):
+        for sub in ("intrinsics", "extrinsics"):
+            with open(os.path.join(src, sub, "0.txt")) as a, \
+                    open(os.path.join(src, sub, f"{i}.txt"), "w") as b:
+                b.write(a.read())
+
+    # --- stage 2: data-prep generators -----------------------------------
+    assert generate_lidar_depth(src, log=lambda *_: None) == 3
+    assert generate_sky_mask(src, log=lambda *_: None) == 3
+
+    # --- stage 3: train via the real CLI app ------------------------------
+    ws = str(tmp_path / "out")
+    iters = 12
+    opts = ["source_path", src,
+            "workspace", ws,
+            "exp_name", "chain",
+            "resolution", "4",              # 160x120 renders (CPU interpret)
+            "data.extent", "0",
+            "render.capacity", "131072",
+            "render.save_video", "False",
+            "optim.lambda_depth_lidar", "0.01",
+            "optim.densify_from_iter", "2",
+            "optim.densify_until_iter", "11",
+            "optim.densification_interval", "6",
+            "optim.opacity_reset_interval", "10",
+            "optim.position_lr_max_steps", str(iters),
+            "train.test_iterations", "[]",
+            "train.checkpoint_iterations", f"[{iters}]",
+            "train.save_iterations", f"[{iters}]"]
+    state = train_app.main(["--iterations", str(iters)] + opts)
+    assert state is not None
+    model_dir = os.path.join(ws, "street_gaussian", "chain")
+    ckpt = os.path.join(model_dir, "trained_model", f"iteration_{iters}.npz")
+    assert os.path.exists(ckpt)
+    assert os.path.exists(os.path.join(
+        model_dir, "point_cloud", f"iteration_{iters}", "point_cloud.ply"))
+
+    # --- stage 4: render the trained checkpoint ---------------------------
+    render_app.main(opts)
+    eval_dir = os.path.join(model_dir, "evaluate_train")
+    rgbs = [f for f in os.listdir(eval_dir) if f.endswith("_rgb.png")]
+    gts = [f for f in os.listdir(eval_dir) if f.endswith("_gt.png")]
+    assert len(rgbs) == 3 and len(gts) == 3
+    im = np.asarray(Image.open(os.path.join(eval_dir, rgbs[0])))
+    assert im.shape == (120, 160, 3)
+
+    # --- stage 5: metrics --------------------------------------------------
+    metrics_app.main(opts)
+    with open(os.path.join(model_dir, "results_train.json")) as f:
+        results = json.load(f)
+    assert results["n_views"] == 3
+    assert results["psnr"] is not None and np.isfinite(results["psnr"])
+    assert results["psnr"] > 5.0
+    assert 0.0 <= results["ssim"] <= 1.0

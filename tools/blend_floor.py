@@ -1,0 +1,191 @@
+"""Decompose the REAL fwd/bwd blend kernels' cost on the bench scene:
+floor (all chunks invalid) vs all-execute (zero gdata: nothing skips via
+done) vs the real street mix, plus stripped kernel variants to bisect the
+floor. Chained-jit method (K calls in one jit, differenced).
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/blend_floor.py
+"""
+import time
+
+import numpy as np
+
+
+def _timed(fn1, fnk, args, k, reps=3):
+    import jax.numpy as jnp  # noqa: F401
+    t1s, tks = [], []
+    float(fn1(*args))
+    float(fnk(*args))
+    for rep in range(reps):
+        t0 = time.time()
+        float(fn1(*args))
+        t1s.append(time.time() - t0)
+        t0 = time.time()
+        float(fnk(*args))
+        tks.append(time.time() - t0)
+    return (float(np.median(tks)) - float(np.median(t1s))) / (k - 1) * 1e3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gaussianrpg_tpu.ops import binning
+    from gaussianrpg_tpu.ops.pallas_blend import (_blend_fns, G_CHUNK,
+                                                  _make_fwd_kernel)
+    from gaussianrpg_tpu.ops.rasterize import primitive_fields
+    from tools.perf_sweep import make_scene_args
+
+    cam, args, H, W = make_scene_args(jnp)
+    tx, ty = 64, 32
+    cap = 1_179_648
+    nf_cols = 16
+
+    fs = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+    order = jnp.argsort(jnp.where(fs.radii > 0, fs.depths, jnp.inf),
+                        stable=True)
+    fields_s = jnp.take(fs.fields, order, axis=0)
+    rect_min = jnp.take(fs.rect_min, order, axis=0)
+    rect_max = jnp.take(fs.rect_max, order, axis=0)
+    visible = jnp.take(fs.radii > 0, order, axis=0)
+    lists = jax.jit(lambda a, b, c: binning.build_pair_lists(
+        a, b, c, W, H, cap, tile_x=tx, tile_y=ty))(rect_min, rect_max,
+                                                   visible)
+    src = jnp.maximum(lists.pair_src, 0)
+    valid = lists.pair_valid.astype(jnp.float32)
+    gdata = jax.device_put(
+        jnp.take(fields_s, src, axis=0) * valid[:, None])
+    cm = jax.device_put(lists.chunk_meta)
+    cm_dead = jax.device_put(lists.chunk_meta & ~(1 << 26))
+    bg = jnp.zeros(3, jnp.float32)
+    ntx, nty = binning.tile_grid_dims(W, H, tx, ty)
+    n_steps = cap // G_CHUNK
+    print(f"chunks={n_steps} tiles={ntx * nty} "
+          f"valid={int(jnp.sum((lists.chunk_meta >> 26) & 1))}", flush=True)
+
+    fwd_call, bwd_call = _blend_fns(ntx, nty, 0, cap, nf_cols, W, H, False,
+                                    tx, ty, 1)
+
+    K = 4
+
+    def chain_fwd(k, call):
+        @jax.jit
+        def run(cm_, g):
+            acc = jnp.float32(0)
+            for i in range(k):
+                acc += jnp.sum(call(cm_, bg, g * (1.0 + 1e-6 * i))[0, 0, :8])
+            return acc
+        return run
+
+    for tag, cm_, g_ in [("fwd real", cm, gdata),
+                         ("fwd all-exec (zero gdata)", cm,
+                          jnp.zeros_like(gdata)),
+                         ("fwd floor (all-invalid cm)", cm_dead, gdata)]:
+        ms = _timed(chain_fwd(1, fwd_call), chain_fwd(K, fwd_call),
+                    (cm_, g_), K)
+        print(f"{tag:34s} {ms:7.2f} ms", flush=True)
+
+    # ---- stripped fwd kernel variants at the floor config ---------------
+    n_pix = tx * ty
+    c_feat = 5
+
+    def build(kernel, n_scratch):
+        scratch = [pltpu.VMEM((1, n_pix), jnp.float32),
+                   pltpu.VMEM((1, n_pix), jnp.float32),
+                   pltpu.VMEM((c_feat, n_pix), jnp.float32)][:n_scratch]
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(n_steps,),
+                in_specs=[pl.BlockSpec((G_CHUNK, nf_cols),
+                                       lambda c, cm, bg: (c, 0))],
+                out_specs=pl.BlockSpec(
+                    (1, c_feat, n_pix),
+                    lambda c, cm, bg: (cm[c] & 0xFFFFFF, 0, 0)),
+                scratch_shapes=scratch,
+            ),
+            out_shape=jax.ShapeDtypeStruct((ntx * nty, c_feat, n_pix),
+                                           jnp.float32),
+        )
+
+    def k_empty(cm_ref, bg_ref, gdata_ref, out_ref):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            out_ref[0, :, :] = jnp.zeros((c_feat, n_pix), jnp.float32)
+
+    def k_meta(cm_ref, bg_ref, gdata_ref, out_ref, t_run_s, done_s, acc_s):
+        c = pl.program_id(0)
+        meta = cm_ref[c]
+        first = (meta >> 24) & 1
+        valid = (meta >> 26) & 1
+
+        @pl.when(first == 1)
+        def _():
+            t_run_s[...] = jnp.ones((1, n_pix), jnp.float32)
+            done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
+            acc_s[...] = jnp.zeros((c_feat, n_pix), jnp.float32)
+
+        @pl.when(valid == 1)
+        def _():
+            out_ref[0, :, :] = acc_s[...] + jnp.sum(gdata_ref[...])
+
+    def k_ndone(cm_ref, bg_ref, gdata_ref, out_ref, t_run_s, done_s, acc_s):
+        c = pl.program_id(0)
+        meta = cm_ref[c]
+        first = (meta >> 24) & 1
+        valid = (meta >> 26) & 1
+
+        @pl.when(first == 1)
+        def _():
+            t_run_s[...] = jnp.ones((1, n_pix), jnp.float32)
+            done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
+            acc_s[...] = jnp.zeros((c_feat, n_pix), jnp.float32)
+
+        n_done = jnp.sum(done_s[...])
+
+        @pl.when((valid == 1) & (n_done < n_pix))
+        def _():
+            out_ref[0, :, :] = acc_s[...] + jnp.sum(gdata_ref[...])
+
+    real_kernel = _make_fwd_kernel(ntx, 0, tx, ty, 1)
+    for tag, kern, ns in [("variant empty body", k_empty, 0),
+                          ("variant meta+valid only", k_meta, 3),
+                          ("variant + n_done check", k_ndone, 3),
+                          ("variant real kernel (floor cm)", real_kernel,
+                           3)]:
+        call = build(kern, ns)
+        ms = _timed(chain_fwd(1, call), chain_fwd(K, call),
+                    (cm_dead, gdata), K)
+        print(f"{tag:34s} {ms:7.2f} ms", flush=True)
+
+    # ---- bwd --------------------------------------------------------------
+    out_planes = jax.device_put(fwd_call(cm, bg, gdata))
+    dout = jnp.ones_like(out_planes)
+
+    def chain_bwd(k):
+        @jax.jit
+        def run(cm_, g):
+            acc = jnp.float32(0)
+            for i in range(k):
+                acc += jnp.sum(
+                    bwd_call(cm_, bg, g * (1.0 + 1e-6 * i), out_planes,
+                             dout)[0, 0, :8])
+            return acc
+        return run
+
+    for tag, cm_, g_ in [("bwd real", cm, gdata),
+                         ("bwd all-exec (zero gdata)", cm,
+                          jnp.zeros_like(gdata)),
+                         ("bwd floor (all-invalid cm)", cm_dead, gdata)]:
+        ms = _timed(chain_bwd(1), chain_bwd(K), (cm_, g_), K)
+        print(f"{tag:34s} {ms:7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
