@@ -102,6 +102,15 @@ def apply_opacity_reset(state, meta):
         mu["actors"] = aadam2.mu
         nu["actors"] = aadam2.nu
         models2 = models2.replace(actors=ap2)
+    if state.models.sky_gauss is not None:
+        sp2, sadam2 = G.reset_opacity(
+            state.models.sky_gauss,
+            G.AdamState(mu=state.adam.mu["sky_gauss"],
+                        nu=state.adam.nu["sky_gauss"],
+                        count=state.adam.count))
+        mu["sky_gauss"] = sadam2.mu
+        nu["sky_gauss"] = sadam2.nu
+        models2 = models2.replace(sky_gauss=sp2)
     return state.replace(models=models2,
                          adam=state.adam.replace(mu=mu, nu=nu))
 

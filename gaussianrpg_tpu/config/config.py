@@ -106,8 +106,12 @@ DEFAULT_CONFIG = {
             "include_bkgd": True,
             "include_obj": True,
             "include_sky": False,
+            # trainable sky-sphere Gaussians (gaussian_model_sky.py
+            # alternative to the cubemap)
+            "include_sky_gaussians": False,
             "opt_track": True,
         },
+        "sky_capacity": 16384,
         "use_color_correction": False,
         "use_pose_correction": False,
         "color_correction": {"mode": "image", "use_mlp": False},

@@ -35,6 +35,33 @@ def random_actor_points(bbox, points_dim: int = 20, seed: int = 0):
     return pts.astype(np.float32), cols
 
 
+def init_sky_gaussians(datadir: str, sphere_center, sphere_radius,
+                       capacity: int, sh_degree: int, seed: int = 7):
+    """Trainable sky-sphere Gaussians (reference
+    `gaussian_model_sky.py:10`): init from `input_ply/points3D_sky.ply`
+    when the data-prep produced one, else uniformly sampled directions at
+    2.5x the scene sphere radius (the reference's init shell)."""
+    from ..data.ply import fetch_pointcloud
+
+    sky_ply = os.path.join(datadir, "input_ply", "points3D_sky.ply")
+    if os.path.exists(sky_ply):
+        pts, cols, _ = fetch_pointcloud(sky_ply)
+    else:
+        rng = np.random.default_rng(seed)
+        n = capacity // 2
+        dirs = rng.standard_normal((n, 3))
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        dirs[:, 2] = np.abs(dirs[:, 2])  # upper hemisphere (z-up world)
+        pts = (np.asarray(sphere_center)[None]
+               + 2.5 * float(sphere_radius) * dirs).astype(np.float32)
+        # sky-ish init color
+        cols = np.full((n, 3), 0.6, np.float32)
+        cols[:, 2] = 0.8
+    pts = pts[:capacity]
+    cols = cols[:capacity]
+    return G.init_from_points(pts, cols, capacity, sh_degree)
+
+
 def build_scene_from_waymo(scene: WaymoScene, cfg) -> tuple:
     """(models, meta, arrays, actor_names): composite scene from a loaded
     Waymo scene + config (mirrors `StreetGaussianModel.setup_functions`)."""
@@ -128,6 +155,7 @@ def build_scene_from_waymo(scene: WaymoScene, cfg) -> tuple:
         use_color_correction=cfg.model.use_color_correction,
         use_pose_correction=cfg.model.use_pose_correction,
         include_sky=nsg.get("include_sky", False),
+        include_sky_gaussians=nsg.get("include_sky_gaussians", False),
     )
     one = lambda xs, d=0.0: jnp.asarray(
         np.asarray(xs if xs else [d], np.float32))
@@ -148,6 +176,12 @@ def build_scene_from_waymo(scene: WaymoScene, cfg) -> tuple:
         sphere_radius=jnp.asarray(sphere_r),
     )
 
+    sky_g = sky_g_aux = None
+    if meta.include_sky_gaussians:
+        sky_g, sky_g_aux = init_sky_gaussians(
+            scene.datadir, sphere_c, sphere_r,
+            int(cfg.model.get("sky_capacity", 16384)), sh_degree)
+
     num_images = scene.num_frames * len(scene.cameras)
     models = SceneModels(
         background=bkgd,
@@ -163,5 +197,7 @@ def build_scene_from_waymo(scene: WaymoScene, cfg) -> tuple:
         pose_correction=init_pose_correction(
             num_images, cfg.model.pose_correction.mode)
         if meta.use_pose_correction else None,
+        sky_gauss=sky_g,
+        sky_gauss_aux=sky_g_aux,
     )
     return models, meta, arrays, actor_names

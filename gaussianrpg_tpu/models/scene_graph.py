@@ -57,6 +57,10 @@ class SceneMeta:
     use_pose_correction: bool = struct.field(pytree_node=False,
                                              default=False)
     include_sky: bool = struct.field(pytree_node=False, default=False)
+    # model the sky with trainable Gaussians on a far sphere instead of
+    # (or in addition to) the cubemap (`gaussian_model_sky.py:10`)
+    include_sky_gaussians: bool = struct.field(pytree_node=False,
+                                               default=False)
     box_scale: float = struct.field(pytree_node=False, default=1.0)
 
 
@@ -90,10 +94,17 @@ class SceneModels:
     sky: Optional[SkyCubeMap]
     color_correction: Optional[ColorCorrection]
     pose_correction: Optional[PoseCorrection]
+    # trainable sky-sphere Gaussians (`gaussian_model_sky.py:10`), appended
+    # LAST in the flattened scene so the background/actor stat slices stay
+    # put
+    sky_gauss: Optional[G.GaussianParams] = None   # [S_cap, ...]
+    sky_gauss_aux: Optional[G.GaussianAux] = None
 
 
 def total_capacity(models: SceneModels) -> int:
     b = models.background.capacity
+    if models.sky_gauss is not None:
+        b += models.sky_gauss.capacity
     if models.actors is None or models.actors.xyz.shape[0] == 0:
         return b
     o, a = models.actors.xyz.shape[:2]
@@ -133,9 +144,8 @@ def scene_normals(scene: ComposedScene, cam_center) -> jax.Array:
     amin = jnp.argmin(scene.scales, axis=-1)            # [N]
     normals = jnp.take_along_axis(
         rmat, amin[:, None, None].repeat(3, axis=1), axis=2)[..., 0]
-    dirs = scene.means3d - cam_center
-    dirs = dirs / jnp.maximum(
-        jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+    dirs = safe_normalize(scene.means3d - cam_center)
+
     dot = jnp.sum(-dirs * normals, axis=-1, keepdims=True)
     return jnp.where(dot >= 0, normals, -normals)
 
@@ -143,6 +153,36 @@ def scene_normals(scene: ComposedScene, cam_center) -> jax.Array:
 def _actor_alive(arrays: SceneArrays, timestamp) -> jax.Array:
     return (timestamp >= arrays.actor_start_ts) & (
         timestamp <= arrays.actor_end_ts)
+
+
+def safe_normalize(v: jax.Array) -> jax.Array:
+    """Row-normalize with a NaN-FREE gradient at v == 0. The usual
+    `v / max(norm(v), eps)` still NaN-poisons gradients: norm's sqrt has
+    an infinite derivative at 0 and the outer max multiplies it by zero
+    (NaN). Clamping INSIDE (rsqrt of the clamped square-norm) keeps both
+    the value and the gradient finite — padding Gaussians sit exactly at
+    the origin/camera center, so this path is hit every step."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+
+
+def sky_sphere_xyz(xyz: jax.Array, center: jax.Array,
+                   radius) -> jax.Array:
+    """Sky-Gaussian position getter: points that drift inside 2x the scene
+    sphere are pushed back OUT to the 2r shell (reference
+    `gaussian_model_sky.py get_xyz`: ratio = |x-c|/(2r); x inside maps to
+    c + (x-c)/ratio)."""
+    diff = xyz - center
+    # safe-norm + double-where: padding slots sit exactly at the center,
+    # where the bare norm (and the 1/ratio push) has a NaN gradient that
+    # `where` would propagate into every sky leaf
+    d = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True),
+                             1e-12))
+    ratio = d / jnp.maximum(2.0 * radius, 1e-6)
+    inside = ratio < 1.0
+    safe = jnp.where(inside, jnp.maximum(ratio, 1e-3), 1.0)
+    pushed = center + diff / safe
+    return jnp.where(inside, pushed, xyz)
 
 
 def compose(
@@ -175,9 +215,7 @@ def compose(
             xyz = correct_gaussian_xyz(models.pose_correction, pid, xyz)
             rot = correct_gaussian_rotation(models.pose_correction, pid, rot)
             rot = rot / jnp.linalg.norm(rot, axis=-1, keepdims=True)
-        dirs = xyz - cam_center
-        dirs = dirs / jnp.maximum(
-            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        dirs = safe_normalize(xyz - cam_center)
         color, _ = sh_to_rgb_clamped(
             active_sh_degree, G.get_features(bk), dirs)
         parts["xyz"].append(xyz)
@@ -242,9 +280,7 @@ def compose(
                        axis=2, keepdims=False)[:, :, None, :]   # [O,A,1,3]
         feats = jnp.concatenate([f_dc, ac.features_rest], axis=2)
 
-        dirs = xyz_w - cam_center
-        dirs = dirs / jnp.maximum(
-            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
+        dirs = safe_normalize(xyz_w - cam_center)
         obj_deg = min(active_sh_degree, meta.obj_sh_degree)
         color, _ = sh_to_rgb_clamped(obj_deg, feats, dirs)
 
@@ -265,6 +301,33 @@ def compose(
             sem = (jax.nn.one_hot(arrays.actor_class, meta.num_classes)
                    [:, None, :] * logits[..., None])
             parts["sem"].append(flat(sem))
+
+    # ---------------- sky-sphere Gaussians (appended LAST) ----------------
+    # gated on include_background: the sky is a background-like static
+    # layer, excluded from the objects-only pass the same way the
+    # reference's include_list=['obj_...'] excludes 'sky'
+    # (`street_gaussian_model.get_visibility:73-78`)
+    if (include_background and meta.include_sky_gaussians
+            and models.sky_gauss is not None):
+        sk = models.sky_gauss
+        sk_act = G.active_mask(sk, models.sky_gauss_aux)
+        xyz = sky_sphere_xyz(sk.xyz, arrays.sphere_center,
+                             arrays.sphere_radius)
+        # scaling clamped to the sphere radius (gaussian_model_sky.py
+        # get_scaling)
+        scale = jnp.minimum(G.get_scaling(sk), arrays.sphere_radius)
+        rot = G.get_rotation(sk)
+        dirs = safe_normalize(xyz - cam_center)
+        color, _ = sh_to_rgb_clamped(
+            active_sh_degree, G.get_features(sk), dirs)
+        parts["xyz"].append(xyz)
+        parts["color"].append(color)
+        parts["op"].append(G.get_opacity(sk)[:, 0])
+        parts["scale"].append(scale)
+        parts["rot"].append(rot)
+        parts["mask"].append(sk_act)
+        if meta.num_classes:
+            parts["sem"].append(G.get_semantic(sk, meta.semantic_mode))
 
     cat = lambda xs: jnp.concatenate(xs, axis=0)
     return ComposedScene(
@@ -292,4 +355,7 @@ def submodel_slices(models: SceneModels, include_background=True):
         o_cnt, a_cap = models.actors.xyz.shape[:2]
         for o in range(o_cnt):
             out.append((f"obj_{o}", ofs + o * a_cap, a_cap))
+        ofs += o_cnt * a_cap
+    if models.sky_gauss is not None and include_background:
+        out.append(("sky", ofs, models.sky_gauss.capacity))
     return out

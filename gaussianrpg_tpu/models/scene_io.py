@@ -99,6 +99,11 @@ def save_composite_ply(path: str, models, actor_names=None):
             xyz, f_dc, f_rest, op, sc, rot, sem = _active_np(p, n_act)
             elements[f"vertex_{name}"] = gaussian_to_struct(
                 xyz, f_dc, f_rest, op, sc, rot, sem)
+    if getattr(models, "sky_gauss", None) is not None:
+        xyz, f_dc, f_rest, op, sc, rot, sem = _active_np(
+            models.sky_gauss, int(models.sky_gauss_aux.n_active))
+        elements["vertex_sky"] = gaussian_to_struct(
+            xyz, f_dc, f_rest, op, sc, rot, sem)
     write_ply(path, elements)
 
 

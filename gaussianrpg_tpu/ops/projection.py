@@ -102,7 +102,13 @@ def compute_cov2d(
     clamp applied to the view-space point before building J.
     """
     t = transform_point_4x3(mean3d, viewmatrix)
-    tx, ty, tz = t[..., 0], t[..., 1], t[..., 2]
+    tx, ty = t[..., 0], t[..., 1]
+    # NaN-free guard: points at/behind the camera plane are CULLED (near
+    # plane z <= 0.2), but their 1/tz Jacobian would still NaN-poison
+    # gradients of every masked consumer (0-cotangent x NaN = NaN; padding
+    # slots sit exactly at tz == 0 when a camera passes the origin).
+    # Clamping is EXACT for every visible gaussian (tz > 0.2 untouched).
+    tz = jnp.maximum(t[..., 2], 0.2)
     # the frustum clamp is a property of the PHYSICAL camera; strip-sharded
     # rendering (parallel/sharded.py) passes the full-camera tangents here
     # while focal/height describe only the strip
@@ -216,7 +222,12 @@ def preprocess(
     in_front = p_view[..., 2] > 0.2
 
     p_hom = transform_point_4x4(means3d, projmatrix)
-    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    denom = p_hom[..., 3] + 1e-7
+    # NaN-free: a culled point can land exactly on denom == 0 (the CUDA
+    # kernel early-returns before this division; autodiff cannot)
+    denom = jnp.where(jnp.abs(denom) < 1e-7,
+                      jnp.where(denom < 0, -1e-7, 1e-7), denom)
+    p_w = 1.0 / denom
     p_proj = p_hom[..., :3] * p_w[..., None]
 
     if cov3d_precomp is not None:

@@ -127,6 +127,8 @@ class TrainState:
 def _learnables(models: SceneModels):
     """The trainable sub-pytree of SceneModels (aux/static excluded)."""
     out = dict(background=models.background, actors=models.actors)
+    if models.sky_gauss is not None:
+        out["sky_gauss"] = models.sky_gauss
     if models.actor_pose is not None and models.actor_pose.opt_track:
         out["actor_pose"] = dict(opt_trans=models.actor_pose.opt_trans,
                                  opt_rots=models.actor_pose.opt_rots)
@@ -146,6 +148,8 @@ def _learnables(models: SceneModels):
 def _with_learnables(models: SceneModels, lrn) -> SceneModels:
     models = models.replace(background=lrn["background"],
                             actors=lrn["actors"])
+    if "sky_gauss" in lrn:
+        models = models.replace(sky_gauss=lrn["sky_gauss"])
     if "actor_pose" in lrn:
         models = models.replace(actor_pose=models.actor_pose.replace(
             opt_trans=lrn["actor_pose"]["opt_trans"],
@@ -166,7 +170,8 @@ def _with_learnables(models: SceneModels, lrn) -> SceneModels:
     return models
 
 
-def _lr_tree(lrn, cfg: OptimConfig, step, actor_extent=None):
+def _lr_tree(lrn, cfg: OptimConfig, step, actor_extent=None,
+             sky_spatial=None):
     """Per-leaf learning rates (the reference's per-group Adam LRs with the
     log-lerp xyz schedule, `gaussian_model.py:292-310,320-325`; actors use
     the `_obj` overrides and per-actor bbox spatial scale,
@@ -212,6 +217,18 @@ def _lr_tree(lrn, cfg: OptimConfig, step, actor_extent=None):
 
     out = dict(background=gauss_lrs(lrn["background"]),
                actors=actor_lrs(lrn["actors"]))
+    if "sky_gauss" in lrn:
+        # the reference sky model passes sphere_radius as its
+        # spatial_lr_scale (`gaussian_model_sky.create_from_pcd`)
+        sky_xyz_lr = exp_lr_schedule(
+            cfg.position_lr_init, cfg.position_lr_final,
+            cfg.position_lr_max_steps,
+            lr_delay_mult=cfg.position_lr_delay_mult,
+            lr_delay_steps=0)(step) * (
+                sky_spatial if sky_spatial is not None
+                else cfg.spatial_lr_scale)
+        out["sky_gauss"] = gauss_lrs(lrn["sky_gauss"]).replace(
+            xyz=sky_xyz_lr)
     if "actor_pose" in lrn:
         out["actor_pose"] = dict(opt_trans=cfg.track_position_lr,
                                  opt_rots=cfg.track_rotation_lr)
@@ -378,9 +395,12 @@ def make_train_step(meta: SceneMeta, arrays: SceneArrays,
             res = _render(models, camera, key, off, sink,
                           active_sh_degree=active_sh_degree)
             from ..models.scene_graph import compose
-            scene_op = jax.lax.stop_gradient(jax.nn.sigmoid(jnp.concatenate(
-                [models.background.opacity[:, 0],
-                 models.actors.opacity[..., 0].reshape(-1)])))
+            op_parts = [models.background.opacity[:, 0],
+                        models.actors.opacity[..., 0].reshape(-1)]
+            if models.sky_gauss is not None:
+                op_parts.append(models.sky_gauss.opacity[:, 0])
+            scene_op = jax.lax.stop_gradient(
+                jax.nn.sigmoid(jnp.concatenate(op_parts)))
             loss, scalars = compute_losses(
                 res, batch, models, meta, cfg, res.visibility, scene_op,
                 camera=camera)
@@ -416,7 +436,8 @@ def make_train_step(meta: SceneMeta, arrays: SceneArrays,
             loss_fn, argnums=(0, 1, 2), has_aux=True)(lrn, off0, sink0)
         g_lrn, g_off, g_sink = grads
 
-        lrs = _lr_tree(lrn, cfg, state.step, actor_extent=a_ext)
+        lrs = _lr_tree(lrn, cfg, state.step, actor_extent=a_ext,
+                       sky_spatial=arrays.sphere_radius)
         new_lrn, new_adam = G.adam_update(lrn, g_lrn, state.adam, lrs)
         models = _with_learnables(state.models, new_lrn)
         scalars["overflow"] = res.overflow

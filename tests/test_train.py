@@ -410,3 +410,84 @@ def test_obj_acc_and_boxreg_losses_active():
     assert np.isfinite(float(loss))
     assert "obj_acc" in scalars and np.isfinite(float(scalars["obj_acc"]))
     assert "box_reg" in scalars and float(scalars["box_reg"]) >= 0
+
+
+def test_sky_gaussians_submodel():
+    """Config-gated trainable sky-sphere Gaussians
+    (`gaussian_model_sky.py:10`): composite render shows them, the
+    objects-only pass excludes them, inside-sphere points are pushed to
+    the 2r shell, and one train step moves their parameters."""
+    from gaussianrpg_tpu.models.scene_graph import (sky_sphere_xyz,
+                                                    total_capacity)
+
+    models, meta, arrays = _tiny_scene()
+    meta2 = meta.replace(include_sky_gaussians=True)
+    r = float(arrays.sphere_radius)
+    c = np.asarray(arrays.sphere_center)
+
+    # red sky blobs straight ahead (+z view direction) at the 2.5r shell
+    rng = np.random.default_rng(3)
+    n_sky = 64
+    dirs = rng.normal(0, 0.15, (n_sky, 3)).astype(np.float32)
+    dirs[:, 2] = 1.0
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    pts = (c[None] + 2.5 * r * dirs).astype(np.float32)
+    cols = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (n_sky, 1))
+    sky_p, sky_aux = G.init_from_points(pts, cols, 128, meta.bkgd_sh_degree,
+                                        init_opacity=0.9)
+    sky_p = sky_p.replace(
+        scaling=jnp.where(jnp.arange(128)[:, None] < n_sky,
+                          np.log(0.15 * r), sky_p.scaling))
+    models2 = models.replace(sky_gauss=sky_p, sky_gauss_aux=sky_aux)
+
+    cam = make_cameras(n_frames=2, width=64, height=48)[0]
+    r_no = render_scene(models, meta, arrays, cam, active_sh_degree=1,
+                        options=OPTS)
+    r_sky = render_scene(models2, meta2, arrays, cam, active_sh_degree=1,
+                         options=OPTS)
+    # the sky layer adds red where the street scene left gaps
+    assert float((r_sky.rgb[0] - r_no.rgb[0]).max()) > 0.1
+
+    # objects-only pass excludes the sky submodel (reference
+    # get_visibility: 'sky' not in include_list=['obj_...'])
+    ro_sky = render_scene(models2, meta2, arrays, cam, active_sh_degree=1,
+                          options=OPTS, include_background=False)
+    ro_no = render_scene(models, meta, arrays, cam, active_sh_degree=1,
+                         options=OPTS, include_background=False)
+    np.testing.assert_allclose(np.asarray(ro_sky.rgb),
+                               np.asarray(ro_no.rgb), atol=1e-6)
+
+    # inside-sphere points project out to the 2r shell
+    inside = jnp.asarray(c[None] + 0.3 * r * dirs[:4])
+    out = sky_sphere_xyz(inside, arrays.sphere_center, arrays.sphere_radius)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(out - arrays.sphere_center, axis=-1)),
+        2.0 * r, rtol=1e-5)
+
+    # one train step against the no-sky render as GT: gradients reach the
+    # sky params (the red blobs must fade -> opacity/features move)
+    n_total = total_capacity(models2)
+    cfg = OptimConfig(lambda_dssim=0.0)
+    step_fn = make_train_step(meta2, arrays, cfg, OPTS, n_total)
+    state = init_train_state(models2)
+    batch = Batch(gt_image=jnp.asarray(r_no.rgb))
+    state2, loss, scalars, _ = step_fn(state, cam, batch,
+                                       jax.random.PRNGKey(0), 1)
+    # every sky leaf stays FINITE (padding slots sit on the sphere center,
+    # where a naive norm gradient NaN-poisons the whole submodel) and the
+    # visible blobs actually move
+    for leaf in jax.tree.leaves(state2.models.sky_gauss):
+        assert bool(jnp.isfinite(leaf).all())
+    d_op = np.abs(np.asarray(
+        state2.models.sky_gauss.opacity - models2.sky_gauss.opacity))
+    assert d_op[:n_sky].max() > 0
+    d_xyz = np.abs(np.asarray(
+        state2.models.sky_gauss.xyz - models2.sky_gauss.xyz))
+    assert np.isfinite(d_xyz).all() and d_xyz[:n_sky].max() > 0
+
+    # opacity reset fans out to the sky submodel too
+    from gaussianrpg_tpu.apps.train import apply_opacity_reset
+    state3 = apply_opacity_reset(state2, meta2)
+    new_op = jax.nn.sigmoid(np.asarray(
+        state3.models.sky_gauss.opacity[:n_sky]))
+    assert float(new_op.max()) <= 0.011
