@@ -257,7 +257,10 @@ def primitive_fields(
     if colors is None:
         assert shs is not None
         dirs = means3d - camera.cam_center
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+        # rsqrt of the clamped square-norm: NaN-free value AND gradient
+        # for gaussians sitting exactly at the camera center
+        dirs = dirs * jax.lax.rsqrt(jnp.maximum(
+            jnp.sum(dirs * dirs, -1, keepdims=True), 1e-24))
         colors, _ = sh_to_rgb_clamped(sh_degree, shs, dirs)
 
     means2d = pre.means2d
@@ -337,53 +340,69 @@ def blend_fields(
     visible = fs.radii > 0
     key = jnp.where(visible, fs.depths, jnp.inf)
     order = jax.lax.stop_gradient(jnp.argsort(key, stable=True))
-
-    # Ride the tile rect on the wide row take: narrow [N,2] gathers cost
-    # several ms each on TPU while extra columns on a wide row gather are
-    # nearly free, so the rect (and the visibility it encodes — culled
-    # rows are zeroed, so rect_max > rect_min iff the Gaussian survives)
-    # is packed into the trailing zero-padding columns of the field table
-    # and recovered after the sort instead of being gathered separately.
-    rectf = jnp.concatenate([fs.rect_min, fs.rect_max], axis=1).astype(
-        fs.fields.dtype)
-    rectf = jnp.where(visible[:, None], rectf, 0.0)
-    rectf = jax.lax.stop_gradient(rectf)
-    spare = nf - (NF_BASE + fs.s_ch)
-    if spare >= 4:
-        rect_col = nf - 4
-        ext = jnp.concatenate([fs.fields[:, :rect_col], rectf], axis=1)
-    else:
-        rect_col = nf
-        ext = jnp.concatenate([fs.fields, rectf], axis=1)
-        pad = -ext.shape[1] % 8
-        if pad:
-            ext = jnp.concatenate(
-                [ext, jnp.zeros((n, pad), ext.dtype)], axis=1)
-
-    if train_mode:
-        # permutation-aware gather: the transpose is a gather by the
-        # inverse permutation instead of XLA's scatter-add
-        inv_order = jax.lax.stop_gradient(jnp.argsort(order))
-        ext_sorted = _perm_take(ext, order, inv_order)
-    else:
-        ext_sorted = jnp.take(ext, order, axis=0)   # [N, NF(+4)]
-    rect_s = jax.lax.stop_gradient(
-        ext_sorted[:, rect_col:rect_col + 4]).astype(jnp.int32)
-    rect_min_s = rect_s[:, 0:2]
-    rect_max_s = rect_s[:, 2:4]
-    visible_s = (rect_max_s[:, 0] > rect_min_s[:, 0]) & (
-        rect_max_s[:, 1] > rect_min_s[:, 1])
-    # blend ignores columns past NF_BASE + s_ch, so when the rect rode the
-    # padding the sorted table feeds the pair gather as-is (same width)
-    fields_sorted = ext_sorted if spare >= 4 else ext_sorted[:, :nf]
     s_ch = fs.s_ch
 
-    # the gm-expansion ride (extra sort operand) is only built when the
-    # caller wires gradient hooks — eval renders skip its cost
-    lists = binning.build_pair_lists(
-        rect_min_s, rect_max_s, visible_s, W, H, capacity,
-        ride_gm=train_mode, tile_x=fs.tile_x, tile_y=fs.tile_y,
-        sub_chunks=sub_chunks)
+    ntx, nty = binning.tile_grid_dims(W, H, fs.tile_x, fs.tile_y)
+    if binning.emit_active(n, ntx * nty):
+        # Emission path: the sort key carries each gaussian's depth RANK,
+        # so the field table never needs to be depth-sorted/materialized
+        # (the wide 600k-row perm-take and — in training — its VJP twin
+        # gather both disappear). rank = inverse of the depth permutation.
+        rank = jax.lax.stop_gradient(jnp.argsort(order))
+        rect_min = jnp.where(visible[:, None], fs.rect_min, 0)
+        rect_max = jnp.where(visible[:, None], fs.rect_max, 0)
+        lists = binning.build_pair_lists(
+            rect_min, rect_max, visible, W, H, capacity,
+            ride_gm=train_mode, tile_x=fs.tile_x, tile_y=fs.tile_y,
+            sub_chunks=sub_chunks, rank=rank)
+        fields_sorted = fs.fields          # pair_src: ORIGINAL indices
+    else:
+        # Ride the tile rect on the wide row take: narrow [N,2] gathers
+        # cost several ms each on TPU while extra columns on a wide row
+        # gather are nearly free, so the rect (and the visibility it
+        # encodes — culled rows are zeroed, so rect_max > rect_min iff the
+        # Gaussian survives) is packed into the trailing zero-padding
+        # columns of the field table and recovered after the sort instead
+        # of being gathered separately.
+        rectf = jnp.concatenate([fs.rect_min, fs.rect_max], axis=1).astype(
+            fs.fields.dtype)
+        rectf = jnp.where(visible[:, None], rectf, 0.0)
+        rectf = jax.lax.stop_gradient(rectf)
+        spare = nf - (NF_BASE + fs.s_ch)
+        if spare >= 4:
+            rect_col = nf - 4
+            ext = jnp.concatenate([fs.fields[:, :rect_col], rectf], axis=1)
+        else:
+            rect_col = nf
+            ext = jnp.concatenate([fs.fields, rectf], axis=1)
+            pad = -ext.shape[1] % 8
+            if pad:
+                ext = jnp.concatenate(
+                    [ext, jnp.zeros((n, pad), ext.dtype)], axis=1)
+
+        if train_mode:
+            # permutation-aware gather: the transpose is a gather by the
+            # inverse permutation instead of XLA's scatter-add
+            inv_order = jax.lax.stop_gradient(jnp.argsort(order))
+            ext_sorted = _perm_take(ext, order, inv_order)
+        else:
+            ext_sorted = jnp.take(ext, order, axis=0)   # [N, NF(+4)]
+        rect_s = jax.lax.stop_gradient(
+            ext_sorted[:, rect_col:rect_col + 4]).astype(jnp.int32)
+        rect_min_s = rect_s[:, 0:2]
+        rect_max_s = rect_s[:, 2:4]
+        visible_s = (rect_max_s[:, 0] > rect_min_s[:, 0]) & (
+            rect_max_s[:, 1] > rect_min_s[:, 1])
+        # blend ignores columns past NF_BASE + s_ch, so when the rect rode
+        # the padding the sorted table feeds the pair gather as-is
+        fields_sorted = ext_sorted if spare >= 4 else ext_sorted[:, :nf]
+
+        # the gm-expansion ride (extra sort operand) is only built when the
+        # caller wires gradient hooks — eval renders skip its cost
+        lists = binning.build_pair_lists(
+            rect_min_s, rect_max_s, visible_s, W, H, capacity,
+            ride_gm=train_mode, tile_x=fs.tile_x, tile_y=fs.tile_y,
+            sub_chunks=sub_chunks)
 
     # gather the flat pair data [P_pad, NF]; padding slots zeroed (their
     # zero opacity/radius makes the kernel skip them); see _take8 /

@@ -307,18 +307,79 @@ def test_legacy_packed_markers_match_take_rows(scatter_cols):
     from gaussianrpg_tpu.ops import binning
     means, opac, kw, _ = _setup(n=400, seed=7)
     assert binning.TAKE_ROWS and not binning.SCATTER_COLS  # defaults
-    new = rasterize(means, opac, capacity=8192, interpret=True, **kw)
-    binning.TAKE_ROWS = False
-    binning.SCATTER_COLS = scatter_cols
+    binning.EMIT_PAIRS = False  # compare WITHIN the marker family
     try:
+        new = rasterize(means, opac, capacity=8192, interpret=True, **kw)
+        binning.TAKE_ROWS = False
+        binning.SCATTER_COLS = scatter_cols
         legacy = rasterize(means, opac, capacity=8192, interpret=True, **kw)
     finally:
+        binning.EMIT_PAIRS = True
         binning.TAKE_ROWS = True
         binning.SCATTER_COLS = False
     np.testing.assert_array_equal(np.asarray(new.color),
                                   np.asarray(legacy.color))
     np.testing.assert_array_equal(np.asarray(new.alpha),
                                   np.asarray(legacy.alpha))
+
+
+@pytest.mark.parametrize("emit_k", [1, 2, 4])
+def test_emit_expansion_matches_take_rows(emit_k):
+    """The transposed K-slot emission (default) must produce EXACTLY the
+    marker expansion's pair lists — same tile-major depth-ordered src,
+    same padding placement, same gm ride — across head/tail splits
+    (emit_k=1 routes almost everything through the compacted tail)."""
+    from gaussianrpg_tpu.ops import binning
+    rng = np.random.default_rng(11)
+    n, W, H = 300, 96, 64
+    ntx, nty = binning.tile_grid_dims(W, H, 16, 16)
+    x0 = rng.integers(0, ntx, n)
+    y0 = rng.integers(0, nty, n)
+    x1 = np.minimum(x0 + rng.integers(0, 5, n), ntx)
+    y1 = np.minimum(y0 + rng.integers(0, 4, n), nty)
+    rect_min = jnp.asarray(np.stack([x0, y0], -1).astype(np.int32))
+    rect_max = jnp.asarray(np.stack([x1, y1], -1).astype(np.int32))
+    visible = jnp.asarray(rng.random(n) < 0.9)
+    old_k = binning.EMIT_K
+    binning.EMIT_K = emit_k
+    try:
+        em = binning.build_pair_lists(rect_min, rect_max, visible, W, H,
+                                      8192, ride_gm=True)
+        binning.EMIT_PAIRS = False
+        tr = binning.build_pair_lists(rect_min, rect_max, visible, W, H,
+                                      8192, ride_gm=True)
+    finally:
+        binning.EMIT_PAIRS = True
+        binning.EMIT_K = old_k
+    np.testing.assert_array_equal(np.asarray(em.pair_src),
+                                  np.asarray(tr.pair_src))
+    np.testing.assert_array_equal(np.asarray(em.pair_gm),
+                                  np.asarray(tr.pair_gm))
+    np.testing.assert_array_equal(np.asarray(em.chunk_meta),
+                                  np.asarray(tr.chunk_meta))
+    np.testing.assert_array_equal(np.asarray(em.tile_nonempty),
+                                  np.asarray(tr.tile_nonempty))
+    assert int(em.raw_total) == int(tr.raw_total)
+    assert int(em.padded_total) == int(tr.padded_total)
+
+    # rank mode: permute the inputs to a scrambled "original" order and
+    # pass the depth rank instead — pair_src must come back as original
+    # indices that map to the same depth-sorted gaussians
+    binning.EMIT_K = emit_k
+    perm = rng.permutation(n)          # original[i] = sorted[perm[i]]...
+    inv = np.argsort(perm)             # sorted row j lives at original inv[j]
+    try:
+        rk = binning.build_pair_lists(
+            rect_min[perm], rect_max[perm], visible[perm], W, H, 8192,
+            ride_gm=True, rank=jnp.asarray(perm.astype(np.int32)))
+    finally:
+        binning.EMIT_K = old_k
+    src_rank = np.asarray(rk.pair_src)
+    src_ref = np.asarray(em.pair_src)
+    # translate: rank-mode src are original indices; inv[sorted_idx] is the
+    # original index of the sorted row
+    expect = np.where(src_ref >= 0, inv[np.maximum(src_ref, 0)], -1)
+    np.testing.assert_array_equal(src_rank, expect)
 
 
 def test_bench_tiling_matches_numpy_same_tiling():

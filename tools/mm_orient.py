@@ -1,0 +1,100 @@
+"""MXU contraction-orientation microbench for the bwd moment matmul.
+
+A: (4G, P) x (P, C)   — current kernel form; tiny N=C pads to 128 lanes
+B: (C, P) x (P, 4G)   — swapped; tiny C pads to 8 sublanes as M
+each at C=16 (the ng_cols width), f32 HIGHEST, inside a Pallas grid of
+9216 steps (the bench chunk count), all steps executing.
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/mm_orient.py
+"""
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    G4, P, C = 512, 2048, 16
+    N_STEPS = 9216
+
+    def mk(form):
+        def kernel(x_ref, out_ref, st_s, ba_s, acc_s):
+            c = pl.program_id(0)
+
+            @pl.when(c == 0)
+            def _():
+                st_s[...] = jnp.full((G4, P), 0.5, jnp.float32)
+                if form == "A":
+                    ba_s[...] = jnp.full((P, C), 0.25, jnp.float32)
+                else:
+                    ba_s[...] = jnp.full((C, P), 0.25, jnp.float32)
+                acc_s[...] = jnp.zeros_like(acc_s)
+
+            x = st_s[...] + x_ref[0, 0]
+            if form == "A":
+                mom = jax.lax.dot_general(
+                    x, ba_s[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)      # (4G, C)
+            elif form == "B":
+                mom = jax.lax.dot_general(
+                    ba_s[...], x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)      # (C, 4G)
+            else:  # "B+T": swapped matmul plus the (C, 4G)->(4G, C) move
+                momt = jax.lax.dot_general(
+                    ba_s[...], x, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
+                mom = momt.T
+            acc_s[...] += mom
+
+            @pl.when(c == N_STEPS - 1)
+            def _():
+                out_ref[...] = acc_s[...]
+
+        acc_shape = (C, G4) if form == "B" else (G4, C)
+        ba_shape = (C, P) if form != "A" else (P, C)
+        return pl.pallas_call(
+            kernel,
+            grid=(N_STEPS,),
+            in_specs=[pl.BlockSpec((1, 128), lambda c: (0, 0))],
+            out_specs=pl.BlockSpec(acc_shape, lambda c: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((G4, P), jnp.float32),
+                            pltpu.VMEM(ba_shape, jnp.float32),
+                            pltpu.VMEM(acc_shape, jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct(acc_shape, jnp.float32),
+        )
+
+    x = jnp.ones((1, 128), jnp.float32)
+    K = 3
+    for form in ("A", "B", "B+T"):
+        call = mk(form)
+
+        def chain(k, call=call):
+            @jax.jit
+            def run(x):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    acc += jnp.sum(call(x * (1.0 + 1e-6 * i)))
+                return acc
+            return run
+
+        r1, rk = chain(1), chain(K)
+        float(r1(x)); float(rk(x))
+        t1s, tks = [], []
+        for rep in range(3):
+            xv = x * (1.0 + 1e-7 * rep)
+            t0 = time.time(); float(r1(xv)); t1s.append(time.time() - t0)
+            t0 = time.time(); float(rk(xv)); tks.append(time.time() - t0)
+        ms = (float(np.median(tks)) - float(np.median(t1s))) / (K - 1) * 1e3
+        print(f"{form:5s} {ms:8.2f} ms  ({ms / N_STEPS * 1e3:.3f} us/step)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

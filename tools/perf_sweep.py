@@ -62,15 +62,19 @@ def main():
     quick = len(sys.argv) > 1 and sys.argv[1] == "quick"
 
     # (tile_x, tile_y, sub_chunks, capacity or None=suggest)
+    # round-3b: re-sweep tiling/sub under the emission binning (pairs are
+    # cheaper now, so smaller tiles — less pixel work per pair, earlier
+    # saturation skips — may win the TRAIN step where the bwd kernel's
+    # pair-x-pixel compute dominates)
     configs = [
         (64, 32, 1, 1_179_648),   # r2 bench baseline
+        (64, 32, 1, None),
         (64, 32, 2, None),
-        (64, 32, 4, None),
-        (64, 32, 8, None),
-        (64, 32, 1, None),        # right-size only
-        (96, 32, 4, None),
-        (64, 64, 4, None),
-        (128, 32, 4, None),
+        (32, 32, 1, None),
+        (32, 32, 2, None),
+        (48, 32, 1, None),
+        (64, 16, 1, None),
+        (96, 32, 1, None),
     ]
     if quick:
         configs = configs[:4]
