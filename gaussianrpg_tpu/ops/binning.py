@@ -246,7 +246,12 @@ def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
     gm_e = offs[:, None] + kk
 
     # --- tail: rects bigger than K, compacted then marker-expanded -------
-    tail_cap = max(65536, p_max // 4 // 65536 * 65536)
+    # the compacted-tail machinery (argsort slice + narrow takes + marker
+    # scatter) scales with big_cap, so keep it SMALL and let the standard
+    # overflow grow-and-retry raise it with the capacity: big_cap=tail_cap
+    # measured a 40 ms regression on the bench scene (EMIT_K must stay
+    # above the area median so the tail holds only the rare big rects)
+    tail_cap = max(65536, p_max // 8 // 65536 * 65536)
     big_cap = min(max(8192, tail_cap // 16), n)
     area_t = jnp.maximum(area - K, 0)
     big = area_t > 0

@@ -262,6 +262,10 @@ def _make_fwd_kernel(ntx, s_ch, tx, ty, sub):
                 done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
                 acc_s[...] = jnp.zeros((c_feat, n_pix), jnp.float32)
 
+            # NOTE: an SMEM all-done flag (reduction only on executed
+            # chunks, scalar check on skipped ones) measured a NET
+            # regression here (bench 25.0 -> 23.5 FPS) — the per-step
+            # scalar<->vector sync costs more than the 2048-lane sum saves
             n_done = jnp.sum(done_s[...])
 
             @pl.when((valid == 1) & (n_done < n_pix))
@@ -309,7 +313,7 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
     n_pix = tx * ty
 
     def kernel(cm_ref, bg_ref, gdata_ref, out_ref, dout_ref, grad_ref,
-               t_run_s, done_s, pref_s, gmat_s):
+               t_run_s, done_s, pref_s, gmat_s, tile_s):
         c = pl.program_id(0)
         bg0, bg1, bg2 = bg_ref[0], bg_ref[1], bg_ref[2]
         gmat_s[...] = jnp.zeros((sub * G_CHUNK, ng_cols), jnp.float32)
@@ -327,11 +331,10 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 t_run_s[...] = jnp.ones((1, n_pix), jnp.float32)
                 done_s[...] = jnp.zeros((1, n_pix), jnp.float32)
                 pref_s[...] = jnp.zeros((1, n_pix), jnp.float32)
-
-            n_done = jnp.sum(done_s[...])
-
-            @pl.when((valid == 1) & (n_done < n_pix))
-            def _():
+                # per-TILE constants, cached once instead of recomputed by
+                # all ~11 chunks of the tile: the cotangent-folded totals
+                # (backward.cu:468 identity), the bg dot, and the moment
+                # basis [1, px, py, px^2, px*py, py^2, dL/dpix...]
                 outs = out_ref[0, :, :]                   # (NFO, P)
                 g_pix = dout_ref[0, :, :]                 # (NFO, P)
                 t_final = 1.0 - outs[4:5]                 # (1, P)
@@ -343,9 +346,26 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                     + ([outs[5:5 + s_ch]] if s_ch else []),
                     axis=0,
                 )                                         # (C_f, P)
-                tot_e = jnp.sum(tot * g_pix, axis=0, keepdims=True)
-                bg_dot = (g_pix[0:1] * bg0 + g_pix[1:2] * bg1
-                          + g_pix[2:3] * bg2)             # (1, P)
+                px, py = _pixel_rows(tile_x, tile_y, tx, ty)
+                pxl = px - jnp.float32(tx) * tile_x
+                pyl = py - jnp.float32(ty) * tile_y
+                tile_s[0:1] = jnp.sum(tot * g_pix, axis=0,
+                                      keepdims=True)      # tot_e
+                tile_s[1:2] = (g_pix[0:1] * bg0 + g_pix[1:2] * bg1
+                               + g_pix[2:3] * bg2)        # bg_dot
+                tile_s[2:3] = t_final
+                tile_s[3:9] = jnp.concatenate(
+                    [jnp.ones((1, n_pix), jnp.float32), pxl, pyl,
+                     pxl * pxl, pxl * pyl, pyl * pyl], axis=0)
+
+            n_done = jnp.sum(done_s[...])
+
+            @pl.when((valid == 1) & (n_done < n_pix))
+            def _():
+                g_pix = dout_ref[0, :, :]                 # (NFO, P)
+                tot_e = tile_s[0:1]
+                bg_dot = tile_s[1:2]
+                t_final = tile_s[2:3]
 
                 px, py = _pixel_rows(tile_x, tile_y, tx, ty)
                 gd = (gdata_ref if sub == 1
@@ -383,11 +403,8 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 # amplify f32 eps by (px/dx)^2).
                 txo = jnp.float32(tx) * tile_x
                 tyo = jnp.float32(ty) * tile_y
-                pxl = px - txo
-                pyl = py - tyo
                 basis = jnp.concatenate(
-                    [jnp.ones((1, n_pix), jnp.float32), pxl, pyl, pxl * pxl,
-                     pxl * pyl, pyl * pyl, g_pix], axis=0)  # (6+NFO, P)
+                    [tile_s[3:9], g_pix], axis=0)         # (6+NFO, P)
                 stacked = jnp.concatenate([q, q2, absp, w], axis=0)  # (4G,P)
                 mom = _mm_pp(basis, stacked).T            # (4G, 6+NFO)
                 mq = mom[0:G_CHUNK]
@@ -498,6 +515,7 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret,
                 pltpu.VMEM((1, n_pix), jnp.float32),       # pref_e
                 pltpu.VMEM((sub * G_CHUNK, ng_cols),
                            jnp.float32),                   # gmat
+                pltpu.VMEM((9, n_pix), jnp.float32),       # per-tile cache
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_steps, sub * G_CHUNK, ng_cols),

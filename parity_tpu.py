@@ -86,11 +86,15 @@ def main():
         np.asarray(fwd_with(tight_rect=False).color) - base_color).max())
     knobs["sub_chunks_2"] = float(np.abs(
         np.asarray(fwd_with(sub_chunks=2).color) - base_color).max())
-    # legacy binning paths A/B'd against the default (TAKE_ROWS=True,
-    # SCATTER_COLS=False): the packed-marker expansion, in both scatter
-    # layouts (SCATTER_COLS only affects the legacy path)
-    assert binning.TAKE_ROWS and not binning.SCATTER_COLS
+    # alternate binning paths A/B'd against the default (EMIT_PAIRS
+    # transposed emission): the marker take-rows path, then the legacy
+    # packed-marker expansion in both scatter layouts
+    assert binning.EMIT_PAIRS and binning.TAKE_ROWS \
+        and not binning.SCATTER_COLS
     try:
+        binning.EMIT_PAIRS = False
+        knobs["marker_take_rows"] = float(np.abs(
+            np.asarray(fwd_with().color) - base_color).max())
         binning.TAKE_ROWS = False
         knobs["legacy_packed_markers"] = float(np.abs(
             np.asarray(fwd_with().color) - base_color).max())
@@ -98,6 +102,7 @@ def main():
         knobs["legacy_scatter_cols"] = float(np.abs(
             np.asarray(fwd_with().color) - base_color).max())
     finally:
+        binning.EMIT_PAIRS = True
         binning.TAKE_ROWS = True
         binning.SCATTER_COLS = False
 
@@ -105,7 +110,7 @@ def main():
     # measured at (large tiles + sub-chunked grid) vs the numpy scalar
     # oracle AT THE SAME TILING (candidate sets are tile-rect-based, so
     # only same-tiling comparisons are exact) ------------------------------
-    bench_tx, bench_ty, bench_sub = 64, 32, 4
+    bench_tx, bench_ty, bench_sub = 64, 32, 1  # bench.py's configuration
     pb = fwd_with(tile_x=bench_tx, tile_y=bench_ty, sub_chunks=bench_sub)
     ob = rasterize_np(means, opac, colors, np.asarray(cam.viewmatrix),
                       np.asarray(cam.projmatrix), W, H,
@@ -143,9 +148,9 @@ def main():
         bwd[f"grad_{name}_rel_err"] = float(np.abs(gp - go).max() / scale)
 
     # backward at the BENCH tiling: the oracle is 16x16-rect-based, so the
-    # same-tiling reference is the default-binning run at 64x32 — the
-    # hand-derived Pallas VJP + sort-free segment-sum must agree with the
-    # legacy binning expansion bit-for-bit up to f32 noise
+    # same-tiling reference is the marker-expansion run at 64x32 — the
+    # hand-derived Pallas VJP + sort-free segment-sum must agree across
+    # independent binning implementations bit-for-bit up to f32 noise
     def grad_bench(**extra):
         return jax.jit(jax.grad(
             lambda *a: loss(rasterize, *a, capacity=262144,
@@ -155,10 +160,10 @@ def main():
 
     gb_default = grad_bench()
     try:
-        binning.TAKE_ROWS = False
+        binning.EMIT_PAIRS = False
         gb_legacy = grad_bench()
     finally:
-        binning.TAKE_ROWS = True
+        binning.EMIT_PAIRS = True
     for name, gd, gl in zip(names, gb_default, gb_legacy):
         gd, gl = np.asarray(gd), np.asarray(gl)
         scale = np.abs(gd).max() + 1e-8

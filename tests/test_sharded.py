@@ -150,13 +150,14 @@ def test_sharded_2d_matches_single_device():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_2d_gradients_match():
     """Gradient exactness on the 2-axis mesh: reduce-scatter ownership
     along 'model' + psum along 'data' reproduces single-device grads.
     1 data strip x 2 model shards — the model-axis ownership is the
     unique signal here (the data-axis psum is covered by the production
-    trainer test); the minimal mesh keeps the interpret-mode autodiff
-    compile tractable."""
+    trainer test, which runs in the DEFAULT lane); slow-marked because the
+    interpret-mode autodiff dominates the suite (~190 s)."""
     from gaussianrpg_tpu.parallel.sharded import (make_mesh_2d,
                                                   render_sharded_2d)
     cam = make_test_camera(width=32, height=16)

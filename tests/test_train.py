@@ -13,7 +13,10 @@ from gaussianrpg_tpu.train.trainer import (Batch, OptimConfig,  # noqa: E402
                                            init_train_state, make_train_step)
 from gaussianrpg_tpu.utils.synthetic import make_cameras, make_scene  # noqa: E402
 
-OPTS = RenderOptions(capacity=65536, interpret=True, backend="pallas")
+# interpret mode pays per 128-pair grid step, so the static capacity IS
+# the suite's wall time: right-size it for the tiny scenes (they emit a
+# few thousand pairs; the overflow tests configure their own)
+OPTS = RenderOptions(capacity=16384, interpret=True, backend="pallas")
 
 
 def _tiny_scene():

@@ -1,0 +1,144 @@
+"""Sub-stage cost breakdown of the EMIT-path build_pair_lists on the real
+chip (chained-prefix method). Stages: counts matmul, head emission, tail,
+spares, final keyed sort (eval 2-op and train 3-op).
+
+Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/binning_trace2.py
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianrpg_tpu.ops import binning
+    from gaussianrpg_tpu.ops.rasterize import primitive_fields
+    from tools.perf_sweep import make_scene_args
+
+    cam, args, H, W = make_scene_args(jnp)
+    tx, ty = 64, 32
+    cap = 1_179_648
+
+    fs = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+    visible = jax.device_put(fs.radii > 0)
+    rect_min = jax.device_put(jnp.where(visible[:, None], fs.rect_min, 0))
+    rect_max = jax.device_put(jnp.where(visible[:, None], fs.rect_max, 0))
+    depths = jax.device_put(fs.depths)
+    ntx, nty = binning.tile_grid_dims(W, H, tx, ty)
+    n_tiles = ntx * nty
+    n = rect_min.shape[0]
+    K = binning.EMIT_K
+    gb = binning._EMIT_GB
+
+    def _pre(rmin, rmax, vis):
+        x0 = rmin[:, 0]
+        y0 = rmin[:, 1]
+        rw = jnp.maximum(rmax[:, 0] - x0, 0)
+        rh = jnp.maximum(rmax[:, 1] - y0, 0)
+        area = jnp.where(vis, rw * rh, 0).astype(jnp.int32)
+        offs = jnp.cumsum(area) - area
+        return x0, y0, rw, rh, area, offs
+
+    def p_rank(rmin, rmax, vis, dep):
+        order = jnp.argsort(jnp.where(vis, dep, jnp.inf), stable=True)
+        rank = jnp.argsort(order)
+        return jnp.sum(rank).astype(jnp.float32)
+
+    def p_counts(rmin, rmax, vis, dep):
+        x0, y0, rw, rh, area, offs = _pre(rmin, rmax, vis)
+        ix = jnp.arange(ntx, dtype=jnp.int32)[None, :]
+        iy = jnp.arange(nty, dtype=jnp.int32)[None, :]
+        x1 = x0[:, None] + jnp.where(area > 0, rw, 0)[:, None]
+        y1 = y0[:, None] + jnp.where(area > 0, rh, 0)[:, None]
+        indx = ((ix >= x0[:, None]) & (ix < x1)).astype(jnp.bfloat16)
+        indy = ((iy >= y0[:, None]) & (iy < y1)).astype(jnp.bfloat16)
+        counts = jax.lax.dot_general(
+            indy, indx, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.sum(counts)
+
+    def p_emit(rmin, rmax, vis, dep):
+        x0, y0, rw, rh, area, offs = _pre(rmin, rmax, vis)
+        order = jnp.argsort(jnp.where(vis, dep, jnp.inf), stable=True)
+        rank = jnp.argsort(order)
+        base0 = (y0 * ntx + x0).astype(jnp.int32)
+        rw_f = jnp.maximum(rw, 1).astype(jnp.float32)
+        kk = jnp.arange(K, dtype=jnp.int32)[None, :]
+        tile_e = binning._emit_decode(kk, rw_f[:, None], base0[:, None], ntx)
+        valid_e = kk < area[:, None]
+        key_e = jnp.where(valid_e, (tile_e << gb) | rank[:, None],
+                          binning._EMIT_SENT)
+        return jnp.sum(key_e).astype(jnp.float32)
+
+    def p_full_eval(rmin, rmax, vis, dep):
+        order = jnp.argsort(jnp.where(vis, dep, jnp.inf), stable=True)
+        rank = jnp.argsort(order)
+        lists = binning.build_pair_lists(rmin, rmax, vis, W, H, cap,
+                                         tile_x=tx, tile_y=ty, rank=rank)
+        return jnp.sum(lists.pair_src).astype(jnp.float32)
+
+    def p_full_train(rmin, rmax, vis, dep):
+        order = jnp.argsort(jnp.where(vis, dep, jnp.inf), stable=True)
+        rank = jnp.argsort(order)
+        lists = binning.build_pair_lists(rmin, rmax, vis, W, H, cap,
+                                         ride_gm=True,
+                                         tile_x=tx, tile_y=ty, rank=rank)
+        return (jnp.sum(lists.pair_src)
+                + jnp.sum(lists.pair_gm)).astype(jnp.float32)
+
+    def k_variant(k_emit, train):
+        def fn(rmin, rmax, vis, dep):
+            old = binning.EMIT_K
+            binning.EMIT_K = k_emit
+            try:
+                return (p_full_train if train else p_full_eval)(
+                    rmin, rmax, vis, dep)
+            finally:
+                binning.EMIT_K = old
+        return fn
+
+    stages = [("rank(2 argsorts)", p_rank), ("counts matmul", p_counts),
+              ("rank+emit keys", p_emit), ("FULL eval", p_full_eval),
+              ("FULL train(gm)", p_full_train),
+              ("FULL eval K=6", k_variant(6, False))]
+    K_REP = 5
+    report = {}
+    for name, fn in stages:
+        def chained(k, fn=fn):
+            @jax.jit
+            def run(rmin, rmax, vis, dep):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    acc += fn(jnp.minimum(rmin + i, rmax), rmax, vis,
+                              dep + np.float32(1e-3) * i)
+                return acc
+            return run
+
+        r1, rk = chained(1), chained(K_REP)
+        a = (rect_min, rect_max, visible, depths)
+        float(r1(*a))
+        float(rk(*a))
+        t1s, tks = [], []
+        for rep in range(3):
+            rm = rect_min - (rep % 2)
+            t0 = time.time()
+            float(r1(rm, rect_max, visible, depths))
+            t1s.append(time.time() - t0)
+            t0 = time.time()
+            float(rk(rm, rect_max, visible, depths))
+            tks.append(time.time() - t0)
+        ms = (float(np.median(tks)) - float(np.median(t1s))) / (K_REP - 1) \
+            * 1e3
+        report[name] = round(ms, 2)
+        print(f"{name:18s} {ms:7.2f} ms", flush=True)
+
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()

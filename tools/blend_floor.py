@@ -95,7 +95,8 @@ def main():
     def build(kernel, n_scratch):
         scratch = [pltpu.VMEM((1, n_pix), jnp.float32),
                    pltpu.VMEM((1, n_pix), jnp.float32),
-                   pltpu.VMEM((c_feat, n_pix), jnp.float32)][:n_scratch]
+                   pltpu.VMEM((c_feat, n_pix), jnp.float32),
+                   pltpu.SMEM((1,), jnp.int32)][:n_scratch]
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
