@@ -101,7 +101,18 @@ def main():
     # capacity = raw + per-tile chunk padding + headroom (overflow would
     # set lists.overflowed and mask tiles to background — checked below).
     tile_x, tile_y = 64, 32
-    capacity = 1_179_648
+    # right-size the pair capacity for the frozen scene: the emission
+    # binning freed capacity from the fused-fill 64K quantum, so a tight
+    # suggestion (exact aligned counts + 3% slack) shaves every
+    # capacity-linear stage; overflow would still be flagged loudly below
+    from gaussianrpg_tpu.ops.rasterize import primitive_fields, \
+        suggest_capacity
+    fs0 = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tile_x, tile_y=tile_y))(*args)
+    capacity = suggest_capacity(fs0, width=W, height=H, slack=1.03,
+                                quantum=8192)
+    del fs0
 
     # NOTE: the camera must be an ARGUMENT, not a closure capture — jitted
     # executables with captured device buffers degrade every subsequent

@@ -34,10 +34,17 @@ def initialize(coordinator_address: str | None = None,
                   or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
     if not (coordinator_address or on_pod):
         return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id)
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except RuntimeError as e:
+        # some runtimes (the tunneled axon plugin) initialize the XLA
+        # backend at import and advertise pod env vars on single-chip
+        # slices; proceed single-process rather than crash the app
+        print(f"jax.distributed.initialize skipped: {e}", flush=True)
+        return False
     return True
 
 

@@ -22,6 +22,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # the PALLAS kernels pin HIGHEST per-dot; the pure-JAX ORACLE does not,
+    # and on TPU the default matmul precision rounds f32 operands to bf16 —
+    # which degrades the REFERENCE side of the comparison (measured 3e-3
+    # grad "errors" that vanish at highest precision)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     sys.path.insert(0, "tests")
     from np_reference import rasterize_np
 
