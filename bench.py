@@ -52,8 +52,20 @@ def _require_backend(timeout_s: float = 180.0):
 
 def main():
     _require_backend()
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: the axon tunnel's remote compile runs
+    # 30s-10min per program on a cold queue — cache the compiled render /
+    # train-step executables across processes so reruns (and the driver's
+    # end-of-round run) skip it when the code is unchanged.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       "/tmp/gaussianrpg_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
     from gaussianrpg_tpu.render.camera import make_camera
     from gaussianrpg_tpu.ops.rasterize import rasterize

@@ -378,10 +378,12 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                     _blend_core(a, t_run, done)
                 feats = _feat_matrix(t, s_ch)             # (G, C_f)
 
-                # cotangent-folded feature e = sum_ch c_ch * g_ch  (G, P)
-                e = feats[:, 0:1] * g_pix[0:1]
-                for ch in range(1, c_feat):
-                    e = e + feats[:, ch:ch + 1] * g_pix[ch:ch + 1]
+                # cotangent-folded feature e = sum_ch c_ch * g_ch  (G, P):
+                # feats' columns align row-for-row with the output planes
+                # (r,g,b,depth,weight|alpha,sem), so the fold is one
+                # (G, C_f) x (C_f, P) MXU contraction instead of C_f fused
+                # multiply-adds over (G, P) vregs
+                e = _mm(feats, g_pix)
                 we = w * e
                 p_incl = pref_s[...] + _sub_cumsum(we)
                 inv_om = 1.0 / one_m
@@ -389,28 +391,33 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                     - (t_final * inv_om) * bg_dot
                 dl_da = jnp.where(contrib, dl_da, 0.0)
 
-                q = t["op"] * dl_da * a["g"]              # dL/dG * G (G,P)
                 q2 = a["g"] * dl_da                       # dL/d(opacity)
+                q = t["op"] * q2                          # dL/dG * G (G,P)
                 gxp = q * (-(t["ca"] * a["dx"] + t["cb"] * a["dy"]))
                 gyp = q * (-(t["cc"] * a["dy"] + t["cb"] * a["dx"]))
                 absp = half_w * jnp.abs(gxp) + half_h * jnp.abs(gyp)
 
-                # ONE small-N matmul produces every pixel reduction: moments
-                # of q/q2/|grad|/w against [1, px, py, px^2, px*py, py^2] and
-                # the dL/dpix channels (w rows -> color/depth/weight/sem
-                # grads). TILE-LOCAL pixel coordinates keep the moment
-                # recombination cancellation-free (global px^2 ~ 1e6 would
-                # amplify f32 eps by (px/dx)^2).
+                # TWO slim matmuls produce every pixel reduction: moments
+                # of q/q2/|grad| against [1, px, py, px^2, px*py, py^2] and
+                # w against the dL/dpix channels (-> color/depth/sem grads).
+                # A single (6+NFO)-row basis against all four row groups
+                # computes 4x(6+NFO) products of which only 12+S are ever
+                # read, and MXU cost scales with the basis rows' 8-granular
+                # sublane padding: 6-row and (4+S)-row bases both pad to 8
+                # vs the combined 11+S -> 16+ (measured 2x on the moment
+                # stage, tools/mm_orient.py). TILE-LOCAL pixel coordinates
+                # keep the moment recombination cancellation-free (global
+                # px^2 ~ 1e6 would amplify f32 eps by (px/dx)^2).
                 txo = jnp.float32(tx) * tile_x
                 tyo = jnp.float32(ty) * tile_y
-                basis = jnp.concatenate(
-                    [tile_s[3:9], g_pix], axis=0)         # (6+NFO, P)
-                stacked = jnp.concatenate([q, q2, absp, w], axis=0)  # (4G,P)
-                mom = _mm_pp(basis, stacked).T            # (4G, 6+NFO)
-                mq = mom[0:G_CHUNK]
-                mq2 = mom[G_CHUNK:2 * G_CHUNK]
-                mabs = mom[2 * G_CHUNK:3 * G_CHUNK]
-                mw = mom[3 * G_CHUNK:4 * G_CHUNK]
+                mom1 = _mm_pp(tile_s[3:9],
+                              jnp.concatenate([q, q2, absp], 0)).T  # (3G, 6)
+                mq = mom1[0:G_CHUNK]
+                mq2 = mom1[G_CHUNK:2 * G_CHUNK, 0:1]      # sum_p q2
+                mabs = mom1[2 * G_CHUNK:3 * G_CHUNK, 0:1]  # sum_p absp
+                gct = (jnp.concatenate([g_pix[0:4], g_pix[5:5 + s_ch]], 0)
+                       if s_ch else g_pix[0:4])           # r,g,b,depth,sem
+                mw = _mm_pp(gct, w).T                     # (G, 4+S)
 
                 s0, sx, sy = mq[:, 0:1], mq[:, 1:2], mq[:, 2:3]
                 sxx, sxy, syy = mq[:, 3:4], mq[:, 4:5], mq[:, 5:6]
@@ -428,13 +435,13 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                     -0.5 * qdxx,                          # d conic a
                     -qdxy,                                # d conic b
                     -0.5 * qdyy,                          # d conic c
-                    mq2[:, 0:1],                          # d opacity
-                    mw[:, 6:7], mw[:, 7:8], mw[:, 8:9],   # d r, g, b
-                    mw[:, 9:10],                          # d depth
-                    mabs[:, 0:1],                         # AbsGS stat
+                    mq2,                                  # d opacity
+                    mw[:, 0:1], mw[:, 1:2], mw[:, 2:3],   # d r, g, b
+                    mw[:, 3:4],                           # d depth
+                    mabs,                                 # AbsGS stat
                 ]
                 if s_ch:
-                    cols.append(mw[:, 11:11 + s_ch])
+                    cols.append(mw[:, 4:4 + s_ch])
                 pad = ng_cols - (NG_BASE + s_ch)
                 if pad:
                     cols.append(jnp.zeros((G_CHUNK, pad), jnp.float32))
