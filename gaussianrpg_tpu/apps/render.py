@@ -61,7 +61,8 @@ def main(argv=None):
 
     from ..config.config import load_config, make_argparser
     from ..render.renderer import (RenderOptions, options_from_cfg,
-                                   render_scene, render_until_fit)
+                                   probe_scene_capacity, render_scene,
+                                   render_until_fit)
 
     parser = make_argparser("gaussianrpg_tpu rendering")
     args = parser.parse_args(argv)
@@ -69,6 +70,14 @@ def main(argv=None):
 
     models, meta, arrays, cams, test_cams, sh = load_scene_for_eval(cfg)
     options = options_from_cfg(cfg.render)
+    if cfg.render.get("autosize", True):
+        sized = probe_scene_capacity(
+            models, meta, arrays,
+            [c for c, _ in cams] + [c for c, _ in (test_cams or [])],
+            active_sh_degree=sh, options=options, slack=1.15)
+        print(f"pair capacity right-sized to {sized.capacity} "
+              f"(cfg fallback {options.capacity})", flush=True)
+        options = sized
 
     render_jit = jax.jit(
         render_scene,

@@ -99,7 +99,8 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
     from ..models.scene_builder import build_scene_from_waymo
     from ..models.scene_io import load_latest_checkpoint
     from ..render.renderer import (RenderOptions, options_from_cfg,
-                                   render_scene, render_until_fit)
+                                   probe_scene_capacity, render_scene,
+                                   render_until_fit)
     from ..sim.detector import (BoxProjectionDetector, JaxYoloDetector,
                                 TorchHubYoloDetector)
     from ..sim.tape import load_tape
@@ -116,6 +117,16 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
     cam0 = cams[0][0]
 
     options = options_from_cfg(cfg.render)
+    if cfg.render.get("autosize", True):
+        # probe with the training cameras (the tape replays their poses);
+        # keep extra slack for tape poses pushed past the training range
+        sized = probe_scene_capacity(
+            models, meta, arrays, [c for c, _ in cams],
+            active_sh_degree=meta.bkgd_sh_degree, options=options,
+            slack=1.3)
+        print(f"pair capacity right-sized to {sized.capacity} "
+              f"(cfg fallback {options.capacity})", flush=True)
+        options = sized
     render_jit = jax.jit(
         render_scene,
         static_argnames=("active_sh_degree", "options", "train_mode",

@@ -25,20 +25,36 @@ def _make_writer(logdir: str):
         return None
 
 
+_EVAL_RENDER = None  # module-level jitted render: evaluate_views is called
+                     # at every test interval, and a fresh jax.jit wrapper
+                     # per call would discard the trace cache each time
+                     # (retrace+lower at every hit even with the persistent
+                     # XLA compile cache)
+
+
+def _eval_render():
+    global _EVAL_RENDER
+    if _EVAL_RENDER is None:
+        import jax
+
+        from ..render.renderer import render_scene
+
+        _EVAL_RENDER = jax.jit(render_scene, static_argnames=(
+            "active_sh_degree", "include_background", "include_objects",
+            "train_mode"))
+    return _EVAL_RENDER
+
+
 def evaluate_views(models, meta, arrays, cam_gt, opts, active_sh,
                    max_views: int = 8):
     """Periodic test-view evaluation (reference `train.py:353-399`
     training_report): render up to `max_views` held-out views in eval mode
     and return mean PSNR / L1."""
-    import jax
     import jax.numpy as jnp
 
-    from ..render.renderer import render_scene
     from ..train.losses import l1_loss, psnr
 
-    render = jax.jit(render_scene, static_argnames=(
-        "active_sh_degree", "include_background", "include_objects",
-        "train_mode"))
+    render = _eval_render()
     psnrs, l1s = [], []
     for cam, gt in cam_gt[:max_views]:
         if gt is None:
@@ -67,7 +83,12 @@ def step_with_overflow_retry(step_fn, make_step, opts, state, cam, batch,
     new_state, loss, scalars, res = step_fn(state, cam, batch, key,
                                             active_sh)
     while bool(scalars.get("overflow", False)):
-        opts = opts.replace(capacity=opts.capacity * 2)
+        opts = opts.replace(
+            capacity=opts.capacity * 2,
+            tail_cap=(opts.tail_cap * 2 if opts.tail_cap is not None
+                      else None),
+            big_cap=(opts.big_cap * 2 if opts.big_cap is not None
+                     else None))
         print(f"  pair overflow: growing capacity to {opts.capacity}, "
               "retrying step (recompile)", flush=True)
         step_fn = make_step(opts)
@@ -113,6 +134,25 @@ def apply_opacity_reset(state, meta):
         models2 = models2.replace(sky_gauss=sp2)
     return state.replace(models=models2,
                          adam=state.adam.replace(mu=mu, nu=nu))
+
+
+def _autosize(cfg, opts, cams, models, meta, arrays):
+    """Right-size the pair capacity from a few probe frames before the
+    first compile (reference: `rasterizer_impl.cu:155-193` sizes binning
+    buffers from the real pair count before every launch). Training keeps
+    extra slack for densification growth; the overflow discard-and-retry
+    loop stays as the mid-run fallback."""
+    if not cfg.render.get("autosize", True):
+        return opts
+    from ..render.renderer import probe_scene_capacity
+
+    sized = probe_scene_capacity(
+        models, meta, arrays, cams,
+        active_sh_degree=meta.bkgd_sh_degree, options=opts, slack=1.5)
+    print(f"pair capacity right-sized to {sized.capacity} "
+          f"(cfg fallback {opts.capacity}, tail {sized.tail_cap}, "
+          f"big {sized.big_cap})", flush=True)
+    return sized
 
 
 def main(argv=None):
@@ -168,6 +208,8 @@ def main(argv=None):
         actor_names = [f"obj_{i:03d}" for i in range(meta.num_actors)]
         # ground truth = initial scene render + noise start
         opts = options_from_cfg(cfg.render)
+        opts = _autosize(cfg, opts, [c for c, _ in cam_gt], models, meta,
+                         arrays)
         from ..render.renderer import render_scene
         gts = []
         for c, _ in cam_gt:
@@ -201,6 +243,8 @@ def main(argv=None):
         opts = options_from_cfg(
             cfg.render,
             render_normals=bool(cfg.optim.get("lambda_normal_mono", 0.0)))
+        opts = _autosize(cfg, opts, [c for c, _ in cam_gt], models, meta,
+                         arrays)
 
     ocfg = OptimConfig(
         position_lr_init=cfg.optim.position_lr_init,

@@ -185,6 +185,13 @@ DEFAULT_CONFIG = {
         # 128-pair sub-chunks per blend grid step (capacity must divide by
         # sub_chunks*128; amortizes the kernel's per-step floor)
         "sub_chunks": 1,
+        # right-size the pair capacity at scene load by probing a few
+        # frames (renderer.probe_scene_capacity; the CUDA analog sizes
+        # binning buffers from the real pair count before every launch,
+        # rasterizer_impl.cu:155-193). `capacity` above becomes the
+        # fallback when probing is off; overflow grow-and-retry remains
+        # the mid-run safety net either way.
+        "autosize": True,
         "save_video": True,
         "save_image": True,
         "coord": "world",

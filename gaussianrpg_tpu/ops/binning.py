@@ -193,7 +193,8 @@ def emit_active(n: int, n_tiles: int) -> bool:
 
 def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
                            capacity, align, sub, n_tiles, ntx, nty,
-                           max_chunks, tile_x, tile_y, ride_gm, rank=None):
+                           max_chunks, tile_x, tile_y, ride_gm, rank=None,
+                           tail_cap=None, big_cap=None):
     """Transposed pair expansion: every gaussian emits EMIT_K tile slots as
     pure [N, K] vector math; rects bigger than K route their remainder
     through a compacted tail. One sort of (tile << 20 | depth-rank) keys —
@@ -250,9 +251,16 @@ def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
     # scatter) scales with big_cap, so keep it SMALL and let the standard
     # overflow grow-and-retry raise it with the capacity: big_cap=tail_cap
     # measured a 40 ms regression on the bench scene (EMIT_K must stay
-    # above the area median so the tail holds only the rare big rects)
-    tail_cap = max(65536, p_max // 8 // 65536 * 65536)
-    big_cap = min(max(8192, tail_cap // 16), n)
+    # above the area median so the tail holds only the rare big rects).
+    # Callers with measured scene stats size the tail independently of
+    # the pair capacity (suggest_binning_sizes — the analog of the CUDA
+    # per-buffer resize closures, `rasterizer_impl.cu:155-193`); the
+    # capacity-derived defaults below serve everyone else.
+    if tail_cap is None:
+        tail_cap = max(65536, p_max // 8 // 65536 * 65536)
+    if big_cap is None:
+        big_cap = max(8192, tail_cap // 16)
+    big_cap = min(big_cap, n)
     area_t = jnp.maximum(area - K, 0)
     big = area_t > 0
     n_big = jnp.sum(big.astype(jnp.int32))
@@ -361,6 +369,8 @@ def build_pair_lists(
     rank: jax.Array | None = None,  # [N] i32 depth rank (emit path only):
                                     # inputs stay in ORIGINAL order and
                                     # pair_src returns original indices
+    tail_cap: int | None = None,    # emit-path tail sizes (static); None
+    big_cap: int | None = None,     # -> capacity-derived defaults
 ) -> PairLists:
     """Expand Gaussians into tile-grouped, depth-ordered pair lists.
 
@@ -392,7 +402,7 @@ def build_pair_lists(
         return _build_pair_lists_emit(
             x0, y0, rw, area, offs, raw_total, visible, capacity, align,
             sub, n_tiles, ntx, nty, max_chunks, tile_x, tile_y, ride_gm,
-            rank=rank)
+            rank=rank, tail_cap=tail_cap, big_cap=big_cap)
     assert rank is None, "rank requires the emission path (emit_active)"
 
     # --- segment-marker expansion ---------------------------------------

@@ -55,7 +55,10 @@ Gradient reductions over pixels exploit separability: with q = op*G*dL/da,
 so Sum[q*dx] = mx*Sum[q] - Sum[q*px], etc. — every mean/conic/opacity
 gradient is a linear combination of the pixel moments
 Sum_p {q,q2,|g|,w} * {1, px, py, px^2, px*py, py^2, dL/dpix...}, computed
-in one (4G, P) x (P, 6+NFO) small-N matmul per chunk.
+per chunk by two slim MXU contractions: the 6-row moment basis against
+[q, q2, absp] and the dL/dpix channels against w (splitting keeps each
+contraction's sublane dim at its own 8-granular padding instead of one
+combined 11+S-row basis).
 
 The `absgrad_sink` input is a zeros array whose cotangent is defined as
 sum_pixels |dL/dmean2d| in NDC scale — the AbsGS densification statistic the
@@ -403,9 +406,11 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 # A single (6+NFO)-row basis against all four row groups
                 # computes 4x(6+NFO) products of which only 12+S are ever
                 # read, and MXU cost scales with the basis rows' 8-granular
-                # sublane padding: 6-row and (4+S)-row bases both pad to 8
-                # vs the combined 11+S -> 16+ (measured 2x on the moment
-                # stage, tools/mm_orient.py). TILE-LOCAL pixel coordinates
+                # sublane padding: the 6-row basis pads to 8 and the
+                # (4+S)-row basis pads to 8 for S<=4 (16 for the 5-channel
+                # semantic configs) vs the combined 11+S -> 16+ always
+                # (measured 2x on the moment stage in the no-semantics
+                # bench config, tools/mm_orient.py). TILE-LOCAL pixel coordinates
                 # keep the moment recombination cancellation-free (global
                 # px^2 ~ 1e6 would amplify f32 eps by (px/dx)^2).
                 txo = jnp.float32(tx) * tile_x

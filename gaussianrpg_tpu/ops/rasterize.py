@@ -330,6 +330,8 @@ def blend_fields(
     sub_chunks: int | None = None,
     stat_width: int | None = None,
     stat_height: int | None = None,
+    tail_cap: int | None = None,
+    big_cap: int | None = None,
 ) -> RasterOut:
     """O(P) tile stage on the full (gathered) field set: depth sort, tile
     binning, pair gather, Pallas blend (`rasterizer_impl.cu:278-321` +
@@ -354,7 +356,8 @@ def blend_fields(
         lists = binning.build_pair_lists(
             rect_min, rect_max, visible, W, H, capacity,
             ride_gm=train_mode, tile_x=fs.tile_x, tile_y=fs.tile_y,
-            sub_chunks=sub_chunks, rank=rank)
+            sub_chunks=sub_chunks, rank=rank, tail_cap=tail_cap,
+            big_cap=big_cap)
         fields_sorted = fs.fields          # pair_src: ORIGINAL indices
     else:
         # Ride the tile rect on the wide row take: narrow [N,2] gathers
@@ -490,9 +493,58 @@ def suggest_capacity(
     align = binning.G_CHUNK * sub_chunks
     padded_total = int(jnp.sum((counts + align - 1) // align * align))
     cap = int(padded_total * slack)
+
     q = max(quantum, align)
     q = q + (-q % align)
     return max(cap + (-cap % q), q)
+
+
+def suggest_binning_sizes(
+    fs: FieldSet,
+    *,
+    width: int,
+    height: int,
+    slack: float = 1.25,
+    sub_chunks: int = 1,
+    quantum: int = 65536,
+) -> tuple[int, int | None, int | None]:
+    """(capacity, tail_cap, big_cap) right-sized from measured scene stats.
+
+    The emission binning has THREE static buffer sizes: the pair capacity,
+    the big-rect tail slots (default capacity/8), and the compacted
+    big-gaussian count (default tail_cap/16). The defaults are tuned for
+    street scenes where rects rarely exceed EMIT_K tiles; a scene whose
+    rects routinely do (small tiles / fat gaussians) tail-overflows at a
+    capacity whose PAIR total fits fine, and growing one number to cover
+    all three wastes every capacity-linear stage. Sizing each buffer from
+    its own measured need is exactly the CUDA resize-closure semantics
+    (`rasterizer_impl.cu:155-193` sizes geom/binning/img independently).
+    tail/big return None (use defaults) when the defaults already fit.
+    Returns python ints — call outside jit."""
+    cap = suggest_capacity(fs, width=width, height=height, slack=slack,
+                           sub_chunks=sub_chunks, quantum=quantum)
+    n = fs.radii.shape[0]
+    # fs may come out of a jitted producer, where the static tile ints
+    # round-trip as device scalars; emit_active needs python ints
+    ntx, nty = binning.tile_grid_dims(width, height, int(fs.tile_x),
+                                      int(fs.tile_y))
+    if not binning.emit_active(n, ntx * nty):
+        return cap, None, None
+    visible = fs.radii > 0
+    rw = jnp.maximum(fs.rect_max[:, 0] - fs.rect_min[:, 0], 0)
+    rh = jnp.maximum(fs.rect_max[:, 1] - fs.rect_min[:, 1], 0)
+    area = jnp.where(visible, rw * rh, 0)
+    tail_total = int(jnp.sum(jnp.maximum(area - binning.EMIT_K, 0)))
+    n_big = int(jnp.sum(area > binning.EMIT_K))
+    d_tail = max(65536, cap // 8 // 65536 * 65536)
+    d_big = min(max(8192, d_tail // 16), n)
+    if tail_total * slack <= d_tail and n_big * slack <= d_big:
+        return cap, None, None
+    tail_cap = max(8192, int(tail_total * slack) + (-int(tail_total * slack)
+                                                    % 8192))
+    big_cap = min(n, max(1024, int(n_big * slack) + (-int(n_big * slack)
+                                                     % 1024)))
+    return cap, tail_cap, big_cap
 
 
 def rasterize(
@@ -519,6 +571,8 @@ def rasterize(
     tile_y: int = TILE_Y,
     tight_rect: bool = True,
     sub_chunks: int | None = None,
+    tail_cap: int | None = None,
+    big_cap: int | None = None,
 ) -> RasterOut:
     """Render Gaussians through the TPU pipeline.
 
@@ -559,4 +613,5 @@ def rasterize(
                         train_mode=train_mode, interpret=interpret,
                         sub_chunks=sub_chunks,
                         stat_width=camera.full_width,
-                        stat_height=camera.full_height)
+                        stat_height=camera.full_height,
+                        tail_cap=tail_cap, big_cap=big_cap)

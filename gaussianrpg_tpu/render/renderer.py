@@ -57,6 +57,13 @@ class RenderOptions:
     # floor; per-tile pair padding aligns to sub_chunks*128, so capacity
     # must be a multiple of that)
     sub_chunks: int = struct.field(pytree_node=False, default=1)
+    # explicit emission-tail buffer sizes (static; None = capacity-derived
+    # defaults in ops/binning). Set by probe_scene_capacity from measured
+    # scene stats so scenes with many big rects don't inflate the pair
+    # capacity just to fit the tail (CUDA sizes each buffer separately,
+    # rasterizer_impl.cu:155-193).
+    tail_cap: int | None = struct.field(pytree_node=False, default=None)
+    big_cap: int | None = struct.field(pytree_node=False, default=None)
 
 
 def render_until_fit(render_once, options: "RenderOptions"):
@@ -68,11 +75,69 @@ def render_until_fit(render_once, options: "RenderOptions"):
     sub_chunks*128 and fused-scan divisibility of the starting capacity."""
     res = render_once(options)
     while bool(res.overflow):
-        options = options.replace(capacity=options.capacity * 2)
+        options = options.replace(
+            capacity=options.capacity * 2,
+            tail_cap=(options.tail_cap * 2
+                      if options.tail_cap is not None else None),
+            big_cap=(options.big_cap * 2
+                     if options.big_cap is not None else None))
         print(f"  pair overflow: growing capacity to {options.capacity} "
               f"(recompile)")
         res = render_once(options)
     return res, options
+
+
+def probe_scene_capacity(
+    models: SceneModels,
+    meta: SceneMeta,
+    arrays: SceneArrays,
+    cameras,
+    *,
+    active_sh_degree: int,
+    options: "RenderOptions",
+    slack: float = 1.2,
+    quantum: int = 65536,
+    max_probes: int = 4,
+) -> "RenderOptions":
+    """Right-size the binning buffer sizes for a scene before the first
+    real render: run only the O(N) primitive stage + exact aligned pair
+    counting (`ops.rasterize.suggest_binning_sizes`) on up to `max_probes`
+    cameras and return `options` with the max suggestions applied.
+
+    The CUDA rasterizer sizes its buffers from the actual counts before
+    every launch (`rasterizer_impl.cu:155-193`); XLA shapes are static per
+    compile, so apps probe once at scene load and keep the overflow
+    grow-and-retry loop only as a fallback for mid-run growth
+    (densification). Call OUTSIDE jit."""
+    from ..ops.rasterize import primitive_fields, suggest_binning_sizes
+
+    if not cameras:
+        return options
+
+    @jax.jit
+    def fields(camera):
+        scene = compose(models, meta, arrays, camera, active_sh_degree,
+                        flip_key=None, train_mode=False)
+        return primitive_fields(
+            scene.means3d, scene.opacity, camera=camera,
+            colors=scene.colors, scales=scene.scales,
+            rotations=scene.rotations,
+            scale_modifier=options.scaling_modifier,
+            active_mask=scene.mask,
+            tile_x=options.tile_x, tile_y=options.tile_y)
+
+    step = max(1, len(cameras) // max_probes)
+    cap, tail, big = 0, None, None
+    for cam in list(cameras)[::step][:max_probes]:
+        fs = fields(cam)
+        c, t, b = suggest_binning_sizes(
+            fs, width=cam.width, height=cam.height, slack=slack,
+            sub_chunks=options.sub_chunks, quantum=quantum)
+        cap = max(cap, c)
+        if t is not None:
+            tail = max(tail or 0, t)
+            big = max(big or 0, b)
+    return options.replace(capacity=cap, tail_cap=tail, big_cap=big)
 
 
 def options_from_cfg(render_cfg, **overrides) -> "RenderOptions":
@@ -149,6 +214,8 @@ def render_scene(
         tile_x=options.tile_x,
         tile_y=options.tile_y,
         sub_chunks=options.sub_chunks,
+        tail_cap=options.tail_cap,
+        big_cap=options.big_cap,
     )
 
     rgb = out.color

@@ -470,3 +470,43 @@ def test_suggest_capacity_matches_actual_padding():
         assert not bool(lists.overflowed)
         padded = int(lists.padded_total)
         assert cap == padded + (-padded % align) or cap == max(padded, align)
+
+
+def test_tail_sizes_decouple_from_pair_capacity():
+    """Fat-rect scenes (most areas > EMIT_K) tail-overflow at a pair
+    capacity whose pair total fits; suggest_binning_sizes must return
+    explicit tail/big sizes that render overflow-free at that SAME pair
+    capacity, with output identical to an over-sized default render
+    (the CUDA analog sizes each buffer independently,
+    rasterizer_impl.cu:155-193)."""
+    from gaussianrpg_tpu.ops.rasterize import (primitive_fields,
+                                               suggest_binning_sizes)
+
+    rng = np.random.default_rng(7)
+    cam = make_test_camera(width=160, height=120)
+    means, scales, q, opac, colors = random_gaussians(2000, rng)
+    scales = (scales * 6.0).astype(np.float32)  # fat footprints
+    kw = dict(camera=cam, bg_color=jnp.asarray([0.1, 0.2, 0.3]),
+              scales=jnp.asarray(scales), rotations=jnp.asarray(q),
+              colors=jnp.asarray(colors))
+    m, op = jnp.asarray(means), jnp.asarray(opac)
+
+    fs = primitive_fields(m, op, **{k: kw[k] for k in
+                                    ("camera", "colors", "scales",
+                                     "rotations")})
+    cap, tail, big = suggest_binning_sizes(fs, width=160, height=120,
+                                           slack=1.1, quantum=128)
+    assert tail is not None, "scene must exercise the explicit-tail path"
+    assert big is not None
+
+    sized = rasterize(m, op, capacity=cap, interpret=True,
+                      tail_cap=tail, big_cap=big, **kw)
+    assert not bool(sized.overflow)
+    # default tail at this capacity is too small for this scene
+    default = rasterize(m, op, capacity=cap, interpret=True, **kw)
+    assert bool(default.overflow)
+    # oversized default (defaults scale with capacity) agrees bit-for-bit
+    ref = rasterize(m, op, capacity=cap * 16, interpret=True, **kw)
+    assert not bool(ref.overflow)
+    np.testing.assert_array_equal(np.asarray(sized.color),
+                                  np.asarray(ref.color))
