@@ -325,7 +325,8 @@ def main(argv=None):
             all_planes.append(
                 scene.load_batch_planes(c.frame, c.cam_id, gt.shape[1:])
                 if gt is not None else {})
-        keys = ["sky_mask", "lidar_depth", "obj_bound", "mono_normal"]
+        keys = ["sky_mask", "lidar_depth", "obj_bound", "mono_normal",
+                "semantic"]
         have = {k: all(k in p for p in all_planes) for k in keys}
         lss = list(cfg.optim.get("lambda_sky_scale", []) or [])
         batches = []
@@ -340,6 +341,8 @@ def main(argv=None):
                            if have["obj_bound"] else None),
                 mono_normal=(jnp.asarray(planes["mono_normal"])
                              if have["mono_normal"] else None),
+                gt_semantic=(jnp.asarray(planes["semantic"])
+                             if have["semantic"] else None),
                 sky_scale=(jnp.asarray(float(lss[c.cam_id]))
                            if lss and c.cam_id < len(lss) else None),
             ))

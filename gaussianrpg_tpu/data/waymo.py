@@ -418,6 +418,34 @@ class WaymoScene:
                 idx_x = (np.arange(w) * nrm.shape[1] // w)
                 nrm = nrm[idx_y][:, idx_x]
             out["mono_normal"] = nrm.transpose(2, 0, 1)
+
+        # semantic label plane (reference `camera_utils.loadmetadata:148-150`
+        # resizes metadata['semantic'] with NEAREST; consumed by the CE loss
+        # in `train.py:129-140` as [1, H, W] long with ignore_index=-1).
+        # Accepts an int label image (.png, values = class ids, 255 = ignore)
+        # or a raw int array (.npy, -1 = ignore).
+        for ext in ("npy", "png"):
+            p = os.path.join(self.datadir, "semantic",
+                             f"{frame:06d}_{cam}.{ext}")
+            if not os.path.exists(p):
+                continue
+            if ext == "npy":
+                sem = np.load(p)
+                sem = sem.reshape(sem.shape[-2], sem.shape[-1])
+                sem = sem.astype(np.int32)
+            else:
+                img = Image.open(p)
+                sem = np.asarray(img)
+                if sem.ndim == 3:          # palettized/rgb export: use ch 0
+                    sem = sem[..., 0]
+                sem = sem.astype(np.int32)
+                sem[sem == 255] = -1       # uint8 ignore convention
+            if sem.shape != (h, w):        # NEAREST resample
+                idx_y = (np.arange(h) * sem.shape[0] // h)
+                idx_x = (np.arange(w) * sem.shape[1] // w)
+                sem = sem[idx_y][:, idx_x]
+            out["semantic"] = sem.reshape(1, h, w)
+            break
         return out
 
     def load_init_pointclouds(self, auto_build: bool = True):

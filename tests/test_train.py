@@ -494,3 +494,57 @@ def test_sky_gaussians_submodel():
     new_op = jax.nn.sigmoid(np.asarray(
         state3.models.sky_gauss.opacity[:n_sky]))
     assert float(new_op.max()) <= 0.011
+
+
+def test_semantic_gt_trains_ce_down(tmp_path):
+    """Semantic GT planes flow data->Batch->CE loss end-to-end: a plane
+    written to the scene dir loads through load_batch_planes (reference
+    `camera_utils.loadmetadata:148-150` NEAREST semantics), and training
+    with lambda_semantic reduces the CE term (reference
+    `train.py:129-140`)."""
+    import os
+
+    # --- loader: npy labels with -1 ignore, NEAREST downsample ----------
+    from gaussianrpg_tpu.data.waymo import WaymoScene
+
+    sem_dir = tmp_path / "semantic"
+    os.makedirs(sem_dir)
+    full = np.full((96, 128), -1, np.int32)
+    full[:48] = 2                       # top half class 2
+    full[48:, :64] = 0                  # bottom-left class 0
+    np.save(sem_dir / "000003_0.npy", full)
+    scene = WaymoScene.__new__(WaymoScene)   # loader-only surface
+    scene.datadir = str(tmp_path)
+    scene.start_frame = 0
+    scene.num_frames = 0                     # skip obj_bound branch
+    planes = scene.load_batch_planes(3, 0, (48, 64), native_hw=(96, 128))
+    sem = planes["semantic"]
+    assert sem.shape == (1, 48, 64) and sem.dtype == np.int32
+    assert (sem[0, :24] == 2).all() and (sem[0, 24:, :32] == 0).all()
+    assert (sem[0, 24:, 32:] == -1).all()
+
+    # --- trainer: CE over the loaded plane drops over steps -------------
+    models, meta, arrays = make_scene(
+        n_background=600, bkgd_capacity=1024, n_actors=1,
+        actor_capacity=256, n_frames=4, sh_degree=1, fourier_dim=2,
+        num_classes=3)
+    cams = make_cameras(n_frames=4, width=64, height=48)
+    gt = np.asarray(render_scene(models, meta, arrays, cams[0],
+                                 active_sh_degree=1, options=OPTS).rgb)
+    from gaussianrpg_tpu.models.scene_graph import total_capacity
+    cfg = OptimConfig(lambda_dssim=0.0, lambda_semantic=0.5,
+                      semantic_lr_obj=0.05)
+    step_fn = make_train_step(meta, arrays, cfg, OPTS,
+                              total_capacity(models))
+    state = init_train_state(models)
+    batch = Batch(gt_image=jnp.asarray(gt), gt_semantic=jnp.asarray(sem))
+    ces = []
+    for it in range(10):
+        state, loss, scalars, _ = step_fn(state, cams[0], batch,
+                                          jax.random.PRNGKey(it), 1)
+        ces.append(float(scalars["semantic"]))
+    assert np.isfinite(ces).all()
+    # from uniform logits (ln 3 = 1.0986) the CE must fall monotonically
+    # by a clear margin — proof the GT plane reaches the gradient path
+    assert ces[-1] < ces[0] - 0.005, ces
+    assert all(b < a for a, b in zip(ces, ces[1:])), ces
