@@ -179,3 +179,58 @@ def test_sharded_2d_gradients_match():
     for a, b in zip(g1, g2):
         scale = np.abs(np.asarray(a)).max() + 1e-8
         assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-5
+
+
+@pytest.mark.slow
+def test_mesh_training_run_reduces_loss_and_tracks_single():
+    """A REAL multi-step training run on the mesh (round-2 done
+    criterion): 20 production train steps under a 2-device 'data' mesh
+    must reduce the loss AND track the single-device trajectory step for
+    step (psum exactness compounds across Adam updates; small f32
+    divergence is allowed to grow with step count)."""
+    import jax.numpy as jnp
+
+    from gaussianrpg_tpu.models.scene_graph import total_capacity
+    from gaussianrpg_tpu.render.renderer import RenderOptions, render_scene
+    from gaussianrpg_tpu.train.trainer import (Batch, OptimConfig,
+                                               init_train_state,
+                                               make_train_step)
+    from gaussianrpg_tpu.utils.synthetic import make_cameras, make_scene
+
+    models, meta, arrays = make_scene(
+        n_background=400, bkgd_capacity=512, n_actors=1, actor_capacity=128,
+        n_frames=4)
+    cams = make_cameras(n_frames=4, width=64, height=48)
+    opts = RenderOptions(capacity=8192, interpret=True, backend="pallas")
+    gts = [np.asarray(render_scene(models, meta, arrays, c,
+                                   active_sh_degree=1, options=opts).rgb)
+           for c in cams]
+    models = models.replace(background=models.background.replace(
+        features_dc=models.background.features_dc
+        + 0.3 * jax.random.normal(jax.random.PRNGKey(5),
+                                  models.background.features_dc.shape)))
+    n_total = total_capacity(models)
+    cfg = OptimConfig(lambda_dssim=0.0)
+    mesh = make_mesh(jax.devices()[:2])
+
+    step_1 = make_train_step(meta, arrays, cfg, opts, n_total)
+    step_m = make_train_step(meta, arrays, cfg, opts, n_total, mesh=mesh)
+
+    n_steps = 20
+    traj = {"single": [], "mesh": []}
+    for name, step_fn in (("single", step_1), ("mesh", step_m)):
+        state = init_train_state(models)
+        for it in range(n_steps):
+            cam_i = it % len(cams)
+            state, loss, _, _ = step_fn(
+                state, cams[cam_i], Batch(gt_image=jnp.asarray(gts[cam_i])),
+                jax.random.PRNGKey(it), 1)
+            traj[name].append(float(loss))
+
+    s, m = np.asarray(traj["single"]), np.asarray(traj["mesh"])
+    assert np.isfinite(m).all()
+    assert m[-1] < m[0] * 0.6, traj["mesh"]        # the run actually learns
+    # step-for-step trajectory agreement (rtol loose late: f32 divergence
+    # compounds through Adam's normalized updates)
+    np.testing.assert_allclose(m[:5], s[:5], rtol=2e-3)
+    np.testing.assert_allclose(m, s, rtol=0.15)
