@@ -47,11 +47,17 @@ def run_closed_loop(
     ranger_extrinsic: np.ndarray | None = None,
     max_ticks: int | None = None,
     realtime: bool = False,
+    perceive_fn: Optional[Callable[[Camera], List[np.ndarray]]] = None,
 ) -> LoopResult:
     """Run the loop until verdict or max_ticks.
 
     render_fn: Camera -> [3, H, W] image (the TPU renderer, jitted with the
     camera as an argument). detector: sim.detector.Detector.
+
+    perceive_fn (optional): Camera -> normalized (cx, cy, w, h) bboxes,
+    replacing render_fn + detector.detect — the FUSED inline-perception
+    path (sim/pipeline.py: render + letterbox + YOLO + top-K in one
+    dispatch, NMS on host); render_fn/detector may then be None.
     """
     dyn = CarDynamics(tape=tape)
     sync_iters = int(round(tape.get("dynamic_freq", 50)
@@ -98,11 +104,15 @@ def run_closed_loop(
             cam = _camera_from_pose(camera_template, pose, idx,
                                     dyn.timestamp)
             t0 = time.time()
-            img = np.asarray(render_fn(cam))
-            render_time += time.time() - t0
-            frames += 1
-
-            bboxes = detector.detect(img, cam)
+            if perceive_fn is not None:
+                bboxes = perceive_fn(cam)
+                render_time += time.time() - t0
+                frames += 1
+            else:
+                img = np.asarray(render_fn(cam))
+                render_time += time.time() - t0
+                frames += 1
+                bboxes = detector.detect(img, cam)
             objects = [ranger.distance(b) for b in bboxes]
             objects = [(rng_, lat) for rng_, lat in objects if rng_ > 0]
             brake = aeb.on_objects(objects)

@@ -1,0 +1,117 @@
+"""Fused inline-perception pipeline: render -> letterbox -> YOLOv5 ->
+device top-K prefilter as ONE jitted dispatch.
+
+The reference's inline mode (`simulator.py:309-416`) renders on the GPU,
+pulls the frame to host, letterboxes in numpy, pushes it back for YOLO,
+pulls the [A, 85] prediction, and NMS-es on host — two full-image
+device<->host round trips per frame (its separate-perception mode adds a
+ROS2 Image topic on top and drops to ~1.15 Hz). On TPU the frame never
+needs to leave the device: the letterbox is an XLA resize+pad, YOLO is the
+functional graph in sim/yolo.py, and a top-K objectness prefilter shrinks
+the host transfer from the full [A, 5+nc] prediction (~5 MB) to [K, 6]
+candidates (~6 KB). Host work per frame is greedy NMS over <=K boxes plus
+the AEB/dynamics arithmetic.
+
+Pipelining note: the candidate pull is the only sync point, and the loop
+is genuinely sequential (this frame's brake command moves the next
+frame's camera), so the loop rate = 1 / (device time + round-trip
+latency). LOOP_r0N.json is measured exactly that way.
+"""
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .yolo import COCO_VEHICLE_PERSON, forward as yolo_forward, nms_boxes, \
+    scale_coords
+
+
+def letterbox_device(img_chw: jax.Array, out_hw: tuple[int, int],
+                     color: float = 0.447):
+    """XLA letterbox: [3, H, W] in [0,1] -> ([nh, nw, 3], gain, (px, py)).
+    Geometry is static (same rounding as sim/yolo.letterbox); gain/pad are
+    python floats for the host-side scale_coords."""
+    _, h, w = img_chw.shape
+    nh, nw = out_hw
+    gain = min(nh / h, nw / w)
+    uh, uw = int(round(h * gain)), int(round(w * gain))
+    top = int(round((nh - uh) / 2 - 0.1))
+    left = int(round((nw - uw) / 2 - 0.1))
+    img = jnp.clip(img_chw, 0.0, 1.0).transpose(1, 2, 0)
+    resized = jax.image.resize(img, (uh, uw, 3), "bilinear")
+    out = jnp.full((nh, nw, 3), jnp.float32(color))
+    out = jax.lax.dynamic_update_slice(out, resized, (top, left, 0))
+    return out, gain, (left, top)
+
+
+def topk_candidates(pred: jax.Array, k: int,
+                    classes: Sequence[int] | None = COCO_VEHICLE_PERSON):
+    """Device prefilter: pred [A, 5+nc] -> [K, 6] (xywh, conf, cls) by
+    descending obj*cls confidence over the selected classes."""
+    obj = pred[:, 4]
+    cls_scores = pred[:, 5:]
+    if classes is not None:
+        cls_idx = jnp.asarray(np.asarray(classes, np.int32))
+        cls_scores = cls_scores[:, cls_idx]
+    conf_all = cls_scores * obj[:, None]
+    local = jnp.argmax(conf_all, axis=1)
+    conf = jnp.max(conf_all, axis=1)
+    cls = (jnp.take(cls_idx, local) if classes is not None
+           else local).astype(jnp.float32)
+    top_conf, top_i = jax.lax.top_k(conf, k)
+    boxes = jnp.take(pred[:, :4], top_i, axis=0)
+    return jnp.concatenate(
+        [boxes, top_conf[:, None], jnp.take(cls, top_i)[:, None]], axis=1)
+
+
+def make_fused_step(render_rgb: Callable[..., jax.Array], spec, params,
+                    image_hw: tuple[int, int], size: tuple[int, int] =
+                    (384, 640), k: int = 256,
+                    classes: Sequence[int] | None = COCO_VEHICLE_PERSON):
+    """Build (jitted_step, gain, pad): jitted_step(camera, *scene_args) ->
+    [K, 6] candidates. `render_rgb(camera, *scene_args)` must return a
+    [3, H, W] image and is traced INTO the same executable as the YOLO
+    graph — one dispatch for the whole inline-perception frame."""
+    h, w = image_hw
+    # static letterbox geometry (probe once with an empty trace)
+    gain = min(size[0] / h, size[1] / w)
+    uh, uw = int(round(h * gain)), int(round(w * gain))
+    pad = (int(round((size[1] - uw) / 2 - 0.1)),
+           int(round((size[0] - uh) / 2 - 0.1)))
+
+    @jax.jit
+    def step(camera, params_, *scene_args):
+        img = render_rgb(camera, *scene_args)
+        boxed, _, _ = letterbox_device(img, size)
+        pred = yolo_forward(spec, params_, boxed[None])[0]
+        return topk_candidates(pred, k, classes)
+
+    def run(camera, *scene_args):
+        return step(camera, params, *scene_args)
+
+    return run, gain, pad
+
+
+def finish_detections(cand: np.ndarray, gain: float, pad: tuple,
+                      orig_hw: tuple, conf_thres: float = 0.25,
+                      iou_thres: float = 0.45,
+                      max_det: int = 300) -> np.ndarray:
+    """Host tail: [K, 6] device candidates -> [M, 6] (xyxy in original
+    image pixels, conf, cls) after threshold + NMS + unletterbox."""
+    cand = np.asarray(cand)
+    keep = cand[:, 4] > conf_thres
+    cand = cand[keep]
+    if cand.shape[0] == 0:
+        return np.zeros((0, 6), np.float32)
+    xyxy = np.empty((cand.shape[0], 4), np.float32)
+    xyxy[:, 0] = cand[:, 0] - cand[:, 2] / 2
+    xyxy[:, 1] = cand[:, 1] - cand[:, 3] / 2
+    xyxy[:, 2] = cand[:, 0] + cand[:, 2] / 2
+    xyxy[:, 3] = cand[:, 1] + cand[:, 3] / 2
+    det = nms_boxes(xyxy, cand[:, 4], cand[:, 5], iou_thres, max_det)
+    if det.shape[0]:
+        det[:, :4] = scale_coords(det[:, :4], gain, pad, orig_hw)
+    return det

@@ -289,25 +289,13 @@ def scale_coords(boxes_xyxy: np.ndarray, gain: float, pad: tuple,
     return b
 
 
-def non_max_suppression(pred: np.ndarray, conf_thres=0.25, iou_thres=0.45,
-                        classes=None, max_det=300) -> np.ndarray:
-    """pred [A, 5+nc] (xywh, obj, cls...) -> [M, 6] (xyxy, conf, cls)."""
-    obj = pred[:, 4]
-    cls_conf = pred[:, 5:] * obj[:, None]
-    cls = cls_conf.argmax(1)
-    conf = cls_conf.max(1)
-    keep = conf > conf_thres
-    if classes is not None:
-        keep &= np.isin(cls, classes)
-    boxes = pred[keep, :4]
-    conf, cls = conf[keep], cls[keep]
-    if boxes.shape[0] == 0:
+def nms_boxes(xyxy: np.ndarray, conf: np.ndarray, cls: np.ndarray,
+              iou_thres=0.45, max_det=300) -> np.ndarray:
+    """Greedy per-class NMS over pre-filtered boxes -> [M, 6]
+    (xyxy, conf, cls). The shared core of non_max_suppression and the
+    fused-pipeline host tail (sim/pipeline.py)."""
+    if xyxy.shape[0] == 0:
         return np.zeros((0, 6), np.float32)
-    xyxy = np.empty_like(boxes)
-    xyxy[:, 0] = boxes[:, 0] - boxes[:, 2] / 2
-    xyxy[:, 1] = boxes[:, 1] - boxes[:, 3] / 2
-    xyxy[:, 2] = boxes[:, 0] + boxes[:, 2] / 2
-    xyxy[:, 3] = boxes[:, 1] + boxes[:, 3] / 2
     order = conf.argsort()[::-1][:max_det * 4]
     xyxy, conf, cls = xyxy[order], conf[order], cls[order]
     # class-offset trick so NMS is per-class
@@ -333,6 +321,28 @@ def non_max_suppression(pred: np.ndarray, conf_thres=0.25, iou_thres=0.45,
     return np.concatenate(
         [xyxy[sel], conf[sel, None], cls[sel, None].astype(np.float32)],
         axis=1)
+
+
+def non_max_suppression(pred: np.ndarray, conf_thres=0.25, iou_thres=0.45,
+                        classes=None, max_det=300) -> np.ndarray:
+    """pred [A, 5+nc] (xywh, obj, cls...) -> [M, 6] (xyxy, conf, cls)."""
+    obj = pred[:, 4]
+    cls_conf = pred[:, 5:] * obj[:, None]
+    cls = cls_conf.argmax(1)
+    conf = cls_conf.max(1)
+    keep = conf > conf_thres
+    if classes is not None:
+        keep &= np.isin(cls, classes)
+    boxes = pred[keep, :4]
+    conf, cls = conf[keep], cls[keep]
+    if boxes.shape[0] == 0:
+        return np.zeros((0, 6), np.float32)
+    xyxy = np.empty_like(boxes)
+    xyxy[:, 0] = boxes[:, 0] - boxes[:, 2] / 2
+    xyxy[:, 1] = boxes[:, 1] - boxes[:, 3] / 2
+    xyxy[:, 2] = boxes[:, 0] + boxes[:, 2] / 2
+    xyxy[:, 3] = boxes[:, 1] + boxes[:, 3] / 2
+    return nms_boxes(xyxy, conf, cls, iou_thres, max_det)
 
 
 # ---------------------------------------------------------------------------

@@ -171,3 +171,35 @@ def test_torch_checkpoint_conversion(tmp_path):
     # full forward with converted weights runs
     pred = forward(cspec, params, jnp.zeros((1, 96, 160, 3)))
     assert pred.shape[2] == 85
+
+
+def test_fused_pipeline_matches_unfused_detector():
+    """The single-dispatch pipeline (device letterbox + YOLO + top-K
+    prefilter + host NMS tail) must reproduce the unfused
+    YoloDetector path (host letterbox, full-pred NMS) on the same
+    image — the top-K prefilter only truncates below max_det."""
+    from gaussianrpg_tpu.sim.pipeline import (finish_detections,
+                                              make_fused_step)
+    from gaussianrpg_tpu.sim.yolo import COCO_VEHICLE_PERSON, spec_yolov5
+
+    rng = np.random.default_rng(3)
+    spec = spec_yolov5()
+    params = init_params(spec, seed=1)
+    H, W = 96, 160
+    img = rng.uniform(0, 1, (3, H, W)).astype(np.float32)
+
+    det_ref = YoloDetector(spec=spec, params=params, size=(64, 96),
+                           conf_thres=0.3)
+    ref = det_ref(img.transpose(1, 2, 0))
+
+    fused, gain, pad = make_fused_step(
+        lambda cam: jnp.asarray(img), spec, params, (H, W), size=(64, 96),
+        k=128, classes=COCO_VEHICLE_PERSON)
+    cand = fused(None)
+    assert cand.shape == (128, 6)
+    out = finish_detections(cand, gain, pad, (H, W), conf_thres=0.3)
+
+    assert out.shape == ref.shape, (out.shape, ref.shape)
+    if ref.shape[0]:
+        # same boxes in the same order (both conf-sorted greedy NMS)
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-3)
