@@ -15,9 +15,30 @@ def _load(path):
         / 255.0
 
 
+def lpips_jax(preds, gts, backbone_path: str, lin_path: str,
+              net_type: str = "vgg"):
+    """LPIPS through the in-repo JAX implementation (utils/lpips.py;
+    reference `metrics.py:81` + `lib/utils/lpipsPyTorch/`): torch touches
+    only the one-time checkpoint conversion, inference is pure JAX.
+    Returns None when the weight files are absent (zero-egress envs)."""
+    if not (backbone_path and os.path.exists(backbone_path)
+            and lin_path and os.path.exists(lin_path)):
+        return None
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.lpips import load_torch_lpips, lpips
+
+    spec, params = load_torch_lpips(backbone_path, lin_path, net_type)
+    fn = jax.jit(lambda x, y: lpips(spec, params, x * 2 - 1, y * 2 - 1))
+    vals = [float(fn(jnp.asarray(p), jnp.asarray(g)))
+            for p, g in zip(preds, gts)]
+    return float(np.mean(vals))
+
+
 def lpips_alex(preds, gts):
-    """Optional LPIPS(alex) via torchvision weights; returns None when the
-    pretrained weights are unavailable (zero-egress environments)."""
+    """Fallback LPIPS(alex) via the external torch lpips package when it
+    happens to be installed; returns None otherwise."""
     try:
         import torch
         import lpips  # noqa: F401
@@ -36,7 +57,7 @@ def lpips_alex(preds, gts):
     return float(np.mean(vals))
 
 
-def evaluate_dir(render_dir: str):
+def evaluate_dir(render_dir: str, lpips_cfg: dict | None = None):
     import jax.numpy as jnp
 
     from ..train.losses import psnr, ssim
@@ -62,7 +83,14 @@ def evaluate_dir(render_dir: str):
         "ssim": float(np.mean(ssims)) if ssims else None,
         "n_views": len(names),
     }
-    lp = lpips_alex(preds, gts) if preds else None
+    lp = None
+    if preds and lpips_cfg:
+        lp = lpips_jax(preds, gts,
+                       lpips_cfg.get("backbone_path", ""),
+                       lpips_cfg.get("lin_path", ""),
+                       lpips_cfg.get("net_type", "vgg"))
+    if preds and lp is None:
+        lp = lpips_alex(preds, gts)
     if lp is not None:
         out["lpips"] = lp
     return out, per_view
@@ -75,11 +103,12 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = load_config(args.config, args.opts)
 
+    lpips_cfg = dict(cfg.eval.get("lpips", {})) if "eval" in cfg else {}
     for split in ("train", "test"):
         d = os.path.join(cfg.model_path, f"evaluate_{split}")
         if not os.path.isdir(d):
             continue
-        results, per_view = evaluate_dir(d)
+        results, per_view = evaluate_dir(d, lpips_cfg)
         with open(os.path.join(cfg.model_path,
                                f"results_{split}.json"), "w") as f:
             json.dump(results, f, indent=2)

@@ -201,6 +201,14 @@ DEFAULT_CONFIG = {
         "skip_test": False,
         "eval_train": True,
         "eval_test": True,
+        # in-repo JAX LPIPS (utils/lpips.py; reference metrics.py:81):
+        # point at a torchvision backbone state_dict + richzhang lin
+        # weights to enable — inference is pure JAX, torch converts once
+        "lpips": {
+            "backbone_path": "",
+            "lin_path": "",
+            "net_type": "vgg",
+        },
     },
     "sim": {
         "traj_file_path": "",

@@ -1,0 +1,176 @@
+"""LPIPS (Learned Perceptual Image Patch Similarity) in pure JAX.
+
+Code-complete TPU-native port of the reference's evaluation metric
+(`lib/utils/lpipsPyTorch/modules/lpips.py:30-37`, `networks.py:36-96`,
+`utils.py:6-8`; consumed by `metrics.py:81`): a frozen conv backbone
+(AlexNet or VGG16 features), channel-unit-normalized activations at five
+tap points, squared differences reduced by 1x1 "lin" convs, spatial mean,
+sum over taps.
+
+Weights policy (same as sim/yolo.py): the graph + formula ship here and
+are unit-tested against a NumPy oracle on random weights; pretrained
+torchvision/richzhang weights are loaded through `load_torch_lpips` when
+a checkpoint file is available (zero-egress environments can't download
+them, so `apps/metrics.py` gates on a weights path, never on torch at
+runtime).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# (out_ch, kernel, stride, pad) conv entries; "M" = 3x3/2 maxpool placed
+# BEFORE the next conv (torchvision .features order); taps after each ReLU
+ALEX_SPEC = {
+    "convs": [(64, 11, 4, 2), "M", (192, 5, 1, 2), "M", (384, 3, 1, 1),
+              (256, 3, 1, 1), (256, 3, 1, 1)],
+    "channels": [64, 192, 384, 256, 256],   # lpipsPyTorch networks.py:82
+}
+VGG16_SPEC = {
+    # taps after relu1_2, relu2_2, relu3_3, relu4_3, relu5_3
+    # (lpipsPyTorch networks.py:92-94 target_layers [4, 9, 16, 23, 30])
+    "convs": [(64, 3, 1, 1), (64, 3, 1, 1, "T"), "P",
+              (128, 3, 1, 1), (128, 3, 1, 1, "T"), "P",
+              (256, 3, 1, 1), (256, 3, 1, 1), (256, 3, 1, 1, "T"), "P",
+              (512, 3, 1, 1), (512, 3, 1, 1), (512, 3, 1, 1, "T"), "P",
+              (512, 3, 1, 1), (512, 3, 1, 1), (512, 3, 1, 1, "T")],
+    "channels": [64, 128, 256, 512, 512],
+}
+
+# input z-score constants (networks.py:41-44; input in [-1, 1])
+_SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], np.float32)
+
+
+def _tap_after(spec):
+    """Indices of conv entries whose ReLU output is a tap point."""
+    taps = []
+    convs = [e for e in spec["convs"] if e != "M" and e != "P"]
+    if spec is ALEX_SPEC or len(spec["channels"]) == len(convs):
+        return list(range(len(convs)))      # alex: every conv is a tap
+    return [i for i, e in enumerate(convs) if len(e) == 5 and e[4] == "T"]
+
+
+def init_params(spec, seed: int = 0):
+    """Random conv + lin parameters (testing / formula checks)."""
+    rng = np.random.default_rng(seed)
+    convs = []
+    cin = 3
+    for e in spec["convs"]:
+        if e in ("M", "P"):
+            continue
+        cout, k = e[0], e[1]
+        w = (rng.standard_normal((k, k, cin, cout))
+             / np.sqrt(k * k * cin)).astype(np.float32)
+        b = np.zeros((cout,), np.float32)
+        convs.append((jnp.asarray(w), jnp.asarray(b)))
+        cin = cout
+    lins = [jnp.asarray(np.abs(rng.standard_normal((c,))
+                               .astype(np.float32)) * 0.1)
+            for c in spec["channels"]]
+    return {"convs": convs, "lins": lins}
+
+
+def _conv(x, w, b, stride, pad):
+    y = jax.lax.conv_general_dilated(
+        x, w, (stride, stride), [(pad, pad), (pad, pad)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + b
+
+
+def _maxpool(x, k=3, s=2):
+    # torch MaxPool2d(3, 2): VALID padding, floor output size
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, s, s, 1), "VALID")
+
+
+def features(spec, params, x_nchw: jax.Array) -> list[jax.Array]:
+    """Backbone taps: x [N, 3, H, W] in [-1, 1] -> list of NHWC
+    channel-unit-normalized activations (networks.py:52-62 forward +
+    utils.py normalize_activation)."""
+    x = x_nchw.transpose(0, 2, 3, 1)                 # NHWC for TPU convs
+    x = (x - _SHIFT) / _SCALE
+    taps = set(_tap_after(spec))
+    out = []
+    ci = 0
+    for e in spec["convs"]:
+        if e in ("M", "P"):
+            x = _maxpool(x)
+            continue
+        _, k, s, p = e[0], e[1], e[2], e[3]
+        w, b = params["convs"][ci]
+        x = jax.nn.relu(_conv(x, w, b, s, p))
+        if ci in taps:
+            norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+            out.append(x / (norm + 1e-10))
+        ci += 1
+    return out
+
+
+def lpips(spec, params, x: jax.Array, y: jax.Array) -> jax.Array:
+    """LPIPS distance (lpips.py:30-37): x, y [3, H, W] or [N, 3, H, W]
+    in [-1, 1]. Returns [] or [N]."""
+    if x.ndim == 3:
+        return lpips(spec, params, x[None], y[None])[0]
+    fx = features(spec, params, x)
+    fy = features(spec, params, y)
+    total = 0.0
+    for a, b, lin in zip(fx, fy, params["lins"]):
+        d = (a - b) ** 2                              # [N, H, W, C]
+        total = total + jnp.mean(jnp.einsum("nhwc,c->nhw", d, lin),
+                                 axis=(1, 2))
+    return total
+
+
+def lpips_fn(net_type: str = "alex", params=None):
+    """Jitted convenience: (x, y) [3,H,W] in [0,1] -> scalar distance
+    (applies the [0,1] -> [-1,1] map the torch lpips package expects)."""
+    spec = ALEX_SPEC if net_type == "alex" else VGG16_SPEC
+    if params is None:
+        params = init_params(spec)
+
+    @jax.jit
+    def fn(x, y):
+        return lpips(spec, params, x * 2.0 - 1.0, y * 2.0 - 1.0)
+
+    return fn
+
+
+def load_torch_lpips(backbone_path: str, lin_path: str,
+                     net_type: str = "alex"):
+    """Convert torch checkpoints to the JAX param pytree (the yolo.py
+    pattern: torch only at conversion time, never at inference).
+
+    backbone_path: torchvision alexnet/vgg16 state_dict (.pth) — keys
+    `features.{i}.weight/bias`. lin_path: richzhang lpips lin weights
+    (v0.1 alex.pth / vgg.pth) — keys `lin{k}.model.1.weight` [1, C, 1, 1].
+    """
+    import torch
+
+    spec = ALEX_SPEC if net_type == "alex" else VGG16_SPEC
+    sd = torch.load(backbone_path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    conv_idx = [i for i, k in sorted(
+        {int(k.split(".")[1]): k.split(".")[1] for k in sd
+         if k.startswith("features.") and k.endswith(".weight")}.items())]
+    convs = []
+    for i in conv_idx:
+        w = sd[f"features.{i}.weight"].numpy()        # [O, I, K, K]
+        b = sd[f"features.{i}.bias"].numpy()
+        convs.append((jnp.asarray(w.transpose(2, 3, 1, 0)),  # HWIO
+                      jnp.asarray(b)))
+    ld = torch.load(lin_path, map_location="cpu")
+    lins = []
+    for k in range(len(spec["channels"])):
+        for key in (f"lin{k}.model.1.weight", f"{k}.1.weight",
+                    f"lin{k}.weight"):
+            if key in ld:
+                lins.append(jnp.asarray(
+                    ld[key].numpy().reshape(-1).astype(np.float32)))
+                break
+        else:
+            raise KeyError(f"lin weights for tap {k} not found in "
+                           f"{lin_path}")
+    return spec, {"convs": convs, "lins": lins}

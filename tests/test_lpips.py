@@ -1,0 +1,157 @@
+"""JAX LPIPS vs an independent NumPy oracle of the published formula
+(Zhang et al. 2018; reference `lib/utils/lpipsPyTorch/`): backbone convs,
+channel-unit normalization, lin-weighted squared diffs, spatial mean,
+sum over taps."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gaussianrpg_tpu.utils.lpips import (ALEX_SPEC, VGG16_SPEC,  # noqa: E402
+                                         init_params, lpips, lpips_fn)
+
+
+def _np_conv(x, w, b, stride, pad):
+    """x [H, W, C], w [kh, kw, Cin, Cout] -> [H', W', Cout]."""
+    from numpy.lib.stride_tricks import sliding_window_view
+    xp = np.pad(x, ((pad, pad), (pad, pad), (0, 0)))
+    win = sliding_window_view(xp, (w.shape[0], w.shape[1]), axis=(0, 1))
+    win = win[::stride, ::stride]            # [H', W', C, kh, kw]
+    return np.einsum("hwckl,klco->hwo", win, w) + b
+
+
+def _np_maxpool(x, k=3, s=2):
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(x, (k, k), axis=(0, 1))[::s, ::s]
+    return win.max(axis=(-1, -2))
+
+
+def _np_lpips(spec, params, x_chw, y_chw):
+    shift = np.array([-0.030, -0.088, -0.188], np.float32)
+    scale = np.array([0.458, 0.448, 0.450], np.float32)
+
+    def feats(img):
+        x = img.transpose(1, 2, 0).astype(np.float64)
+        x = (x - shift) / scale
+        out, ci = [], 0
+        convs = [e for e in spec["convs"] if e not in ("M", "P")]
+        taps = (set(range(len(convs))) if spec is ALEX_SPEC else
+                {i for i, e in enumerate(convs) if len(e) == 5})
+        for e in spec["convs"]:
+            if e in ("M", "P"):
+                x = _np_maxpool(x)
+                continue
+            w, b = params["convs"][ci]
+            x = np.maximum(
+                _np_conv(x, np.asarray(w, np.float64),
+                         np.asarray(b, np.float64), e[2], e[3]), 0.0)
+            if ci in taps:
+                n = np.sqrt((x ** 2).sum(-1, keepdims=True))
+                out.append(x / (n + 1e-10))
+            ci += 1
+        return out
+
+    fx, fy = feats(x_chw), feats(y_chw)
+    total = 0.0
+    for a, b_, lin in zip(fx, fy, params["lins"]):
+        d = (a - b_) ** 2
+        total += (d @ np.asarray(lin, np.float64)).mean()
+    return total
+
+
+@pytest.mark.parametrize("spec,hw", [(ALEX_SPEC, (67, 83)),
+                                     (VGG16_SPEC, (40, 56))])
+def test_lpips_matches_numpy_oracle(spec, hw):
+    rng = np.random.default_rng(0)
+    params = init_params(spec, seed=1)
+    x = rng.uniform(-1, 1, (3,) + hw).astype(np.float32)
+    y = np.clip(x + 0.15 * rng.standard_normal(x.shape), -1,
+                1).astype(np.float32)
+    got = float(lpips(spec, params, jnp.asarray(x), jnp.asarray(y)))
+    want = _np_lpips(spec, params, x, y)
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+    # identity -> 0, and asymmetric perturbation -> positive
+    same = float(lpips(spec, params, jnp.asarray(x), jnp.asarray(x)))
+    assert same == 0.0 and got > 1e-6
+
+
+def test_lpips_fn_zero_one_convention():
+    fn = lpips_fn("alex")
+    rng = np.random.default_rng(2)
+    a = rng.uniform(0, 1, (3, 35, 35)).astype(np.float32)
+    b = rng.uniform(0, 1, (3, 35, 35)).astype(np.float32)
+    d = float(fn(jnp.asarray(a), jnp.asarray(b)))
+    assert np.isfinite(d) and d > 0
+    assert float(fn(jnp.asarray(a), jnp.asarray(a))) == 0.0
+
+
+def test_torch_checkpoint_conversion(tmp_path):
+    torch = pytest.importorskip("torch")
+    from gaussianrpg_tpu.utils.lpips import load_torch_lpips
+
+    # fabricate a torchvision-layout alexnet features state dict
+    rng = np.random.default_rng(3)
+    sd = {}
+    layout = [(0, 3, 64, 11), (3, 64, 192, 5), (6, 192, 384, 3),
+              (8, 384, 256, 3), (10, 256, 256, 3)]
+    for i, cin, cout, k in layout:
+        sd[f"features.{i}.weight"] = torch.from_numpy(
+            rng.standard_normal((cout, cin, k, k)).astype(np.float32))
+        sd[f"features.{i}.bias"] = torch.from_numpy(
+            rng.standard_normal(cout).astype(np.float32))
+    ld = {f"lin{k}.model.1.weight": torch.from_numpy(
+        np.abs(rng.standard_normal((1, c, 1, 1))).astype(np.float32))
+        for k, c in enumerate(ALEX_SPEC["channels"])}
+    bp, lp = str(tmp_path / "alex.pth"), str(tmp_path / "lin.pth")
+    torch.save(sd, bp)
+    torch.save(ld, lp)
+
+    spec, params = load_torch_lpips(bp, lp, "alex")
+    # converted weights reproduce the torch layout: HWIO transpose intact
+    w0 = np.asarray(params["convs"][0][0])
+    np.testing.assert_allclose(
+        w0, sd["features.0.weight"].numpy().transpose(2, 3, 1, 0))
+    x = rng.uniform(-1, 1, (3, 35, 35)).astype(np.float32)
+    y = rng.uniform(-1, 1, (3, 35, 35)).astype(np.float32)
+    d = float(lpips(spec, params, jnp.asarray(x), jnp.asarray(y)))
+    assert np.isfinite(d) and d > 0
+
+
+def test_metrics_app_lpips_wiring(tmp_path):
+    """apps/metrics.evaluate_dir computes LPIPS through the JAX path when
+    given converted checkpoints (reference metrics.py:78-99 contract)."""
+    torch = pytest.importorskip("torch")
+    from PIL import Image
+
+    from gaussianrpg_tpu.apps.metrics import evaluate_dir
+
+    rng = np.random.default_rng(5)
+    d = tmp_path / "evaluate_test"
+    d.mkdir()
+    for n in ("000", "001"):
+        a = rng.integers(0, 255, (40, 48, 3), dtype=np.uint8)
+        b = np.clip(a + rng.integers(-20, 20, a.shape), 0,
+                    255).astype(np.uint8)
+        Image.fromarray(a).save(d / f"{n}_rgb.png")
+        Image.fromarray(b).save(d / f"{n}_gt.png")
+
+    sd = {}
+    layout = [(0, 3, 64, 11), (3, 64, 192, 5), (6, 192, 384, 3),
+              (8, 384, 256, 3), (10, 256, 256, 3)]
+    for i, cin, cout, k in layout:
+        sd[f"features.{i}.weight"] = torch.from_numpy(
+            (rng.standard_normal((cout, cin, k, k)) * 0.05)
+            .astype(np.float32))
+        sd[f"features.{i}.bias"] = torch.zeros(cout)
+    ld = {f"lin{k}.model.1.weight": torch.from_numpy(
+        np.abs(rng.standard_normal((1, c, 1, 1))).astype(np.float32))
+        for k, c in enumerate(ALEX_SPEC["channels"])}
+    bp, lp = str(tmp_path / "alex.pth"), str(tmp_path / "lin.pth")
+    torch.save(sd, bp)
+    torch.save(ld, lp)
+
+    out, _ = evaluate_dir(str(d), {"backbone_path": bp, "lin_path": lp,
+                                   "net_type": "alex"})
+    assert "lpips" in out and np.isfinite(out["lpips"])
+    assert out["lpips"] > 0 and out["n_views"] == 2
