@@ -109,7 +109,7 @@ def main(argv=None):
                                  active_sh_degree=sh, options=options)
             rgb = np.asarray(res.rgb)
             times.append(time.time() - t0)
-            name = f"{cam.frame:06d}_{cam.cam_id}"
+            name = f"{int(cam.frame):06d}_{cam.cam_id}"
             _save_image(os.path.join(out_dir, f"{name}_rgb.png"), rgb)
             if gt is not None:
                 _save_image(os.path.join(out_dir, f"{name}_gt.png"), gt)

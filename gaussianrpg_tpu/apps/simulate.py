@@ -59,7 +59,7 @@ def _synthetic_setup(width=512, height=320, ego_speed=8.0,
             R=w2c[:3, :3].T, T=w2c[:3, 3], K=None, width=width,
             height=height, fovx=fovx, fovy=fovy,
             ego_pose=c2w.astype(np.float32), timestamp=float(ts[i]),
-            frame=i, meta={"image_id": i}))
+            frame=i, image_id=i))
     tape_frames = build_tape_from_cameras(cams, upsample_rate=5)
     tape = {"frames": tape_frames, "image_freq": 10, "dynamic_freq": 50}
 

@@ -323,7 +323,8 @@ def main(argv=None):
         all_planes = []
         for c, gt in cam_gt:
             all_planes.append(
-                scene.load_batch_planes(c.frame, c.cam_id, gt.shape[1:])
+                scene.load_batch_planes(int(c.frame), c.cam_id,
+                                        gt.shape[1:])
                 if gt is not None else {})
         keys = ["sky_mask", "lidar_depth", "obj_bound", "mono_normal",
                 "semantic"]

@@ -339,9 +339,7 @@ class WaymoScene:
                     ego_pose=ego_pose.astype(np.float32),
                     extrinsic=ext.astype(np.float32),
                     timestamp=float(self.cam_timestamps[cam][fi]),
-                    frame=frame, cam_id=cam,
-                    meta={"image_id": len(cams), "frame_idx": fi,
-                          "is_val": is_val},
+                    frame=frame, cam_id=cam, image_id=len(cams),
                 ), gt))
         return cams
 

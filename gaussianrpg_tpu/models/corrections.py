@@ -28,7 +28,9 @@ class ColorCorrection:
     use_mlp: bool = struct.field(pytree_node=False, default=False)
 
     def correction_id(self, camera):
-        return camera.meta.get("image_id", 0) if self.mode == "image" \
+        # dynamic leaves: one trace serves every view (a static id
+        # would retrace per view)
+        return camera.image_id if self.mode == "image" \
             else camera.cam_id
 
 
@@ -127,7 +129,7 @@ class PoseCorrection:
     mode: str = struct.field(pytree_node=False, default="image")
 
     def correction_id(self, camera):
-        return camera.meta.get("image_id", 0) if self.mode == "image" \
+        return camera.image_id if self.mode == "image" \
             else camera.frame
 
 

@@ -90,7 +90,8 @@ def strip_cameras(camera: Camera, n_strips: int) -> Camera:
         ego_pose=jnp.broadcast_to(camera.ego_pose, (n_strips, 4, 4)),
         extrinsic=jnp.broadcast_to(camera.extrinsic, (n_strips, 4, 4)),
         timestamp=jnp.broadcast_to(camera.timestamp, (n_strips,)),
-        frame=camera.frame,
+        frame=jnp.broadcast_to(camera.frame, (n_strips,)),
+        image_id=jnp.broadcast_to(camera.image_id, (n_strips,)),
         cam_id=camera.cam_id,
         meta=camera.meta,
     )
@@ -140,7 +141,8 @@ def _strip_cameras_traced(camera: Camera, n_strips: int,
         ego_pose=jnp.broadcast_to(camera.ego_pose, (n_strips, 4, 4)),
         extrinsic=jnp.broadcast_to(camera.extrinsic, (n_strips, 4, 4)),
         timestamp=jnp.broadcast_to(camera.timestamp, (n_strips,)),
-        frame=camera.frame,
+        frame=jnp.broadcast_to(camera.frame, (n_strips,)),
+        image_id=jnp.broadcast_to(camera.image_id, (n_strips,)),
         cam_id=camera.cam_id,
         meta=camera.meta,
     )
@@ -183,7 +185,8 @@ def render_strips(
             width=camera.width, height=strip_h,
             tan_fovx=camera.tan_fovx, tan_fovy=tan_fovy,
             ego_pose=local.ego_pose, extrinsic=local.extrinsic,
-            timestamp=local.timestamp, frame=camera.frame,
+            timestamp=local.timestamp, frame=local.frame,
+            image_id=local.image_id,
             cam_id=camera.cam_id, meta=camera.meta,
             lim_tan_fovx=camera.tan_fovx, lim_tan_fovy=camera.tan_fovy)
         out = render_fn(cam, *args)
@@ -195,7 +198,8 @@ def render_strips(
         width=camera.width, height=strip_h,
         tan_fovx=camera.tan_fovx, tan_fovy=tan_fovy,
         ego_pose=strips.ego_pose, extrinsic=strips.extrinsic,
-        timestamp=strips.timestamp, frame=camera.frame,
+        timestamp=strips.timestamp, frame=strips.frame,
+        image_id=strips.image_id,
         cam_id=camera.cam_id, meta=camera.meta)
 
     arrays = shard_cam  # pytree with leading device axis on array leaves
@@ -222,7 +226,8 @@ def _strip_camera_local(camera: Camera, local, strip_h: int,
         width=camera.width, height=strip_h,
         tan_fovx=camera.tan_fovx, tan_fovy=tan_fovy,
         ego_pose=local.ego_pose, extrinsic=local.extrinsic,
-        timestamp=local.timestamp, frame=camera.frame,
+        timestamp=local.timestamp, frame=local.frame,
+        image_id=local.image_id,
         cam_id=camera.cam_id, meta=camera.meta,
         lim_tan_fovx=camera.tan_fovx, lim_tan_fovy=camera.tan_fovy,
         full_width=camera.width, full_height=camera.height)
@@ -379,7 +384,8 @@ def render_sharded_2d(
             width=camera.width, height=strip_h,
             tan_fovx=camera.tan_fovx, tan_fovy=tan_fovy,
             ego_pose=local.ego_pose, extrinsic=local.extrinsic,
-            timestamp=local.timestamp, frame=camera.frame,
+            timestamp=local.timestamp, frame=local.frame,
+            image_id=local.image_id,
             cam_id=camera.cam_id, meta=camera.meta,
             lim_tan_fovx=camera.tan_fovx, lim_tan_fovy=camera.tan_fovy)
         fs = fields_fn(cam, *args)

@@ -96,7 +96,12 @@ class Camera:
     ego_pose: jax.Array = None      # [4,4] vehicle->world at the frame
     extrinsic: jax.Array = None     # [4,4] camera->vehicle
     timestamp: jax.Array = None     # scalar normalized timestamp
-    frame: int = struct.field(pytree_node=False, default=0)
+    # per-view identity is DYNAMIC (pytree leaves): a static frame/image
+    # id would bake into the jit cache key and force a retrace+compile
+    # for every view — on the remote-compile TPU runtime that turned the
+    # sim loop into seconds per frame. Host code reads int(cam.frame).
+    frame: jax.Array = None         # scalar i32 dataset frame number
+    image_id: jax.Array = None      # scalar i32 view index (corrections)
     cam_id: int = struct.field(pytree_node=False, default=0)
     meta: Any = struct.field(pytree_node=False, default=None)
     # physical-camera FOV tangents for the EWA frustum clamp; differ from
@@ -138,6 +143,7 @@ def make_camera(
     extrinsic: np.ndarray | None = None,
     timestamp: float = 0.0,
     frame: int = 0,
+    image_id: int = 0,
     cam_id: int = 0,
     meta: Any = None,
 ) -> Camera:
@@ -176,7 +182,8 @@ def make_camera(
         ego_pose=jnp.asarray(ident if ego_pose is None else ego_pose, jnp.float32),
         extrinsic=jnp.asarray(ident if extrinsic is None else extrinsic, jnp.float32),
         timestamp=jnp.asarray(timestamp, jnp.float32),
-        frame=int(frame),
+        frame=jnp.asarray(int(frame), jnp.int32),
+        image_id=jnp.asarray(int(image_id), jnp.int32),
         cam_id=int(cam_id),
         meta=meta,
     )

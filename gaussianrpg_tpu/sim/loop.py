@@ -149,6 +149,7 @@ def _camera_from_pose(template: Camera, pose: dict, idx: int,
         height=template.height,
         ego_pose=np.asarray(pose["ego_pose"], np.float32),
         extrinsic=np.asarray(template.extrinsic),
-        timestamp=float(timestamp), frame=idx, cam_id=template.cam_id,
+        timestamp=float(timestamp), frame=idx,
+        image_id=int(template.image_id), cam_id=template.cam_id,
         meta=template.meta,
     )

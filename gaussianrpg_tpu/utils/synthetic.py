@@ -141,7 +141,6 @@ def make_cameras(n_frames: int = 10, width: int = 128, height: int = 96,
             R=w2c[:3, :3].T, T=w2c[:3, 3], K=None,
             width=width, height=height, fovx=fovx, fovy=fovy,
             ego_pose=c2w.astype(np.float32),
-            timestamp=float(ts[f]), frame=f,
-            meta={"image_id": f},
+            timestamp=float(ts[f]), frame=f, image_id=f,
         ))
     return cams
