@@ -120,6 +120,11 @@ class PairLists(NamedTuple):
     seg_area: jax.Array | None = None  # [N] i32 pairs per gaussian
     sub_chunks: int = 1                # 128-pair sub-chunks per blend grid
                                        # step (per-tile alignment quantum)
+    pair_tile: jax.Array | None = None  # [P_pad] i32 covered tile per slot
+                                        # (-1 = pad; derive_gm mode only —
+                                        # pair_gm is then reconstructed
+                                        # outside the sort, saving the
+                                        # third sort operand)
 
     @property
     def overflowed(self):
@@ -194,7 +199,7 @@ def emit_active(n: int, n_tiles: int) -> bool:
 def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
                            capacity, align, sub, n_tiles, ntx, nty,
                            max_chunks, tile_x, tile_y, ride_gm, rank=None,
-                           tail_cap=None, big_cap=None):
+                           tail_cap=None, big_cap=None, derive_gm=False):
     """Transposed pair expansion: every gaussian emits EMIT_K tile slots as
     pure [N, K] vector math; rects bigger than K route their remainder
     through a compacted tail. One sort of (tile << 20 | depth-rank) keys —
@@ -314,8 +319,8 @@ def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
         keys = jnp.concatenate([keys, jnp.full((pad,), _EMIT_SENT)])
         srcs = jnp.concatenate([srcs, jnp.full((pad,), -1, jnp.int32)])
     srcs = jnp.where(keys == _EMIT_SENT, -1, srcs)
-    pair_gm = None
-    if ride_gm:
+    pair_gm = pair_tile = None
+    if ride_gm and not derive_gm:
         gms = jnp.concatenate([gm_e.reshape(-1), gm_t,
                                jnp.full((spare_cap,), -1, jnp.int32)])
         if m < p_max:
@@ -327,8 +332,17 @@ def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
         pair_src = pair_src[:p_max]
         pair_gm = pair_gm[:p_max]
     else:
-        _, pair_src = jax.lax.sort_key_val(keys, srcs, is_stable=False)
+        sorted_keys, pair_src = jax.lax.sort_key_val(keys, srcs,
+                                                     is_stable=False)
         pair_src = pair_src[:p_max]
+        if ride_gm:
+            # derive mode: the sorted key's high field IS the covered
+            # tile; per-slot expansion indices (gm) are reconstructed
+            # outside the sort from (tile, rect, seg offset) — the third
+            # sort operand measured ~3 ms/frame on the bench scene
+            sk = sorted_keys[:p_max]
+            real = (sk != _EMIT_SENT) & ((sk & _EMIT_SPARE) != _EMIT_SPARE)
+            pair_tile = jnp.where(real, sk >> _EMIT_GB, -1)
     pair_valid = pair_src >= 0
 
     # tail overflow surfaces through the padded_total channel so the
@@ -352,6 +366,7 @@ def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
         seg_offs=offs if ride_gm else None,
         seg_area=area if ride_gm else None,
         sub_chunks=sub,
+        pair_tile=pair_tile,
     )
 
 
@@ -371,6 +386,9 @@ def build_pair_lists(
                                     # pair_src returns original indices
     tail_cap: int | None = None,    # emit-path tail sizes (static); None
     big_cap: int | None = None,     # -> capacity-derived defaults
+    derive_gm: bool = False,        # emit+ride_gm: return pair_tile and
+                                    # let the caller derive pair_gm
+                                    # instead of riding it in the sort
 ) -> PairLists:
     """Expand Gaussians into tile-grouped, depth-ordered pair lists.
 
@@ -402,7 +420,8 @@ def build_pair_lists(
         return _build_pair_lists_emit(
             x0, y0, rw, area, offs, raw_total, visible, capacity, align,
             sub, n_tiles, ntx, nty, max_chunks, tile_x, tile_y, ride_gm,
-            rank=rank, tail_cap=tail_cap, big_cap=big_cap)
+            rank=rank, tail_cap=tail_cap, big_cap=big_cap,
+            derive_gm=derive_gm)
     assert rank is None, "rank requires the emission path (emit_active)"
 
     # --- segment-marker expansion ---------------------------------------

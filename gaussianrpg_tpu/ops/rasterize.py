@@ -45,6 +45,10 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+DERIVE_GM = True  # emit+train: derive the expansion index in the gather
+                  # VJP instead of riding it as a third sort operand
+                  # (measured ~3 ms/frame; False = A/B cross-check knob)
+
 GATHER_SPLIT = False  # True: split row gathers into 8-wide column groups
                       # (was faster in early measurements; a plain 16-wide
                       # take measured 23.2 ms vs 2x18.4 ms split for 3.67M
@@ -84,44 +88,118 @@ def _pair_gather_fwd(fields_sorted, src, valid_f, pair_gm, seg_offs,
     return out, (valid_f, pair_gm, seg_offs, seg_area)
 
 
+SEG_SUM_BLOCK = 0  # two-level segment-sum block length (0 = one long
+                   # cumsum). MEASURED AND REJECTED on v5e
+                   # (tools/segsum_bench.py, [1.18M, 16] f32): one long
+                   # XLA cumsum 3.5 ms vs blocked 6.3 (B=128/512) and
+                   # 12.0 (B=32) — XLA's scan is already internally
+                   # blocked; the reshape+short-axis variant only adds
+                   # materialized intermediates. Kept as an A/B knob.
+
+
+def _segment_sum_expansion(d_gm, seg_offs, seg_area):
+    """Per-gaussian sums of contiguous expansion-order segments:
+    prefix-sum + boundary difference (the sort-free replacement for the
+    CUDA atomicAdd scatter, `backward.cu:568-638`). Segments are
+    CONTIGUOUS (offs[g] + area[g] == offs[g+1] even across zero-area
+    gaussians) — one (N+1)-row boundary gather + adjacent difference."""
+    p = d_gm.shape[0]
+    nf = d_gm.shape[1]
+    ends = jnp.minimum(jnp.concatenate(
+        [seg_offs, (seg_offs[-1] + seg_area[-1])[None]]), p)
+    if SEG_SUM_BLOCK and p % SEG_SUM_BLOCK == 0:
+        b = SEG_SUM_BLOCK
+        blocks = d_gm.reshape(p // b, b, nf)
+        intra = jnp.cumsum(blocks, axis=1)           # short-axis scan
+        block_pref = jnp.concatenate(
+            [jnp.zeros((1, nf), d_gm.dtype),
+             jnp.cumsum(intra[:, -1, :], axis=0)], axis=0)
+        bi = ends // b
+        ri = ends % b
+        # inclusive intra prefix at (bi, ri-1); ri == 0 contributes none
+        flat = intra.reshape(p, nf)
+        part = jnp.take(flat, jnp.maximum(bi * b + ri - 1, 0), axis=0,
+                        indices_are_sorted=True) \
+            * (ri > 0).astype(d_gm.dtype)[:, None]
+        bounds = jnp.take(block_pref, bi, axis=0,
+                          indices_are_sorted=True) + part
+    else:
+        cs = jnp.concatenate(
+            [jnp.zeros((1, nf), d_gm.dtype),
+             jnp.cumsum(d_gm, axis=0)], axis=0)
+        # boundary indices are non-decreasing (exclusive-cumsum of areas)
+        # — tell XLA so the gather can take its sorted fast path
+        bounds = jnp.take(cs, ends, axis=0, indices_are_sorted=True)
+    return bounds[1:] - bounds[:-1]                  # [N, NF]
+
+
+def _unpermute_and_segment_sum(d_gdata, valid_f, pair_gm, seg_offs,
+                               seg_area):
+    """Tile-major pair cotangents -> per-gaussian sums: invert the sort
+    permutation by sorting (gm, slot) (a scatter-built inverse measured
+    ~3x the sort), gather into expansion order, segment-sum."""
+    p = d_gdata.shape[0]
+    iota = jnp.arange(p, dtype=jnp.int32)
+    gm_key = jnp.where(pair_gm >= 0, pair_gm, jnp.int32(0x7FFFFFFF))
+    _, pos = jax.lax.sort((gm_key, iota), num_keys=1)
+    d_tm = d_gdata * valid_f[:, None]
+    d_gm = _take8(d_tm, pos)                        # expansion order
+    return _segment_sum_expansion(d_gm, seg_offs, seg_area)
+
+
 def _pair_gather_bwd(res, d_gdata):
     import numpy as np
 
     valid_f, pair_gm, seg_offs, seg_area = res
-    p = d_gdata.shape[0]
-    iota = jnp.arange(p, dtype=jnp.int32)
-
-    # tile-major slot of each expansion-order pair: invert the sort2
-    # permutation by sorting (gm, slot); invalid/padding slots sink to the
-    # end and land on valid_f == 0 rows
-    gm_key = jnp.where(pair_gm >= 0, pair_gm, jnp.int32(0x7FFFFFFF))
-    _, pos = jax.lax.sort((gm_key, iota), num_keys=1)
-
-    d_tm = d_gdata * valid_f[:, None]
-    d_gm = _take8(d_tm, pos)                        # expansion order
-
-    # segment-sum per depth-sorted gaussian: cumsum + boundary diff.
-    # Segments are CONTIGUOUS in expansion order (offs is the exclusive
-    # cumsum of area, so offs[g] + area[g] == offs[g+1] even across
-    # zero-area gaussians) — one (N+1)-row boundary gather + adjacent
-    # difference instead of separate lo/hi gathers.
-    cs = jnp.concatenate(
-        [jnp.zeros((1, d_gm.shape[1]), d_gm.dtype),
-         jnp.cumsum(d_gm, axis=0)], axis=0)
-    ends = jnp.concatenate(
-        [seg_offs, (seg_offs[-1] + seg_area[-1])[None]])
-    # boundary indices are non-decreasing (exclusive-cumsum of areas) —
-    # tell XLA so the gather can take its sorted fast path
-    bounds = jnp.take(cs, jnp.minimum(ends, p), axis=0,
-                      indices_are_sorted=True)       # [N+1, NF]
-    d_fields = bounds[1:] - bounds[:-1]              # [N, NF]
-
+    d_fields = _unpermute_and_segment_sum(d_gdata, valid_f, pair_gm,
+                                          seg_offs, seg_area)
     f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
     return (d_fields, f0(pair_gm), jnp.zeros_like(valid_f),
             f0(pair_gm), f0(seg_offs), f0(seg_area))  # src shares [P] shape
 
 
 _pair_gather.defvjp(_pair_gather_fwd, _pair_gather_bwd)
+
+
+@functools.lru_cache(maxsize=32)
+def _pair_gather_derive_fn(ntx: int, col0: int):
+    """Pair gather whose VJP DERIVES the expansion index gm instead of
+    consuming a sort-ridden one: gm = seg_offs[src] + row-major cell rank
+    of the slot's tile within src's rect. The rect/offset operands ride
+    the wide field gather as exact-int f32 columns [col0, col0+3) (extra
+    columns on a row gather are nearly free; the third sort operand they
+    replace measured ~3 ms/frame)."""
+
+    @jax.custom_vjp
+    def gather(fields_ext, src, valid_f, pair_tile, seg_offs, seg_area):
+        return _take8(fields_ext, src) * valid_f[:, None]
+
+    def fwd(fields_ext, src, valid_f, pair_tile, seg_offs, seg_area):
+        out = _take8(fields_ext, src) * valid_f[:, None]
+        packed = jax.lax.stop_gradient(out[:, col0:col0 + 3])
+        return out, (valid_f, pair_tile, packed, seg_offs, seg_area)
+
+    def bwd(res, d_gdata):
+        import numpy as np
+
+        valid_f, pair_tile, packed, seg_offs, seg_area = res
+        xy = packed[:, 0].astype(jnp.int32)          # x0*2048 + y0
+        x0 = xy >> 11
+        y0 = xy & 0x7FF
+        rw = packed[:, 1].astype(jnp.int32)
+        offs = packed[:, 2].astype(jnp.int32)
+        ty = pair_tile // ntx                        # static divisor
+        tx = pair_tile - ty * ntx
+        gm = offs + (ty - y0) * rw + (tx - x0)
+        gm = jnp.where(pair_tile >= 0, gm, -1)
+        d_fields = _unpermute_and_segment_sum(d_gdata, valid_f, gm,
+                                              seg_offs, seg_area)
+        f0 = lambda x: np.zeros(x.shape, dtype=jax.dtypes.float0)
+        return (d_fields, f0(pair_tile), jnp.zeros_like(valid_f),
+                f0(pair_tile), f0(seg_offs), f0(seg_area))
+
+    gather.defvjp(fwd, bwd)
+    return gather
 
 
 @jax.custom_vjp
@@ -353,12 +431,28 @@ def blend_fields(
         rank = jax.lax.stop_gradient(jnp.argsort(order))
         rect_min = jnp.where(visible[:, None], fs.rect_min, 0)
         rect_max = jnp.where(visible[:, None], fs.rect_max, 0)
+        # derive-gm mode: with >=3 spare field columns, drop the third
+        # sort operand and reconstruct gm in the gather VJP (see
+        # _pair_gather_derive_fn)
+        col0 = NF_BASE + s_ch
+        derive = (DERIVE_GM and train_mode and nf - col0 >= 3
+                  and ntx < 2048 and nty < 2048 and capacity < (1 << 24))
         lists = binning.build_pair_lists(
             rect_min, rect_max, visible, W, H, capacity,
             ride_gm=train_mode, tile_x=fs.tile_x, tile_y=fs.tile_y,
             sub_chunks=sub_chunks, rank=rank, tail_cap=tail_cap,
-            big_cap=big_cap)
+            big_cap=big_cap, derive_gm=derive)
         fields_sorted = fs.fields          # pair_src: ORIGINAL indices
+        if derive and lists.pair_tile is not None:
+            packed = jax.lax.stop_gradient(jnp.stack(
+                [(rect_min[:, 0] * 2048 + rect_min[:, 1]).astype(
+                    fs.fields.dtype),
+                 jnp.maximum(rect_max[:, 0] - rect_min[:, 0],
+                             0).astype(fs.fields.dtype),
+                 lists.seg_offs.astype(fs.fields.dtype)], axis=1))
+            fields_sorted = jnp.concatenate(
+                [fs.fields[:, :col0], packed, fs.fields[:, col0 + 3:]],
+                axis=1)
     else:
         # Ride the tile rect on the wide row take: narrow [N,2] gathers
         # cost several ms each on TPU while extra columns on a wide row
@@ -414,7 +508,13 @@ def blend_fields(
     valid = jax.lax.stop_gradient(
         lists.pair_valid.astype(fs.fields.dtype))
 
-    if train_mode:
+    if train_mode and lists.pair_tile is not None:
+        gdata = _pair_gather_derive_fn(lists.n_tiles_x, NF_BASE + s_ch)(
+            fields_sorted, src, valid,
+            jax.lax.stop_gradient(lists.pair_tile),
+            jax.lax.stop_gradient(lists.seg_offs),
+            jax.lax.stop_gradient(lists.seg_area))
+    elif train_mode:
         gdata = _pair_gather(
             fields_sorted, src, valid,
             jax.lax.stop_gradient(lists.pair_gm),
@@ -538,7 +638,11 @@ def suggest_binning_sizes(
     n_big = int(jnp.sum(area > binning.EMIT_K))
     d_tail = max(65536, cap // 8 // 65536 * 65536)
     d_big = min(max(8192, d_tail // 16), n)
-    if tail_total * slack <= d_tail and n_big * slack <= d_big:
+    # the slacked counts are clamped to their hard ceilings (tail_total
+    # can never exceed capacity-ish totals, n_big never exceeds n) so
+    # slack alone can't declare a fitting default infeasible
+    if (tail_total * slack <= d_tail
+            and min(int(n_big * slack), n) <= d_big):
         return cap, None, None
     tail_cap = max(8192, int(tail_total * slack) + (-int(tail_total * slack)
                                                     % 8192))
@@ -600,6 +704,31 @@ def rasterize(
         # multi-chip dry-run on a virtual device mesh)
         interpret = True
 
+    # self-jitting: an eager call would dispatch the whole pipeline op by
+    # op — measured ~9 s of per-op compiles per new config on CPU vs ~2 s
+    # for the fused graph. The CUDA peer is a compiled extension; so is
+    # this. Under an enclosing jit the nested call inlines.
+    return _rasterize_jit(
+        means3d, opacities, camera, bg_color, colors, shs, semantics,
+        scales, rotations, cov3d_precomp, means2d_offset, absgrad_sink,
+        active_mask,
+        sh_degree=sh_degree, scale_modifier=scale_modifier,
+        capacity=capacity, interpret=interpret, tile_x=tile_x,
+        tile_y=tile_y, tight_rect=tight_rect, sub_chunks=sub_chunks,
+        tail_cap=tail_cap, big_cap=big_cap)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sh_degree", "scale_modifier", "capacity",
+                     "interpret", "tile_x", "tile_y", "tight_rect",
+                     "sub_chunks", "tail_cap", "big_cap"))
+def _rasterize_jit(means3d, opacities, camera, bg_color, colors, shs,
+                   semantics, scales, rotations, cov3d_precomp,
+                   means2d_offset, absgrad_sink, active_mask, *,
+                   sh_degree, scale_modifier, capacity, interpret,
+                   tile_x, tile_y, tight_rect, sub_chunks, tail_cap,
+                   big_cap):
     train_mode = means2d_offset is not None or absgrad_sink is not None
     fs = primitive_fields(
         means3d, opacities, camera=camera, colors=colors, shs=shs,

@@ -406,12 +406,16 @@ def test_bench_tiling_matches_numpy_same_tiling():
                                rtol=1e-4, atol=1e-4)
 
 
-def test_binning_fuzz_vs_oracle():
+@pytest.mark.parametrize("seeds", [pytest.param(range(1), id="smoke"),
+                                   pytest.param(range(1, 4), id="full",
+                                                marks=pytest.mark.slow)])
+def test_binning_fuzz_vs_oracle(seeds):
     """Randomized mini-scenes across odd image sizes, tilings, and tight
     (but sufficient) capacities must track the oracle — hardens the
     scatter/fill/padding edge cases (boundary tiles, empty tiles,
-    capacity == padded_total)."""
-    for seed in range(4):
+    capacity == padded_total). One seed in the default lane; the rest in
+    the slow lane (every seed is a fresh compile config, ~10 s each)."""
+    for seed in seeds:
         rng = np.random.default_rng(100 + seed)
         W = int(rng.integers(33, 97))
         H = int(rng.integers(17, 65))
@@ -505,8 +509,41 @@ def test_tail_sizes_decouple_from_pair_capacity():
     # default tail at this capacity is too small for this scene
     default = rasterize(m, op, capacity=cap, interpret=True, **kw)
     assert bool(default.overflow)
-    # oversized default (defaults scale with capacity) agrees bit-for-bit
-    ref = rasterize(m, op, capacity=cap * 16, interpret=True, **kw)
+    # explicit generous sizes agree bit-for-bit with the right-sized run
+    ref = rasterize(m, op, capacity=cap, interpret=True,
+                    tail_cap=1 << 20, big_cap=2000, **kw)
     assert not bool(ref.overflow)
     np.testing.assert_array_equal(np.asarray(sized.color),
                                   np.asarray(ref.color))
+
+
+def test_derive_gm_gradients_bit_identical():
+    """The derive-gm gather VJP (gm reconstructed from the sorted key's
+    tile + packed rect columns) must reproduce the sort-ridden gm path's
+    gradients BIT FOR BIT (same segment-sum over the same values), for
+    plain and sub-chunked configs, with and without SEG_SUM blocking."""
+    from gaussianrpg_tpu.ops import rasterize as R
+
+    means, opac, kw, rng = _setup(n=400, seed=9, W=96, H=64)
+    hook = dict(means2d_offset=jnp.zeros((400, 2)),
+                absgrad_sink=jnp.zeros((400,)))
+
+    def grads(capacity):
+        def loss(m, op, c):
+            out = rasterize(m, op, capacity=capacity, interpret=True,
+                            **{**kw, "colors": c}, **hook)
+            return jnp.sum(out.color ** 2) + jnp.sum(out.depth * out.alpha)
+        return jax.grad(loss, argnums=(0, 1, 2))(means, opac, kw["colors"])
+
+    for cap, blk in ((8192, 128), (8192, 0), (16384, 64)):
+        old_d, old_b = R.DERIVE_GM, R.SEG_SUM_BLOCK
+        try:
+            R.SEG_SUM_BLOCK = blk
+            R.DERIVE_GM = True
+            g_derive = grads(cap)
+            R.DERIVE_GM = False
+            g_ride = grads(cap)
+        finally:
+            R.DERIVE_GM, R.SEG_SUM_BLOCK = old_d, old_b
+        for a, b in zip(g_derive, g_ride):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,41 @@
+"""Microbench: two-level blocked segment-sum vs one long cumsum for the
+pair-gradient aggregation (ops/rasterize._segment_sum_expansion).
+Chained-jit method (K reps inside one jit, difference)."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+import jax, jax.numpy as jnp
+from bench import setup_cache
+setup_cache()
+from gaussianrpg_tpu.ops import rasterize as R
+
+P, N, NF = 1_179_648, 600_000, 16
+rng = np.random.default_rng(0)
+d_gm = jnp.asarray(rng.standard_normal((P, NF)).astype(np.float32))
+area = rng.integers(0, 5, N).astype(np.int32)
+offs = np.concatenate([[0], np.cumsum(area)[:-1]]).astype(np.int32)
+seg_offs, seg_area = jnp.asarray(offs), jnp.asarray(area)
+
+def timed(block, reps=8):
+    old = R.SEG_SUM_BLOCK
+    R.SEG_SUM_BLOCK = block
+    try:
+        @jax.jit
+        def one(d):
+            return jnp.sum(R._segment_sum_expansion(d, seg_offs, seg_area))
+        @jax.jit
+        def k(d):
+            acc = 0.0
+            for i in range(reps):
+                acc += jnp.sum(R._segment_sum_expansion(
+                    d * (1 + 1e-6 * i), seg_offs, seg_area))
+            return acc
+        float(one(d_gm)); float(k(d_gm))
+        t0 = time.time(); float(one(d_gm)); t1 = time.time()
+        float(k(d_gm)); t2 = time.time()
+        return ((t2 - t1) - (t1 - t0)) / (reps - 1) * 1e3
+    finally:
+        R.SEG_SUM_BLOCK = old
+
+for blk in (0, 512, 128, 32):
+    print(f"block={blk}: {timed(blk):.2f} ms", flush=True)
