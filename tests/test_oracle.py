@@ -114,7 +114,10 @@ def test_gradients_finite_difference():
     args = tuple(map(jnp.asarray, (means, opac, colors, scales, q)))
     grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args)
 
-    f = lambda *a: float(loss(*a))
+    # one compiled evaluation serves all ~50 finite-difference probes
+    # (the eager oracle costs ~0.5 s per call in per-op dispatch)
+    loss_jit = jax.jit(loss)
+    f = lambda *a: float(loss_jit(*a))
     eps = 1e-3
     for ai, name in [(0, "means"), (1, "opac"), (2, "colors"),
                      (3, "scales"), (4, "rot")]:

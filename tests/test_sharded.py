@@ -81,8 +81,8 @@ def test_production_train_step_on_mesh_matches_single():
     models, meta, arrays = make_scene(
         n_background=400, bkgd_capacity=512, n_actors=1, actor_capacity=128,
         n_frames=4)
-    cams = make_cameras(n_frames=4, width=64, height=64)
-    opts = RenderOptions(capacity=8192, interpret=True, backend="pallas")
+    cams = make_cameras(n_frames=4, width=48, height=48)
+    opts = RenderOptions(capacity=4096, interpret=True, backend="pallas")
     gt = np.asarray(render_scene(models, meta, arrays, cams[1],
                                  active_sh_degree=1, options=opts).rgb)
     # perturb so the step has a real loss and real gradients

@@ -16,7 +16,7 @@ from gaussianrpg_tpu.utils.synthetic import make_cameras, make_scene  # noqa: E4
 # interpret mode pays per 128-pair grid step, so the static capacity IS
 # the suite's wall time: right-size it for the tiny scenes (they emit a
 # few thousand pairs; the overflow tests configure their own)
-OPTS = RenderOptions(capacity=16384, interpret=True, backend="pallas")
+OPTS = RenderOptions(capacity=8192, interpret=True, backend="pallas")
 
 
 def _tiny_scene():
@@ -295,8 +295,10 @@ def test_overflow_step_discarded_and_retried():
     batch = Batch(gt_image=jnp.asarray(gt))
     key = jax.random.PRNGKey(0)
 
-    # undersized capacity: first step overflows, retry grows until it fits
-    small = RenderOptions(capacity=256, interpret=True, backend="pallas")
+    # undersized capacity: first step overflows, retry grows until it
+    # fits (start one doubling short — every growth is a fresh train-step
+    # compile, the suite's dominant cost)
+    small = RenderOptions(capacity=1024, interpret=True, backend="pallas")
     state0 = init_train_state(models)
     step_fn, opts2, state_r, loss_r, scalars_r, _ = step_with_overflow_retry(
         make_step(small), make_step, small, state0, cams[1], batch, key, 1)
