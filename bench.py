@@ -136,12 +136,15 @@ def main():
     # suggestion (exact aligned counts + 3% slack) shaves every
     # capacity-linear stage; overflow would still be flagged loudly below
     from gaussianrpg_tpu.ops.rasterize import primitive_fields, \
-        suggest_capacity
+        suggest_binning_sizes
     fs0 = jax.jit(lambda m, op, c, s, r: primitive_fields(
         m, op, camera=cam, colors=c, scales=s, rotations=r,
         tile_x=tile_x, tile_y=tile_y))(*args)
-    capacity = suggest_capacity(fs0, width=W, height=H, slack=1.03,
-                                quantum=8192)
+    # right-size ALL THREE binning buffers (capacity + emission tail):
+    # the capacity-derived tail defaults (147k/18k here) cost ~1.2 ms of
+    # per-frame tail machinery against a measured 10k-pair tail
+    capacity, tail_cap, big_cap, emit_k = suggest_binning_sizes(
+        fs0, width=W, height=H, slack=1.03, quantum=8192)
     del fs0
 
     # NOTE: the camera must be an ARGUMENT, not a closure capture — jitted
@@ -154,7 +157,8 @@ def main():
     def render(cam, m, op, c, s, r):
         out = rasterize(m, op, colors=c, scales=s, rotations=r, camera=cam,
                         bg_color=jnp.zeros(3), capacity=capacity,
-                        tile_x=tile_x, tile_y=tile_y)
+                        tile_x=tile_x, tile_y=tile_y,
+                        tail_cap=tail_cap, big_cap=big_cap, emit_k=emit_k)
         return jnp.sum(out.color) + 1e9 * out.overflow.astype(jnp.float32)
 
     args = (cam,) + args
@@ -191,20 +195,43 @@ def main():
             out = rasterize(m, op, colors=c_, scales=s, rotations=r,
                             camera=cam, bg_color=jnp.zeros(3),
                             capacity=capacity, means2d_offset=off,
-                            absgrad_sink=sink, tile_x=tile_x, tile_y=tile_y)
+                            absgrad_sink=sink, tile_x=tile_x, tile_y=tile_y,
+                            tail_cap=tail_cap, big_cap=big_cap,
+                            emit_k=emit_k)
             return jnp.sum(out.color ** 2) + jnp.sum(out.depth ** 2)
         l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
             c, jnp.zeros((n_g, 2)), jnp.zeros((n_g,)))
         return l + sum(jnp.sum(x) for x in g)
 
-    jax.block_until_ready(train_step(args[0], args[1], varied[0],
-                                     *args[3:]))
-    ttimes = []
-    for v in varied[:6]:
+    # chained-jit timing (PERF.md measurement rules: never time a single
+    # dispatch — the tunnel's fixed ~20 ms per-call overhead is runtime
+    # artifact, not device work; (t_K - t_1)/(K-1) cancels it). Inputs
+    # varied per rep inside the chain so no step can be CSE'd.
+    K_CHAIN = 4
+
+    def chained(k):
+        @jax.jit
+        def run(cam, m, op, c, s, r):
+            acc = jnp.float32(0)
+            for i in range(k):
+                acc += train_step(cam, m, op, c * (1.0 + 1e-6 * (i + 1)),
+                                  s, r)
+            return acc
+        return run
+
+    t1f, tkf = chained(1), chained(K_CHAIN)
+    float(t1f(args[0], args[1], varied[0], *args[3:]))
+    float(tkf(args[0], args[1], varied[0], *args[3:]))
+    t1s, tks = [], []
+    for v in varied[:3]:
         t0 = time.time()
-        float(train_step(args[0], args[1], v, *args[3:]))
-        ttimes.append(time.time() - t0)
-    train_ms = float(np.median(ttimes)) * 1e3
+        float(t1f(args[0], args[1], v, *args[3:]))
+        t1s.append(time.time() - t0)
+        t0 = time.time()
+        float(tkf(args[0], args[1], v, *args[3:]))
+        tks.append(time.time() - t0)
+    train_ms = (float(np.median(tks))
+                - float(np.median(t1s))) / (K_CHAIN - 1) * 1e3
 
     print(json.dumps({
         "metric": "synthetic-street FPS/chip at 1066x1600 (600k gaussians,"

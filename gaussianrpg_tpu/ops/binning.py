@@ -199,7 +199,8 @@ def emit_active(n: int, n_tiles: int) -> bool:
 def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
                            capacity, align, sub, n_tiles, ntx, nty,
                            max_chunks, tile_x, tile_y, ride_gm, rank=None,
-                           tail_cap=None, big_cap=None, derive_gm=False):
+                           tail_cap=None, big_cap=None, derive_gm=False,
+                           emit_k=None):
     """Transposed pair expansion: every gaussian emits EMIT_K tile slots as
     pure [N, K] vector math; rects bigger than K route their remainder
     through a compacted tail. One sort of (tile << 20 | depth-rank) keys —
@@ -213,7 +214,7 @@ def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
     sort; per-tile counts come from an indicator-matmul instead of a keys
     sort (exact: 0/1 products, f32 accumulation < 2^24)."""
     n = x0.shape[0]
-    K = EMIT_K
+    K = EMIT_K if emit_k is None else emit_k
     p_max = capacity
     g32 = jnp.arange(n, dtype=jnp.int32)
     gb = _EMIT_GB
@@ -249,6 +250,8 @@ def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
     valid_e = kk < area[:, None]
     key_e = jnp.where(valid_e, (tile_e << gb) | krank[:, None], _EMIT_SENT)
     src_e = jnp.broadcast_to(g32[:, None], (n, K))
+    if offs is None:                   # eval: gm machinery unused
+        offs = area                    # dummy operand (DCE'd)
     gm_e = offs[:, None] + kk
 
     # --- tail: rects bigger than K, compacted then marker-expanded -------
@@ -389,6 +392,9 @@ def build_pair_lists(
     derive_gm: bool = False,        # emit+ride_gm: return pair_tile and
                                     # let the caller derive pair_gm
                                     # instead of riding it in the sort
+    emit_k: int | None = None,      # emission slots per gaussian (None ->
+                                    # module EMIT_K); suggest_binning_sizes
+                                    # picks per scene from the area stats
 ) -> PairLists:
     """Expand Gaussians into tile-grouped, depth-ordered pair lists.
 
@@ -413,15 +419,21 @@ def build_pair_lists(
     rh = jnp.maximum(rect_max[:, 1] - y0, 0)
     area = jnp.where(visible, rw * rh, 0).astype(jnp.int32)
 
-    offs = jnp.cumsum(area) - area                    # exclusive prefix
-    raw_total = offs[-1] + area[-1]
+    if ride_gm or not emit_active(n, n_tiles):
+        offs = jnp.cumsum(area) - area                # exclusive prefix
+        raw_total = offs[-1] + area[-1]
+    else:
+        # eval emit path: expansion offsets feed only the gm machinery —
+        # a plain reduction replaces the [N] multi-pass cumsum (~1 ms)
+        offs = None
+        raw_total = jnp.sum(area)
 
     if emit_active(n, n_tiles):
         return _build_pair_lists_emit(
             x0, y0, rw, area, offs, raw_total, visible, capacity, align,
             sub, n_tiles, ntx, nty, max_chunks, tile_x, tile_y, ride_gm,
             rank=rank, tail_cap=tail_cap, big_cap=big_cap,
-            derive_gm=derive_gm)
+            derive_gm=derive_gm, emit_k=emit_k)
     assert rank is None, "rank requires the emission path (emit_active)"
 
     # --- segment-marker expansion ---------------------------------------

@@ -33,6 +33,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import binning
 from .oracle import RasterOut, rasterize_oracle
@@ -410,6 +411,7 @@ def blend_fields(
     stat_height: int | None = None,
     tail_cap: int | None = None,
     big_cap: int | None = None,
+    emit_k: int | None = None,
 ) -> RasterOut:
     """O(P) tile stage on the full (gathered) field set: depth sort, tile
     binning, pair gather, Pallas blend (`rasterizer_impl.cu:278-321` +
@@ -441,7 +443,7 @@ def blend_fields(
             rect_min, rect_max, visible, W, H, capacity,
             ride_gm=train_mode, tile_x=fs.tile_x, tile_y=fs.tile_y,
             sub_chunks=sub_chunks, rank=rank, tail_cap=tail_cap,
-            big_cap=big_cap, derive_gm=derive)
+            big_cap=big_cap, derive_gm=derive, emit_k=emit_k)
         fields_sorted = fs.fields          # pair_src: ORIGINAL indices
         if derive and lists.pair_tile is not None:
             packed = jax.lax.stop_gradient(jnp.stack(
@@ -599,6 +601,15 @@ def suggest_capacity(
     return max(cap + (-cap % q), q)
 
 
+class BinningSizes(NamedTuple):
+    """Right-sized static binning buffers + emission width for a scene."""
+
+    capacity: int
+    tail_cap: int | None
+    big_cap: int | None
+    emit_k: int | None
+
+
 def suggest_binning_sizes(
     fs: FieldSet,
     *,
@@ -607,20 +618,25 @@ def suggest_binning_sizes(
     slack: float = 1.25,
     sub_chunks: int = 1,
     quantum: int = 65536,
-) -> tuple[int, int | None, int | None]:
-    """(capacity, tail_cap, big_cap) right-sized from measured scene stats.
+) -> BinningSizes:
+    """Right-size every static binning parameter from measured scene stats.
 
-    The emission binning has THREE static buffer sizes: the pair capacity,
-    the big-rect tail slots (default capacity/8), and the compacted
-    big-gaussian count (default tail_cap/16). The defaults are tuned for
-    street scenes where rects rarely exceed EMIT_K tiles; a scene whose
-    rects routinely do (small tiles / fat gaussians) tail-overflows at a
+    The emission binning has THREE static buffer sizes (pair capacity,
+    big-rect tail slots, compacted big-gaussian count) plus the emission
+    width EMIT_K. The capacity-derived defaults are tuned for street
+    scenes where rects rarely exceed EMIT_K tiles; a scene whose rects
+    routinely do (small tiles / fat gaussians) tail-overflows at a
     capacity whose PAIR total fits fine, and growing one number to cover
     all three wastes every capacity-linear stage. Sizing each buffer from
     its own measured need is exactly the CUDA resize-closure semantics
     (`rasterizer_impl.cu:155-193` sizes geom/binning/img independently).
-    tail/big return None (use defaults) when the defaults already fit.
-    Returns python ints — call outside jit."""
+
+    emit_k: a sort-row-minimizing k=2 choice was MEASURED AND REJECTED —
+    it won ~0.8 ms/frame in an eval-only A/B (sort pow2 bucket drops) but
+    the 16x bigger compacted-tail machinery cost +16 ms on the full bench
+    train step. The module default EMIT_K stays; emit_k remains a
+    per-call knob for scenes whose area stats differ. Returns python
+    values — call outside jit."""
     cap = suggest_capacity(fs, width=width, height=height, slack=slack,
                            sub_chunks=sub_chunks, quantum=quantum)
     n = fs.radii.shape[0]
@@ -629,26 +645,28 @@ def suggest_binning_sizes(
     ntx, nty = binning.tile_grid_dims(width, height, int(fs.tile_x),
                                       int(fs.tile_y))
     if not binning.emit_active(n, ntx * nty):
-        return cap, None, None
+        return BinningSizes(cap, None, None, None)
     visible = fs.radii > 0
     rw = jnp.maximum(fs.rect_max[:, 0] - fs.rect_min[:, 0], 0)
     rh = jnp.maximum(fs.rect_max[:, 1] - fs.rect_min[:, 1], 0)
-    area = jnp.where(visible, rw * rh, 0)
-    tail_total = int(jnp.sum(jnp.maximum(area - binning.EMIT_K, 0)))
-    n_big = int(jnp.sum(area > binning.EMIT_K))
-    d_tail = max(65536, cap // 8 // 65536 * 65536)
-    d_big = min(max(8192, d_tail // 16), n)
-    # the slacked counts are clamped to their hard ceilings (tail_total
-    # can never exceed capacity-ish totals, n_big never exceeds n) so
-    # slack alone can't declare a fitting default infeasible
-    if (tail_total * slack <= d_tail
-            and min(int(n_big * slack), n) <= d_big):
-        return cap, None, None
-    tail_cap = max(8192, int(tail_total * slack) + (-int(tail_total * slack)
-                                                    % 8192))
-    big_cap = min(n, max(1024, int(n_big * slack) + (-int(n_big * slack)
-                                                     % 1024)))
-    return cap, tail_cap, big_cap
+    area = np.asarray(jnp.where(visible, rw * rh, 0))
+
+    def sizes_for(k):
+        tail_total = int(np.maximum(area - k, 0).sum())
+        n_big = int((area > k).sum())
+        # explicit sizes even when capacity-derived defaults would FIT:
+        # oversized tail buffers cost real per-frame time (the bench
+        # scene measured ~1.2 ms of tail machinery against a 10k-pair
+        # tail under 147k/18k defaults)
+        tail_cap = max(8192, int(tail_total * slack)
+                       + (-int(tail_total * slack) % 8192))
+        big_cap = min(n, max(1024, int(n_big * slack)
+                             + (-int(n_big * slack) % 1024)))
+        return tail_cap, big_cap, n * k + tail_cap
+
+    emit_k = binning.EMIT_K
+    tail_cap, big_cap, _ = sizes_for(emit_k)
+    return BinningSizes(cap, tail_cap, big_cap, emit_k)
 
 
 def rasterize(
@@ -677,6 +695,7 @@ def rasterize(
     sub_chunks: int | None = None,
     tail_cap: int | None = None,
     big_cap: int | None = None,
+    emit_k: int | None = None,
 ) -> RasterOut:
     """Render Gaussians through the TPU pipeline.
 
@@ -715,20 +734,20 @@ def rasterize(
         sh_degree=sh_degree, scale_modifier=scale_modifier,
         capacity=capacity, interpret=interpret, tile_x=tile_x,
         tile_y=tile_y, tight_rect=tight_rect, sub_chunks=sub_chunks,
-        tail_cap=tail_cap, big_cap=big_cap)
+        tail_cap=tail_cap, big_cap=big_cap, emit_k=emit_k)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sh_degree", "scale_modifier", "capacity",
                      "interpret", "tile_x", "tile_y", "tight_rect",
-                     "sub_chunks", "tail_cap", "big_cap"))
+                     "sub_chunks", "tail_cap", "big_cap", "emit_k"))
 def _rasterize_jit(means3d, opacities, camera, bg_color, colors, shs,
                    semantics, scales, rotations, cov3d_precomp,
                    means2d_offset, absgrad_sink, active_mask, *,
                    sh_degree, scale_modifier, capacity, interpret,
                    tile_x, tile_y, tight_rect, sub_chunks, tail_cap,
-                   big_cap):
+                   big_cap, emit_k):
     train_mode = means2d_offset is not None or absgrad_sink is not None
     fs = primitive_fields(
         means3d, opacities, camera=camera, colors=colors, shs=shs,
@@ -743,4 +762,5 @@ def _rasterize_jit(means3d, opacities, camera, bg_color, colors, shs,
                         sub_chunks=sub_chunks,
                         stat_width=camera.full_width,
                         stat_height=camera.full_height,
-                        tail_cap=tail_cap, big_cap=big_cap)
+                        tail_cap=tail_cap, big_cap=big_cap,
+                        emit_k=emit_k)

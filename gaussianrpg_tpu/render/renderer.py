@@ -64,6 +64,9 @@ class RenderOptions:
     # rasterizer_impl.cu:155-193).
     tail_cap: int | None = struct.field(pytree_node=False, default=None)
     big_cap: int | None = struct.field(pytree_node=False, default=None)
+    # emission slots per gaussian (None = ops/binning.EMIT_K); the probe
+    # picks per scene from the measured area stats
+    emit_k: int | None = struct.field(pytree_node=False, default=None)
 
 
 def render_until_fit(render_once, options: "RenderOptions"):
@@ -127,17 +130,19 @@ def probe_scene_capacity(
             tile_x=options.tile_x, tile_y=options.tile_y)
 
     step = max(1, len(cameras) // max_probes)
-    cap, tail, big = 0, None, None
+    cap, tail, big, ek = 0, None, None, None
     for cam in list(cameras)[::step][:max_probes]:
         fs = fields(cam)
-        c, t, b = suggest_binning_sizes(
+        c, t, b, k = suggest_binning_sizes(
             fs, width=cam.width, height=cam.height, slack=slack,
             sub_chunks=options.sub_chunks, quantum=quantum)
         cap = max(cap, c)
         if t is not None:
             tail = max(tail or 0, t)
             big = max(big or 0, b)
-    return options.replace(capacity=cap, tail_cap=tail, big_cap=big)
+            ek = k if ek is None else max(ek, k)
+    return options.replace(capacity=cap, tail_cap=tail, big_cap=big,
+                           emit_k=ek)
 
 
 def options_from_cfg(render_cfg, **overrides) -> "RenderOptions":
@@ -216,6 +221,7 @@ def render_scene(
         sub_chunks=options.sub_chunks,
         tail_cap=options.tail_cap,
         big_cap=options.big_cap,
+        emit_k=options.emit_k,
     )
 
     rgb = out.color

@@ -34,7 +34,7 @@ def main():
     setup_cache()
 
     from gaussianrpg_tpu.ops.rasterize import (primitive_fields, rasterize,
-                                               suggest_capacity)
+                                               suggest_binning_sizes)
     from gaussianrpg_tpu.render.camera import make_camera
     from gaussianrpg_tpu.sim.loop import run_closed_loop
     from gaussianrpg_tpu.sim.pipeline import (finish_detections,
@@ -69,10 +69,15 @@ def main():
         m, op, camera=c, colors=cc, scales=s, rotations=r,
         tile_x=tile_x, tile_y=tile_y))
     # tight probe across the trajectory: every capacity-linear stage
-    # (binning sort, pair gather, blend grid) pays the slack directly
-    capacity = max(suggest_capacity(pf(c, *args), width=W, height=H,
-                                    slack=1.05, quantum=8192)
-                   for c in cams[::8] + [cams[-1]])
+    # (binning sort, tail machinery, pair gather, blend grid) pays the
+    # slack directly
+    sizes = [suggest_binning_sizes(pf(c, *args), width=W, height=H,
+                                   slack=1.05, quantum=8192)
+             for c in cams[::8] + [cams[-1]]]
+    capacity = max(s.capacity for s in sizes)
+    tail_cap = max(s.tail_cap for s in sizes)
+    big_cap = max(s.big_cap for s in sizes)
+    emit_k = min(s.emit_k for s in sizes)
 
     # --- fused inline-perception step (one dispatch per frame) -----------
     spec = spec_yolov5()
@@ -81,7 +86,8 @@ def main():
     def render_rgb(camera, m, op, c, s, r):
         out = rasterize(m, op, colors=c, scales=s, rotations=r,
                         camera=camera, bg_color=jnp.zeros(3),
-                        capacity=capacity, tile_x=tile_x, tile_y=tile_y)
+                        capacity=capacity, tile_x=tile_x, tile_y=tile_y,
+                        tail_cap=tail_cap, big_cap=big_cap, emit_k=emit_k)
         return out.color
 
     size = (384, 640)

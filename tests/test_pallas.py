@@ -498,8 +498,8 @@ def test_tail_sizes_decouple_from_pair_capacity():
     fs = primitive_fields(m, op, **{k: kw[k] for k in
                                     ("camera", "colors", "scales",
                                      "rotations")})
-    cap, tail, big = suggest_binning_sizes(fs, width=160, height=120,
-                                           slack=1.1, quantum=128)
+    cap, tail, big, emit_k = suggest_binning_sizes(
+        fs, width=160, height=120, slack=1.1, quantum=128)
     assert tail is not None, "scene must exercise the explicit-tail path"
     assert big is not None
 
@@ -547,3 +547,28 @@ def test_derive_gm_gradients_bit_identical():
             R.DERIVE_GM, R.SEG_SUM_BLOCK = old_d, old_b
         for a, b in zip(g_derive, g_ride):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_emit_k_parity():
+    """emit_k=2 (head slots + bigger tail) must reproduce emit_k=4's
+    output bit for bit — the split between head emission and the
+    compacted tail is an implementation detail of the same pair set."""
+    means, opac, kw, _ = _setup(n=500, seed=11)
+    a = rasterize(means, opac, capacity=8192, interpret=True, emit_k=4,
+                  tail_cap=8192, big_cap=1024, **kw)
+    b = rasterize(means, opac, capacity=8192, interpret=True, emit_k=2,
+                  tail_cap=8192, big_cap=1024, **kw)
+    assert not bool(a.overflow) and not bool(b.overflow)
+    np.testing.assert_array_equal(np.asarray(a.color), np.asarray(b.color))
+    np.testing.assert_array_equal(np.asarray(a.depth), np.asarray(b.depth))
+
+    # gradients too (derive-gm path with k=2 tail routing)
+    def loss(fn_k, m):
+        out = rasterize(m, opac, capacity=8192, interpret=True,
+                        emit_k=fn_k, tail_cap=8192, big_cap=1024,
+                        means2d_offset=jnp.zeros((m.shape[0], 2)), **kw)
+        return jnp.sum(out.color ** 2)
+
+    g4 = jax.grad(lambda m: loss(4, m))(means)
+    g2 = jax.grad(lambda m: loss(2, m))(means)
+    np.testing.assert_array_equal(np.asarray(g4), np.asarray(g2))

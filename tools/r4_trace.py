@@ -1,0 +1,118 @@
+"""Round-4 stage trace of the CURRENT eval pipeline (emission binning with
+ranks, no sorted field table) + scene stats. Chained-jit prefix method."""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from bench import build_frozen_scene, setup_cache
+    setup_cache()
+    from gaussianrpg_tpu.ops import binning
+    from gaussianrpg_tpu.ops.pallas_blend import blend_pairs
+    from gaussianrpg_tpu.ops.rasterize import _take8, primitive_fields
+
+    cam, args, H, W = build_frozen_scene()
+    means, opac, colors, scales, q = args
+    tx, ty = 64, 32
+    cap = 1_179_648
+
+    # scene stats (host, once)
+    fs0 = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+    vis = np.asarray(fs0.radii > 0)
+    rw = np.maximum(np.asarray(fs0.rect_max[:, 0] - fs0.rect_min[:, 0]), 0)
+    rh = np.maximum(np.asarray(fs0.rect_max[:, 1] - fs0.rect_min[:, 1]), 0)
+    area = np.where(vis, rw * rh, 0)
+    print(json.dumps(dict(
+        n=int(vis.size), visible=int(vis.sum()),
+        raw_pairs=int(area.sum()),
+        area_hist=[int((area == k).sum()) for k in range(6)],
+        area_gt4=int((area > 4).sum()), tail_total=int(np.maximum(area-4,0).sum()))),
+        flush=True)
+
+    def p_fields(cam, m, op, c, s, r):
+        fs = primitive_fields(m, op, camera=cam, colors=c, scales=s,
+                              rotations=r, tile_x=tx, tile_y=ty)
+        return (jnp.sum(fs.fields) + jnp.sum(fs.rect_min)
+                + jnp.sum(fs.rect_max) + jnp.sum(fs.radii))
+
+    def _rank(fs):
+        visible = fs.radii > 0
+        key = jnp.where(visible, fs.depths, jnp.inf)
+        order = jnp.argsort(key, stable=True)
+        return jnp.argsort(order), visible
+
+    def p_rank(cam, m, op, c, s, r):
+        fs = primitive_fields(m, op, camera=cam, colors=c, scales=s,
+                              rotations=r, tile_x=tx, tile_y=ty)
+        rank, _ = _rank(fs)
+        return jnp.sum(fs.fields) + jnp.sum(rank).astype(jnp.float32)
+
+    def _lists(cam, m, op, c, s, r):
+        fs = primitive_fields(m, op, camera=cam, colors=c, scales=s,
+                              rotations=r, tile_x=tx, tile_y=ty)
+        rank, visible = _rank(fs)
+        rmin = jnp.where(visible[:, None], fs.rect_min, 0)
+        rmax = jnp.where(visible[:, None], fs.rect_max, 0)
+        lists = binning.build_pair_lists(
+            rmin, rmax, visible, W, H, cap, tile_x=tx, tile_y=ty,
+            rank=rank)
+        return fs, lists
+
+    def p_binning(cam, m, op, c, s, r):
+        _, lists = _lists(cam, m, op, c, s, r)
+        return (jnp.sum(lists.pair_src)
+                + jnp.sum(lists.chunk_meta)).astype(jnp.float32)
+
+    def p_gather(cam, m, op, c, s, r):
+        fs, lists = _lists(cam, m, op, c, s, r)
+        src = jnp.maximum(lists.pair_src, 0)
+        valid = lists.pair_valid.astype(fs.fields.dtype)
+        return jnp.sum(_take8(fs.fields, src) * valid[:, None])
+
+    def p_blend(cam, m, op, c, s, r):
+        fs, lists = _lists(cam, m, op, c, s, r)
+        src = jnp.maximum(lists.pair_src, 0)
+        valid = lists.pair_valid.astype(fs.fields.dtype)
+        gdata = _take8(fs.fields, src) * valid[:, None]
+        sink = jnp.zeros((cap,), fs.fields.dtype)
+        planes = blend_pairs(gdata, lists, jnp.zeros(3), sink,
+                             width=W, height=H, s_ch=0)
+        return jnp.sum(planes)
+
+    stages = [("fields", p_fields), ("rank", p_rank),
+              ("binning", p_binning), ("pair_gather", p_gather),
+              ("blend", p_blend)]
+    K = 5
+    prev = 0.0
+    out = {}
+    for name, fn in stages:
+        def chained(k, fn=fn):
+            @jax.jit
+            def run(cam, m, op, c, s, r):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    acc += fn(cam, m * (1.0 + 1e-6 * (i + 1)), op, c, s, r)
+                return acc
+            return run
+        r1, rk = chained(1), chained(K)
+        float(r1(cam, *args)); float(rk(cam, *args))
+        t1s, tks = [], []
+        for rep in range(3):
+            c2 = colors * (1.0 + 1e-7 * rep)
+            t0 = time.time(); float(r1(cam, means, opac, c2, scales, q))
+            t1s.append(time.time() - t0)
+            t0 = time.time(); float(rk(cam, means, opac, c2, scales, q))
+            tks.append(time.time() - t0)
+        cum = (float(np.median(tks)) - float(np.median(t1s))) / (K - 1) * 1e3
+        out[name] = round(cum - prev, 2)
+        print(f"{name:12s} cum {cum:7.2f} stage {cum - prev:7.2f}", flush=True)
+        prev = cum
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

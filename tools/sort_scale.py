@@ -1,0 +1,35 @@
+"""lax.sort cost vs row count and operand count on the chip (chained-jit)."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np, jax, jax.numpy as jnp
+from bench import setup_cache
+setup_cache()
+
+rng = np.random.default_rng(0)
+
+def timed(rows, ops, reps=6):
+    keys = jnp.asarray(rng.integers(0, 1 << 30, rows).astype(np.int32))
+    vals = [jnp.asarray(rng.integers(0, 1 << 30, rows).astype(np.int32))
+            for _ in range(ops - 1)]
+    @jax.jit
+    def one(k):
+        out = jax.lax.sort((k, *vals), num_keys=1, is_stable=False)
+        return sum(jnp.sum(o[:128]) for o in out)
+    @jax.jit
+    def many(k):
+        acc = jnp.int32(0)
+        for i in range(reps):
+            out = jax.lax.sort((k + i, *vals), num_keys=1, is_stable=False)
+            acc += sum(jnp.sum(o[:128]) for o in out)
+        return acc
+    float(one(keys)); float(many(keys))
+    t1s, tks = [], []
+    for r in range(3):
+        k2 = keys + r
+        t0 = time.time(); float(one(k2)); t1s.append(time.time() - t0)
+        t0 = time.time(); float(many(k2)); tks.append(time.time() - t0)
+    return (float(np.median(tks)) - float(np.median(t1s))) / (reps - 1) * 1e3
+
+for rows, ops in ((2_654_208, 2), (2_654_208, 1), (1_900_544, 2),
+                  (1_327_104, 2), (665_600, 1)):
+    print(f"rows={rows} ops={ops}: {timed(rows, ops):.2f} ms", flush=True)
