@@ -92,13 +92,24 @@ def _round8(x):
     return (x + 7) // 8 * 8
 
 
-MXU_SCAN = False  # sublane scans as triangular-matrix MXU contractions
-                  # instead of log2 masked-roll ladders. OFF: the variant
-                  # WEDGES the Mosaic compile at 64x32 tiles (>25 min, never
-                  # returned — the same pathology class as the T-update
-                  # matmul note below); kept for re-testing on newer
-                  # toolchains since it would cut ~21 VPU ops per block to
-                  # one 128x128xP contraction.
+MXU_SCAN = False  # sublane CUMPROD as exp(tril @ log) MXU contraction
+                  # instead of the log2 masked-roll ladder. MEASURED AND
+                  # REJECTED (r4): the historical Mosaic compile wedge at
+                  # 64x32 is gone, but the transcendental pair costs more
+                  # than the 21-op ladder saves — streamed fwd 38.3 ->
+                  # 51.6 ms/frame (/tmp A/B, adjacent same-process pairs).
+
+MXU_CUMSUM = False  # sublane CUMSUM (backward p_incl) as a tril MXU
+                    # contraction — no transcendentals, so unlike
+                    # MXU_SCAN it can win; A/B: no measurable difference
+                    # on the bench train step (115.1 vs 114.8 ms) — the
+                    # ladder is not the bwd bottleneck. Kept off.
+
+BWD_ABLATE = None  # timing-only ablation of the backward kernel
+                   # (tools/bwd_ablate.py): "nograd" skips the moment
+                   # matmuls + gradient recombination, "noscan" skips the
+                   # p_incl cumsum, "note" skips the e contraction.
+                   # Results are WRONG under any non-None value.
 
 
 def _tril(strict: bool) -> jnp.ndarray:
@@ -140,7 +151,7 @@ def _sub_cumprod_excl(x):
 
 def _sub_cumsum(x):
     """Inclusive cumulative sum along the sublane Gaussian axis."""
-    if MXU_SCAN:
+    if MXU_SCAN or MXU_CUMSUM:
         return _mm(_tril(strict=False), x)
     row = _sub_iota(x.shape[1])
     y = x
@@ -336,8 +347,11 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 pref_s[...] = jnp.zeros((1, n_pix), jnp.float32)
                 # per-TILE constants, cached once instead of recomputed by
                 # all ~11 chunks of the tile: the cotangent-folded totals
-                # (backward.cu:468 identity), the bg dot, and the moment
-                # basis [1, px, py, px^2, px*py, py^2, dL/dpix...]
+                # WITH the bg term pre-added (backward.cu:468 identity +
+                # the :611-614 bg-color term share the same 1/(1-a)
+                # factor, so tot_e + T_final*(bg . g_rgb) folds into one
+                # cached row), and the moment basis
+                # [1, px, py, px^2, px*py, py^2]
                 outs = out_ref[0, :, :]                   # (NFO, P)
                 g_pix = dout_ref[0, :, :]                 # (NFO, P)
                 t_final = 1.0 - outs[4:5]                 # (1, P)
@@ -352,12 +366,11 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 px, py = _pixel_rows(tile_x, tile_y, tx, ty)
                 pxl = px - jnp.float32(tx) * tile_x
                 pyl = py - jnp.float32(ty) * tile_y
-                tile_s[0:1] = jnp.sum(tot * g_pix, axis=0,
-                                      keepdims=True)      # tot_e
-                tile_s[1:2] = (g_pix[0:1] * bg0 + g_pix[1:2] * bg1
-                               + g_pix[2:3] * bg2)        # bg_dot
-                tile_s[2:3] = t_final
-                tile_s[3:9] = jnp.concatenate(
+                bg_dot = (g_pix[0:1] * bg0 + g_pix[1:2] * bg1
+                          + g_pix[2:3] * bg2)
+                tile_s[0:1] = (jnp.sum(tot * g_pix, axis=0, keepdims=True)
+                               + t_final * bg_dot)        # tot_e + bg term
+                tile_s[1:7] = jnp.concatenate(
                     [jnp.ones((1, n_pix), jnp.float32), pxl, pyl,
                      pxl * pxl, pxl * pyl, pyl * pyl], axis=0)
 
@@ -366,9 +379,7 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
             @pl.when((valid == 1) & (n_done < n_pix))
             def _():
                 g_pix = dout_ref[0, :, :]                 # (NFO, P)
-                tot_e = tile_s[0:1]
-                bg_dot = tile_s[1:2]
-                t_final = tile_s[2:3]
+                tot_ebt = tile_s[0:1]
 
                 px, py = _pixel_rows(tile_x, tile_y, tx, ty)
                 gd = (gdata_ref if sub == 1
@@ -386,12 +397,13 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 # (r,g,b,depth,weight|alpha,sem), so the fold is one
                 # (G, C_f) x (C_f, P) MXU contraction instead of C_f fused
                 # multiply-adds over (G, P) vregs
-                e = _mm(feats, g_pix)
+                e = (jnp.ones_like(w) if BWD_ABLATE == "note"
+                     else _mm(feats, g_pix))
                 we = w * e
-                p_incl = pref_s[...] + _sub_cumsum(we)
+                p_incl = (pref_s[...] + we if BWD_ABLATE == "noscan"
+                          else pref_s[...] + _sub_cumsum(we))
                 inv_om = 1.0 / one_m
-                dl_da = e * t_excl - (tot_e - p_incl) * inv_om \
-                    - (t_final * inv_om) * bg_dot
+                dl_da = e * t_excl - (tot_ebt - p_incl) * inv_om
                 dl_da = jnp.where(contrib, dl_da, 0.0)
 
                 q2 = a["g"] * dl_da                       # dL/d(opacity)
@@ -413,19 +425,47 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 # bench config, tools/mm_orient.py). TILE-LOCAL pixel coordinates
                 # keep the moment recombination cancellation-free (global
                 # px^2 ~ 1e6 would amplify f32 eps by (px/dx)^2).
+                if BWD_ABLATE == "nograd":
+                    gmat = jnp.broadcast_to(
+                        jnp.sum(dl_da, axis=1, keepdims=True),
+                        (G_CHUNK, ng_cols))
+                    if sub == 1:
+                        gmat_s[...] = gmat
+                    else:
+                        gmat_s[j * G_CHUNK:(j + 1) * G_CHUNK, :] = gmat
+                    t_run_s[...] = t_new
+                    done_s[...] = jnp.maximum(
+                        done_s[...],
+                        (jnp.sum(stop_f, axis=0, keepdims=True) > 0.0)
+                        .astype(jnp.float32))
+                    pref_s[...] = p_incl[G_CHUNK - 1:G_CHUNK, :]
+                    return
+
                 txo = jnp.float32(tx) * tile_x
                 tyo = jnp.float32(ty) * tile_y
-                mom1 = _mm_pp(tile_s[3:9],
-                              jnp.concatenate([q, q2, absp], 0)).T  # (3G, 6)
-                mq = mom1[0:G_CHUNK]
-                mq2 = mom1[G_CHUNK:2 * G_CHUNK, 0:1]      # sum_p q2
-                mabs = mom1[2 * G_CHUNK:3 * G_CHUNK, 0:1]  # sum_p absp
+                # two slim contractions + ONE fused transpose. The
+                # gradient-output block measured 19 ms of the 45 ms bwd
+                # (tools/bwd_ablate.py "nograd"), dominated by small-MXU
+                # dispatch + per-result transposes, so: (a) sum_p q2 is
+                # recovered as (sum_p q)/op instead of its own
+                # contraction (q = op*q2 with op constant per row —
+                # exact up to one re-rounding); (b) the moment/abs/w
+                # results concatenate in (C, G) orientation and cross to
+                # sublane-major through a single transpose.
                 gct = (jnp.concatenate([g_pix[0:4], g_pix[5:5 + s_ch]], 0)
                        if s_ch else g_pix[0:4])           # r,g,b,depth,sem
-                mw = _mm_pp(gct, w).T                     # (G, 4+S)
+                big = jnp.concatenate(
+                    [_mm_pp(tile_s[1:7], q),              # (6, G) moments
+                     _mm_pp(tile_s[1:2], absp),           # (1, G) sum absp
+                     _mm_pp(gct, w)], axis=0).T           # (G, 11+S)
+                mq = big[:, 0:6]
+                mabs = big[:, 6:7]
+                mw = big[:, 7:]
 
                 s0, sx, sy = mq[:, 0:1], mq[:, 1:2], mq[:, 2:3]
                 sxx, sxy, syy = mq[:, 3:4], mq[:, 4:5], mq[:, 5:6]
+                # sum_p q2 = sum_p q / op (0/eps = 0 for dead rows)
+                mq2 = s0 / jnp.maximum(t["op"], 1e-20)
                 mx, my = t["mx"] - txo, t["my"] - tyo
                 # moments of q against dx = mx - px, dy = my - py (local)
                 qdx = mx * s0 - sx
@@ -527,7 +567,7 @@ def _blend_fns(ntx, nty, s_ch, capacity, nf_cols, width, height, interpret,
                 pltpu.VMEM((1, n_pix), jnp.float32),       # pref_e
                 pltpu.VMEM((sub * G_CHUNK, ng_cols),
                            jnp.float32),                   # gmat
-                pltpu.VMEM((9, n_pix), jnp.float32),       # per-tile cache
+                pltpu.VMEM((7, n_pix), jnp.float32),       # per-tile cache
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((n_steps, sub * G_CHUNK, ng_cols),

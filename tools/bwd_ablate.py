@@ -1,0 +1,81 @@
+"""Backward blend kernel ablation timings (BWD_ABLATE; results are wrong,
+timings isolate the per-chunk cost structure). Chained-jit on bwd_call."""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from bench import build_frozen_scene, setup_cache
+    setup_cache()
+    from gaussianrpg_tpu.ops import binning, pallas_blend
+    from gaussianrpg_tpu.ops.pallas_blend import _blend_fns, blend_pairs
+    from gaussianrpg_tpu.ops.rasterize import (_take8, primitive_fields,
+                                               suggest_binning_sizes)
+    cam, args, H, W = build_frozen_scene()
+    tx, ty = 64, 32
+    fs = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+    cap, tail_cap, big_cap, emit_k = suggest_binning_sizes(
+        fs, width=W, height=H, slack=1.03, quantum=8192)
+
+    @jax.jit
+    def make_inputs(fsf, rmin, rmax, radii, depths):
+        visible = radii > 0
+        key = jnp.where(visible, depths, jnp.inf)
+        rank = jnp.argsort(jnp.argsort(key, stable=True))
+        rmin = jnp.where(visible[:, None], rmin, 0)
+        rmax = jnp.where(visible[:, None], rmax, 0)
+        lists = binning.build_pair_lists(
+            rmin, rmax, visible, W, H, cap, tile_x=tx, tile_y=ty,
+            rank=rank, tail_cap=tail_cap, big_cap=big_cap, emit_k=emit_k)
+        src = jnp.maximum(lists.pair_src, 0)
+        valid = lists.pair_valid.astype(jnp.float32)
+        gdata = _take8(fsf, src) * valid[:, None]
+        planes = blend_pairs(gdata, lists, jnp.zeros(3), jnp.zeros((cap,)),
+                             width=W, height=H, s_ch=0)
+        return gdata, lists.chunk_meta, lists.n_tiles_x, lists.n_tiles_y
+    gdata, cm, ntx, nty = make_inputs(fs.fields, fs.rect_min, fs.rect_max,
+                                      fs.radii, fs.depths)
+    ntx, nty = int(ntx), int(nty)
+    n_tiles = ntx * nty
+    rng = np.random.default_rng(0)
+    out = jnp.asarray(rng.uniform(0, 1, (n_tiles, 5, tx * ty))
+                      .astype(np.float32))
+    dout = jnp.asarray(rng.standard_normal((n_tiles, 5, tx * ty))
+                       .astype(np.float32) * 1e-3)
+    bg = jnp.zeros(3)
+    gdata = jax.block_until_ready(gdata)
+
+    def timed(ablate, reps=6):
+        pallas_blend.BWD_ABLATE = ablate
+        _blend_fns.cache_clear()
+        _, bwd_call = _blend_fns(ntx, nty, 0, cap, 16, W, H, False,
+                                 tx, ty, 1)
+        @jax.jit
+        def one(gd):
+            return jnp.sum(bwd_call(cm, bg, gd, out, dout))
+        @jax.jit
+        def many(gd):
+            acc = jnp.float32(0)
+            for i in range(reps):
+                acc += jnp.sum(bwd_call(cm, bg, gd * (1 + 1e-6 * i), out,
+                                        dout))
+            return acc
+        float(one(gdata)); float(many(gdata))
+        t1s, tks = [], []
+        for r in range(3):
+            g2 = gdata * (1.0 + 1e-7 * r)
+            t0 = time.time(); float(one(g2)); t1s.append(time.time() - t0)
+            t0 = time.time(); float(many(g2)); tks.append(time.time() - t0)
+        return (float(np.median(tks))
+                - float(np.median(t1s))) / (reps - 1) * 1e3
+
+    for ab in (None, "nograd", "noscan", "note", None):
+        print(f"ablate={ab}: {timed(ab):.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

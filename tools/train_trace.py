@@ -1,0 +1,157 @@
+"""Train-step cost decomposition on the bench scene: chained-jit timings
+of the gradient cut at successive pipeline boundaries.
+
+  fwd        : eval forward only
+  blend_bwd  : + blend kernel backward (grad w.r.t. the gathered pair
+               table, cut before the gather VJP)
+  gather_vjp : + pair-gather VJP (un-permute + segment-sum; grad w.r.t.
+               the field table)
+  full       : + preprocess/SH backward to the raw parameters
+"""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from bench import build_frozen_scene, setup_cache
+    setup_cache()
+    from gaussianrpg_tpu.ops import binning
+    from gaussianrpg_tpu.ops.pallas_blend import blend_pairs
+    from gaussianrpg_tpu.ops.rasterize import (_take8, primitive_fields,
+                                               suggest_binning_sizes,
+                                               blend_fields, NF_BASE,
+                                               _pair_gather_derive_fn)
+    cam, args, H, W = build_frozen_scene()
+    means, opac, colors, scales, q = args
+    tx, ty = 64, 32
+    fs0 = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+    cap, tail_cap, big_cap, emit_k = suggest_binning_sizes(
+        fs0, width=W, height=H, slack=1.03, quantum=8192)
+
+    def fields_of(m, c):
+        return primitive_fields(
+            m, opac, camera=cam, colors=c, scales=scales, rotations=q,
+            means2d_offset=jnp.zeros((m.shape[0], 2)),
+            absgrad_sink=jnp.zeros((m.shape[0],)),
+            tile_x=tx, tile_y=ty)
+
+    def lists_of(fs):
+        visible = fs.radii > 0
+        key = jnp.where(visible, fs.depths, jnp.inf)
+        rank = jax.lax.stop_gradient(jnp.argsort(jnp.argsort(key,
+                                                             stable=True)))
+        rmin = jnp.where(visible[:, None], fs.rect_min, 0)
+        rmax = jnp.where(visible[:, None], fs.rect_max, 0)
+        return binning.build_pair_lists(
+            rmin, rmax, visible, W, H, cap, ride_gm=True, tile_x=tx,
+            tile_y=ty, rank=rank, tail_cap=tail_cap, big_cap=big_cap,
+            derive_gm=True, emit_k=emit_k)
+
+    col0 = NF_BASE
+
+    def ext_of(fs, lists):
+        rmin = jax.lax.stop_gradient(jnp.where((fs.radii > 0)[:, None],
+                                               fs.rect_min, 0))
+        rmax = jax.lax.stop_gradient(jnp.where((fs.radii > 0)[:, None],
+                                               fs.rect_max, 0))
+        packed = jnp.stack(
+            [(rmin[:, 0] * 2048 + rmin[:, 1]).astype(fs.fields.dtype),
+             jnp.maximum(rmax[:, 0] - rmin[:, 0], 0).astype(fs.fields.dtype),
+             lists.seg_offs.astype(fs.fields.dtype)], axis=1)
+        return jnp.concatenate(
+            [fs.fields[:, :col0], jax.lax.stop_gradient(packed),
+             fs.fields[:, col0 + 3:]], axis=1)
+
+    def p_fwd(m, c):
+        fs = fields_of(m, c)
+        lists = lists_of(fs)
+        src = jax.lax.stop_gradient(jnp.maximum(lists.pair_src, 0))
+        valid = jax.lax.stop_gradient(lists.pair_valid.astype(jnp.float32))
+        gdata = _take8(ext_of(fs, lists), src) * valid[:, None]
+        planes = blend_pairs(gdata, lists, jnp.zeros(3),
+                             jnp.zeros((cap,)), width=W, height=H, s_ch=0)
+        return jnp.sum(planes ** 2)
+
+    def p_blend_bwd(m, c):
+        fs = fields_of(m, c)
+        lists = lists_of(fs)
+        src = jax.lax.stop_gradient(jnp.maximum(lists.pair_src, 0))
+        valid = jax.lax.stop_gradient(lists.pair_valid.astype(jnp.float32))
+        gdata0 = _take8(ext_of(fs, lists), src) * valid[:, None]
+        def blend_loss(gd):
+            planes = blend_pairs(gd, lists, jnp.zeros(3),
+                                 jnp.zeros((cap,)), width=W, height=H,
+                                 s_ch=0)
+            return jnp.sum(planes ** 2)
+        l, g = jax.value_and_grad(blend_loss)(gdata0)
+        return l + jnp.sum(g)
+
+    def p_gather_vjp(m, c):
+        fs = fields_of(m, c)
+        lists = lists_of(fs)
+        src = jax.lax.stop_gradient(jnp.maximum(lists.pair_src, 0))
+        valid = jax.lax.stop_gradient(lists.pair_valid.astype(jnp.float32))
+        ext0 = ext_of(fs, lists)
+        gfn = _pair_gather_derive_fn(lists.n_tiles_x, col0)
+        def loss(ext):
+            gdata = gfn(ext, src, valid,
+                        jax.lax.stop_gradient(lists.pair_tile),
+                        jax.lax.stop_gradient(lists.seg_offs),
+                        jax.lax.stop_gradient(lists.seg_area))
+            planes = blend_pairs(gdata, lists, jnp.zeros(3),
+                                 jnp.zeros((cap,)), width=W, height=H,
+                                 s_ch=0)
+            return jnp.sum(planes ** 2)
+        l, g = jax.value_and_grad(loss)(ext0)
+        return l + jnp.sum(g)
+
+    def p_full(m, c):
+        def loss(m_, c_):
+            fs = fields_of(m_, c_)
+            lists = lists_of(fs)
+            src = jax.lax.stop_gradient(jnp.maximum(lists.pair_src, 0))
+            valid = jax.lax.stop_gradient(
+                lists.pair_valid.astype(jnp.float32))
+            gfn = _pair_gather_derive_fn(lists.n_tiles_x, col0)
+            gdata = gfn(ext_of(fs, lists), src, valid,
+                        jax.lax.stop_gradient(lists.pair_tile),
+                        jax.lax.stop_gradient(lists.seg_offs),
+                        jax.lax.stop_gradient(lists.seg_area))
+            planes = blend_pairs(gdata, lists, jnp.zeros(3),
+                                 jnp.zeros((cap,)), width=W, height=H,
+                                 s_ch=0)
+            return jnp.sum(planes ** 2)
+        l, g = jax.value_and_grad(loss, argnums=(0, 1))(m, c)
+        return l + sum(jnp.sum(x) for x in g)
+
+    stages = [("fwd", p_fwd), ("blend_bwd", p_blend_bwd),
+              ("gather_vjp", p_gather_vjp), ("full", p_full)]
+    prev = 0.0
+    for name, fn in stages:
+        def chained(k, fn=fn):
+            @jax.jit
+            def run(m, c):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    acc += fn(m * (1.0 + 1e-6 * (i + 1)), c)
+                return acc
+            return run
+        r1, rk = chained(1), chained(4)
+        float(r1(means, colors)); float(rk(means, colors))
+        t1s, tks = [], []
+        for rep in range(3):
+            c2 = colors * (1.0 + 1e-7 * rep)
+            t0 = time.time(); float(r1(means, c2)); t1s.append(time.time()-t0)
+            t0 = time.time(); float(rk(means, c2)); tks.append(time.time()-t0)
+        cum = (float(np.median(tks)) - float(np.median(t1s))) / 3 * 1e3
+        print(f"{name:10s} cum {cum:7.2f} stage {cum - prev:7.2f}",
+              flush=True)
+        prev = cum
+
+
+if __name__ == "__main__":
+    main()
