@@ -156,7 +156,8 @@ def main():
     # median per-frame sequential time: robust to the tunnel's transient
     # multi-second stalls (which a mean/wall-clock rate conflates with the
     # steady-state latency); wall-clock Hz is kept alongside
-    seq_ms = float(np.median(frame_times[2:]) * 1e3)
+    ft = np.asarray(frame_times[2:]) * 1e3
+    seq_ms = float(np.median(ft))
     wall_hz = loop_hz
     loop_hz = 1e3 / seq_ms
 
@@ -175,6 +176,9 @@ def main():
         "fused_device_ms": round(fused_ms, 2),
         "host_nms_aeb_ms": round(host_ms, 3),
         "sequential_frame_ms": round(seq_ms, 2),
+        "frame_ms_p10_p90_max": [round(float(np.percentile(ft, 10)), 1),
+                                 round(float(np.percentile(ft, 90)), 1),
+                                 round(float(ft.max()), 1)],
         "loop_hz_wallclock": round(wall_hz, 2),
         "loop_hz_pipelined": round(pipelined_hz, 2),
         "note": "YOLOv5s graph runs random-initialized (real weights not "
