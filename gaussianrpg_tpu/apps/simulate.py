@@ -92,7 +92,9 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
     checkpoint + tape from `cfg.sim.traj_file_path` + YOLO or
     box-projection detector. Returns the `run_closed_loop` argument
     tuple (tape, render_fn, detector, camera_template, gt_tracklets,
-    vehicle->camera extrinsic)."""
+    vehicle->camera extrinsic, perceive_fn) — perceive_fn is the fused
+    single-dispatch inline-perception path when a JAX YOLO checkpoint is
+    configured (cfg.sim.fused_perception, default on), else None."""
     import jax
 
     from ..data.waymo import WaymoScene
@@ -143,11 +145,45 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
         return res.rgb
 
     weights = cfg.sim.get("yolov5_weights_path", "")
+    perceive_fn = None
     if weights and os.path.exists(weights):
         try:
             detector = JaxYoloDetector(weights)
         except Exception:
             detector = TorchHubYoloDetector(weights)
+        if (isinstance(detector, JaxYoloDetector)
+                and not cfg.sim.get("separate_perception", False)
+                and cfg.sim.get("fused_perception", True)):
+            # fused inline perception (sim/pipeline.py): render + device
+            # letterbox + YOLO + top-K prefilter in ONE dispatch; only
+            # [K, 6] candidates cross to the host. The reference's inline
+            # mode round-trips the full frame twice per frame
+            # (`simulator.py:309-416`).
+            import numpy as np
+
+            from ..sim.detector import VEHICLE_CLASSES
+            from ..sim.pipeline import finish_detections, make_fused_step
+            from ..sim.yolo import load_torch_checkpoint
+
+            spec, params = load_torch_checkpoint(weights)
+            H, W = cam0.height, cam0.width
+
+            def render_rgb(camera):
+                res = render_scene(
+                    models, meta, arrays, camera,
+                    active_sh_degree=meta.bkgd_sh_degree, options=options)
+                return res.rgb
+
+            fused, gain, pad = make_fused_step(
+                render_rgb, spec, params, (H, W),
+                classes=VEHICLE_CLASSES)
+
+            def perceive_fn(camera):
+                cand = np.asarray(fused(camera))
+                det = finish_detections(cand, gain, pad, (H, W))
+                return [np.array([(x0 + x1) / 2 / W, (y0 + y1) / 2 / H,
+                                  (x1 - x0) / W, (y1 - y0) / H])
+                        for x0, y0, x1, y1, conf, cls in det]
     else:
         detector = BoxProjectionDetector(arrays=arrays,
                                          actor_pose=models.actor_pose)
@@ -165,7 +201,7 @@ def config_setup(cfg, cipv_id: int = -1, start_frame: int = 0):
     else:
         tracklets = {0: (1e9, 0.0, 0.0)}  # no CIPV: distance never trips
     v2c = np.linalg.inv(np.asarray(cam0.extrinsic))
-    return tape, render_fn, detector, cam0, tracklets, v2c
+    return tape, render_fn, detector, cam0, tracklets, v2c, perceive_fn
 
 
 def main(argv=None):
@@ -186,11 +222,13 @@ def main(argv=None):
     p.add_argument("opts", nargs="*", default=[])
     args = p.parse_args(argv)
 
+    perceive_fn = None
     if args.config and not args.synthetic:
         from ..config.config import load_config
         cfg = load_config(args.config, args.opts)
-        tape, render_fn, detector, cam0, gt, v2c = config_setup(
-            cfg, cipv_id=args.cipv, start_frame=args.start_frame)
+        tape, render_fn, detector, cam0, gt, v2c, perceive_fn = \
+            config_setup(cfg, cipv_id=args.cipv,
+                         start_frame=args.start_frame)
     else:
         tape, render_fn, detector, cam0, gt, v2c = _synthetic_setup(
             args.width, args.height)
@@ -200,7 +238,8 @@ def main(argv=None):
         brake_distance=args.brake_distance,
         collision_threshold=args.collision_threshold,
         simulation_time=args.simulation_time,
-        ranger_extrinsic=v2c, cam_height=1.1)
+        ranger_extrinsic=v2c, cam_height=1.1,
+        perceive_fn=perceive_fn)
     print(json.dumps(dict(
         verdict=result.verdict, ticks=result.ticks,
         frames=result.frames_rendered,

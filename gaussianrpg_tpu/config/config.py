@@ -213,6 +213,10 @@ DEFAULT_CONFIG = {
     "sim": {
         "traj_file_path": "",
         "separate_perception": False,
+        # fused single-dispatch inline perception (sim/pipeline.py) when
+        # a JAX YOLO checkpoint is configured; False falls back to the
+        # two-dispatch render->detector path
+        "fused_perception": True,
         "yolov5_weights_path": "",
         "dynamic_freq": 50.0,
         "image_freq": 10.0,
