@@ -412,19 +412,20 @@ def _make_bwd_kernel(ntx, s_ch, width, height, ng_cols, tx, ty, sub):
                 gyp = q * (-(t["cc"] * a["dy"] + t["cb"] * a["dx"]))
                 absp = half_w * jnp.abs(gxp) + half_h * jnp.abs(gyp)
 
-                # TWO slim matmuls produce every pixel reduction: moments
-                # of q/q2/|grad| against [1, px, py, px^2, px*py, py^2] and
-                # w against the dL/dpix channels (-> color/depth/sem grads).
-                # A single (6+NFO)-row basis against all four row groups
-                # computes 4x(6+NFO) products of which only 12+S are ever
-                # read, and MXU cost scales with the basis rows' 8-granular
-                # sublane padding: the 6-row basis pads to 8 and the
-                # (4+S)-row basis pads to 8 for S<=4 (16 for the 5-channel
-                # semantic configs) vs the combined 11+S -> 16+ always
-                # (measured 2x on the moment stage in the no-semantics
-                # bench config, tools/mm_orient.py). TILE-LOCAL pixel coordinates
-                # keep the moment recombination cancellation-free (global
-                # px^2 ~ 1e6 would amplify f32 eps by (px/dx)^2).
+                # Slim matmuls produce every pixel reduction: moments of
+                # q against the cached [1, px, py, px^2, px*py, py^2]
+                # basis, |grad| against the ones row, and w against the
+                # dL/dpix channels (-> color/depth/sem grads); sum_p q2
+                # is recovered from sum_p q by dividing out the per-row
+                # opacity instead of its own contraction. Splitting keeps
+                # each contraction's sublane dim at its own 8-granular
+                # padding vs a combined 11+S-row basis -> 16+ (measured
+                # 2x on the moment stage, tools/mm_orient.py), and the
+                # (C, G)-orientation concat crosses to sublane-major
+                # through ONE transpose (tools/bwd_ablate.py).
+                # TILE-LOCAL pixel coordinates keep the moment
+                # recombination cancellation-free (global px^2 ~ 1e6
+                # would amplify f32 eps by (px/dx)^2).
                 if BWD_ABLATE == "nograd":
                     gmat = jnp.broadcast_to(
                         jnp.sum(dl_da, axis=1, keepdims=True),

@@ -67,8 +67,10 @@ def _take8(x, idx):
 
 @jax.custom_vjp
 def _pair_gather(fields_sorted, src, valid_f, pair_gm, seg_offs, seg_area):
-    """Gather per-pair rows [P,NF] from the depth-sorted per-Gaussian
-    table, with a hand-written transpose.
+    """Gather per-pair rows [P,NF] from the per-Gaussian field table
+    (depth-sorted in the legacy path; ORIGINAL order in the emission/rank
+    path, where pair_src carries original indices), with a hand-written
+    transpose.
 
     The VJP replaces XLA's scatter-add (the autodiff transpose of `take`,
     measured 390 ms for [3.7M,16]->[600k,16]; the CUDA peer is the
