@@ -50,17 +50,24 @@ def letterbox_device(img_chw: jax.Array, out_hw: tuple[int, int],
 def topk_candidates(pred: jax.Array, k: int,
                     classes: Sequence[int] | None = COCO_VEHICLE_PERSON):
     """Device prefilter: pred [A, 5+nc] -> [K, 6] (xywh, conf, cls) by
-    descending obj*cls confidence over the selected classes."""
+    descending obj*cls confidence.
+
+    Class semantics MATCH the unfused path (yolo.non_max_suppression):
+    argmax/max over ALL classes first, then boxes whose best class falls
+    outside `classes` get conf 0 (dropped by the host threshold). Taking
+    the max over only the selected classes instead would KEEP a box whose
+    globally-best class is e.g. 'traffic light' but whose car score clears
+    the threshold — a box the unfused detector rejects (r4 advisor
+    finding; parity asserted by test_fused_pipeline_matches_unfused)."""
     obj = pred[:, 4]
-    cls_scores = pred[:, 5:]
+    conf_all = pred[:, 5:] * obj[:, None]
+    cls = jnp.argmax(conf_all, axis=1)
+    conf = jnp.max(conf_all, axis=1)
     if classes is not None:
         cls_idx = jnp.asarray(np.asarray(classes, np.int32))
-        cls_scores = cls_scores[:, cls_idx]
-    conf_all = cls_scores * obj[:, None]
-    local = jnp.argmax(conf_all, axis=1)
-    conf = jnp.max(conf_all, axis=1)
-    cls = (jnp.take(cls_idx, local) if classes is not None
-           else local).astype(jnp.float32)
+        allowed = jnp.any(cls[:, None] == cls_idx[None, :], axis=1)
+        conf = jnp.where(allowed, conf, 0.0)
+    cls = cls.astype(jnp.float32)
     top_conf, top_i = jax.lax.top_k(conf, k)
     boxes = jnp.take(pred[:, :4], top_i, axis=0)
     return jnp.concatenate(

@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# (out_ch, kernel, stride, pad) conv entries; "M" = 3x3/2 maxpool placed
-# BEFORE the next conv (torchvision .features order); taps after each ReLU
+# (out_ch, kernel, stride, pad) conv entries; pool markers placed BEFORE
+# the next conv (torchvision .features order): "M" = alexnet MaxPool2d(3, 2),
+# "P" = vgg16 MaxPool2d(2, 2); taps after each ReLU
 ALEX_SPEC = {
     "convs": [(64, 11, 4, 2), "M", (192, 5, 1, 2), "M", (384, 3, 1, 1),
               (256, 3, 1, 1), (256, 3, 1, 1)],
@@ -96,7 +97,10 @@ def features(spec, params, x_nchw: jax.Array) -> list[jax.Array]:
     ci = 0
     for e in spec["convs"]:
         if e in ("M", "P"):
-            x = _maxpool(x)
+            # "M" = alexnet MaxPool2d(kernel_size=3, stride=2); "P" = vgg16
+            # MaxPool2d(kernel_size=2, stride=2) (torchvision vgg16
+            # .features — a 3x3 pool here would shift every later tap)
+            x = _maxpool(x, 3, 2) if e == "M" else _maxpool(x, 2, 2)
             continue
         _, k, s, p = e[0], e[1], e[2], e[3]
         w, b = params["convs"][ci]

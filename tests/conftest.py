@@ -34,6 +34,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    """Default to `-n 8` (xdist compile-overlap, see pytest.ini) only when
+    pytest-xdist is actually installed and the user didn't choose a worker
+    count themselves — environments without xdist degrade to a serial run
+    instead of failing on an unrecognized flag. (Set here, not in
+    addopts: pytest_load_initial_conftests is plugin-only, and conftest
+    pytest_configure runs before xdist consults its options.)"""
+    if not hasattr(config.option, "numprocesses"):
+        return  # xdist not installed
+    if config.option.numprocesses is None and \
+            getattr(config.option, "dist", "no") == "no":
+        config.option.numprocesses = 8
+        config.option.dist = "load"
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -40,7 +40,8 @@ def _np_lpips(spec, params, x_chw, y_chw):
                 {i for i, e in enumerate(convs) if len(e) == 5})
         for e in spec["convs"]:
             if e in ("M", "P"):
-                x = _np_maxpool(x)
+                # "M" = alexnet 3x3/2 pool, "P" = vgg16 2x2/2 pool
+                x = _np_maxpool(x, 3, 2) if e == "M" else _np_maxpool(x, 2, 2)
                 continue
             w, b = params["convs"][ci]
             x = np.maximum(
@@ -116,6 +117,47 @@ def test_torch_checkpoint_conversion(tmp_path):
     y = rng.uniform(-1, 1, (3, 35, 35)).astype(np.float32)
     d = float(lpips(spec, params, jnp.asarray(x), jnp.asarray(y)))
     assert np.isfinite(d) and d > 0
+
+
+def test_vgg16_taps_match_torch_functional():
+    """Cross-check the VGG16 backbone against torch's own conv/pool ops
+    (torchvision vgg16 .features semantics: Conv2d(k=3, p=1) + ReLU,
+    MaxPool2d(kernel_size=2, stride=2)). Catches pooling-geometry bugs a
+    same-formula NumPy oracle replicates (r4 advisor finding: a 3x3/2
+    pool shifted every tap after pool1)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from gaussianrpg_tpu.utils.lpips import features
+
+    params = init_params(VGG16_SPEC, seed=7)
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 1, (1, 3, 40, 56)).astype(np.float32)
+    got = features(VGG16_SPEC, params, jnp.asarray(x))
+
+    shift = np.array([-0.030, -0.088, -0.188], np.float32)
+    scale = np.array([0.458, 0.448, 0.450], np.float32)
+    xt = torch.from_numpy(
+        (x.transpose(0, 2, 3, 1) - shift) / scale).permute(0, 3, 1, 2)
+    taps, ci = [], 0
+    convs = [e for e in VGG16_SPEC["convs"] if e not in ("M", "P")]
+    tap_ids = {i for i, e in enumerate(convs) if len(e) == 5}
+    for e in VGG16_SPEC["convs"]:
+        if e == "P":
+            xt = F.max_pool2d(xt, kernel_size=2, stride=2)
+            continue
+        w, b = params["convs"][ci]
+        wt = torch.from_numpy(np.asarray(w).transpose(3, 2, 0, 1).copy())
+        xt = F.relu(F.conv2d(xt, wt, torch.from_numpy(np.asarray(b)),
+                             stride=e[2], padding=e[3]))
+        if ci in tap_ids:
+            n = torch.sqrt((xt ** 2).sum(1, keepdim=True))
+            taps.append((xt / (n + 1e-10)).permute(0, 2, 3, 1).numpy())
+        ci += 1
+    assert len(got) == len(taps) == 5
+    for g, t in zip(got, taps):
+        assert g.shape == t.shape, (g.shape, t.shape)
+        np.testing.assert_allclose(np.asarray(g), t, atol=2e-5)
 
 
 def test_metrics_app_lpips_wiring(tmp_path):
