@@ -223,16 +223,19 @@ def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
     rw_f = jnp.maximum(rw, 1).astype(jnp.float32)
 
     # --- exact per-tile counts without a sort: rect coverage is separable,
-    # so counts = indicator_y^T @ indicator_x (bf16 0/1 inputs, f32 accum)
-    ix = jnp.arange(ntx, dtype=jnp.int32)[None, :]
-    iy = jnp.arange(nty, dtype=jnp.int32)[None, :]
-    x1 = x0[:, None] + jnp.where(area > 0, rw, 0)[:, None]
-    y1 = y0[:, None] + jnp.where(area > 0, area // jnp.maximum(rw, 1),
-                                 0)[:, None]
-    indx = ((ix >= x0[:, None]) & (ix < x1)).astype(jnp.bfloat16)
-    indy = ((iy >= y0[:, None]) & (iy < y1)).astype(jnp.bfloat16)
+    # so counts = indicator_y @ indicator_x^T (bf16 0/1 inputs, f32 accum).
+    # Indicators are built GAUSSIANS-ON-LANES ([T, n], n dense on the 128
+    # lanes): the [n, T] orientation puts T=25/34 on the lane axis, wasting
+    # ~80% of every vreg for all the comparison/select traffic.
+    ix = jnp.arange(ntx, dtype=jnp.int32)[:, None]         # [ntx, 1]
+    iy = jnp.arange(nty, dtype=jnp.int32)[:, None]         # [nty, 1]
+    x1 = (x0 + jnp.where(area > 0, rw, 0))[None, :]        # [1, n]
+    y1 = (y0 + jnp.where(area > 0, area // jnp.maximum(rw, 1),
+                         0))[None, :]
+    indx = ((ix >= x0[None, :]) & (ix < x1)).astype(jnp.bfloat16)
+    indy = ((iy >= y0[None, :]) & (iy < y1)).astype(jnp.bfloat16)
     counts = jax.lax.dot_general(
-        indy, indx, (((0,), (0,)), ((), ())),
+        indy, indx, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32).astype(jnp.int32).reshape(-1)
 
     pcounts, pstarts, padded_total, chunk_meta, tile_written = \
@@ -243,16 +246,21 @@ def _build_pair_lists_emit(x0, y0, rw, area, offs, raw_total, visible,
     # inputs that's the row index itself; with `rank` given, inputs stay in
     # original order (no sorted field table needed) and the key still sorts
     # pairs into per-tile depth order with CUDA's stable tie-break
-    # (emission order == original index order, `rasterizer_impl.cu:102`)
+    # (emission order == original index order, `rasterizer_impl.cu:102`).
+    # Built in TRANSPOSED [K, n] orientation — gaussians ride the dense
+    # 128-lane axis instead of a K=4-wide minor dim whose vregs are ~97%
+    # padding (the [n, K] build + its relayout-reshape measured ~1.6 ms of
+    # the r4 'sort block'; the sort itself only needs the multiset of
+    # (key, src) rows, and per-tile order is fully encoded in the key).
     krank = g32 if rank is None else rank
-    kk = jnp.arange(K, dtype=jnp.int32)[None, :]                 # [1, K]
-    tile_e = _emit_decode(kk, rw_f[:, None], base0[:, None], ntx)
-    valid_e = kk < area[:, None]
-    key_e = jnp.where(valid_e, (tile_e << gb) | krank[:, None], _EMIT_SENT)
-    src_e = jnp.broadcast_to(g32[:, None], (n, K))
+    kk = jnp.arange(K, dtype=jnp.int32)[:, None]                 # [K, 1]
+    tile_e = _emit_decode(kk, rw_f[None, :], base0[None, :], ntx)
+    valid_e = kk < area[None, :]
+    key_e = jnp.where(valid_e, (tile_e << gb) | krank[None, :], _EMIT_SENT)
+    src_e = jnp.broadcast_to(g32[None, :], (K, n))
     if offs is None:                   # eval: gm machinery unused
         offs = area                    # dummy operand (DCE'd)
-    gm_e = offs[:, None] + kk
+    gm_e = offs[None, :] + kk
 
     # --- tail: rects bigger than K, compacted then marker-expanded -------
     # the compacted-tail machinery (argsort slice + narrow takes + marker

@@ -620,6 +620,7 @@ def suggest_binning_sizes(
     slack: float = 1.25,
     sub_chunks: int = 1,
     quantum: int = 65536,
+    train: bool = False,
 ) -> BinningSizes:
     """Right-size every static binning parameter from measured scene stats.
 
@@ -633,12 +634,13 @@ def suggest_binning_sizes(
     its own measured need is exactly the CUDA resize-closure semantics
     (`rasterizer_impl.cu:155-193` sizes geom/binning/img independently).
 
-    emit_k: a sort-row-minimizing k=2 choice was MEASURED AND REJECTED —
-    it won ~0.8 ms/frame in an eval-only A/B (sort pow2 bucket drops) but
-    the 16x bigger compacted-tail machinery cost +16 ms on the full bench
-    train step. The module default EMIT_K stays; emit_k remains a
-    per-call knob for scenes whose area stats differ. Returns python
-    values — call outside jit."""
+    emit_k: the keyed sort's cost is stepwise in the next-pow2 row bucket
+    (PERF.md sort scaling), so for EVAL renders a narrower emission that
+    drops the bucket wins ~1.3 ms minus some extra tail machinery
+    (measured net ~-0.8 ms on the bench scene at k=2). For TRAIN
+    (`train=True`) the module default EMIT_K stays: the gm-riding tail
+    machinery scales with big_cap and a narrow emission measured +16 ms
+    on the full train step. Returns python values — call outside jit."""
     cap = suggest_capacity(fs, width=width, height=height, slack=slack,
                            sub_chunks=sub_chunks, quantum=quantum)
     n = fs.radii.shape[0]
@@ -666,8 +668,17 @@ def suggest_binning_sizes(
                              + (-int(n_big * slack) % 1024)))
         return tail_cap, big_cap, n * k + tail_cap
 
+    spare = ntx * nty * binning.G_CHUNK * sub_chunks
+    bucket = lambda m: 1 << max(m - 1, 1).bit_length()
+
     emit_k = binning.EMIT_K
-    tail_cap, big_cap, _ = sizes_for(emit_k)
+    tail_cap, big_cap, m_rows = sizes_for(emit_k)
+    if not train:
+        for k in (2, 3):
+            t_k, b_k, m_k = sizes_for(k)
+            if bucket(max(m_k + spare, cap)) < bucket(max(m_rows + spare,
+                                                          cap)):
+                return BinningSizes(cap, t_k, b_k, k)
     return BinningSizes(cap, tail_cap, big_cap, emit_k)
 
 
@@ -698,6 +709,8 @@ def rasterize(
     tail_cap: int | None = None,
     big_cap: int | None = None,
     emit_k: int | None = None,
+    model_axis: str | None = None,
+    model_shards: int = 1,
 ) -> RasterOut:
     """Render Gaussians through the TPU pipeline.
 
@@ -711,6 +724,16 @@ def rasterize(
     tiling. 16x16 matches the CUDA BLOCK_X/Y parity contract; other sizes
     trade pair count against per-pair pixel work (candidate sets are
     rect-based, so outputs may differ from 16x16 by sub-1/255-alpha tails).
+
+    `model_axis` (with `model_shards`, inside a shard_map over a mesh
+    carrying that axis): shard the O(N) primitive stage over the mesh's
+    'model' axis — each shard preprocesses only its N/model_shards slice
+    of the (replicated) inputs, the per-Gaussian field rows are
+    all-gathered (tiled) before the O(P) tile stage, and under autodiff
+    the all-gather transposes to a REDUCE-SCATTER that hands each shard
+    exactly its own slice's parameter cotangents (SURVEY §7.9 gradient
+    ownership; the reference is single-GPU with no peer). N must divide
+    by model_shards.
     """
     if backend == "oracle":
         return rasterize_oracle(
@@ -736,28 +759,61 @@ def rasterize(
         sh_degree=sh_degree, scale_modifier=scale_modifier,
         capacity=capacity, interpret=interpret, tile_x=tile_x,
         tile_y=tile_y, tight_rect=tight_rect, sub_chunks=sub_chunks,
-        tail_cap=tail_cap, big_cap=big_cap, emit_k=emit_k)
+        tail_cap=tail_cap, big_cap=big_cap, emit_k=emit_k,
+        model_axis=model_axis, model_shards=model_shards)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("sh_degree", "scale_modifier", "capacity",
                      "interpret", "tile_x", "tile_y", "tight_rect",
-                     "sub_chunks", "tail_cap", "big_cap", "emit_k"))
+                     "sub_chunks", "tail_cap", "big_cap", "emit_k",
+                     "model_axis", "model_shards"))
 def _rasterize_jit(means3d, opacities, camera, bg_color, colors, shs,
                    semantics, scales, rotations, cov3d_precomp,
                    means2d_offset, absgrad_sink, active_mask, *,
                    sh_degree, scale_modifier, capacity, interpret,
                    tile_x, tile_y, tight_rect, sub_chunks, tail_cap,
-                   big_cap, emit_k):
+                   big_cap, emit_k, model_axis=None, model_shards=1):
     train_mode = means2d_offset is not None or absgrad_sink is not None
+
+    per_g = dict(means3d=means3d, opacities=opacities.reshape(-1),
+                 colors=colors, shs=shs, semantics=semantics,
+                 scales=scales, rotations=rotations,
+                 cov3d_precomp=cov3d_precomp,
+                 means2d_offset=means2d_offset,
+                 absgrad_sink=absgrad_sink, active_mask=active_mask)
+    if model_axis is not None:
+        # primitive stage on this shard's slice only; the all-gather of
+        # the resulting FieldSet below transposes to a reduce-scatter of
+        # the per-Gaussian cotangents (each shard receives exactly its
+        # slice's parameter gradients)
+        n = means3d.shape[0]
+        assert n % model_shards == 0, (n, model_shards)
+        shard = n // model_shards
+        ax = jax.lax.axis_index(model_axis)
+        per_g = {
+            k: (None if v is None else jax.lax.dynamic_slice_in_dim(
+                v, ax * shard, shard, axis=0))
+            for k, v in per_g.items()}
+
     fs = primitive_fields(
-        means3d, opacities, camera=camera, colors=colors, shs=shs,
-        sh_degree=sh_degree, semantics=semantics, scales=scales,
-        rotations=rotations, cov3d_precomp=cov3d_precomp,
-        scale_modifier=scale_modifier, means2d_offset=means2d_offset,
-        absgrad_sink=absgrad_sink, active_mask=active_mask,
+        per_g["means3d"], per_g["opacities"], camera=camera,
+        colors=per_g["colors"], shs=per_g["shs"],
+        sh_degree=sh_degree, semantics=per_g["semantics"],
+        scales=per_g["scales"], rotations=per_g["rotations"],
+        cov3d_precomp=per_g["cov3d_precomp"],
+        scale_modifier=scale_modifier,
+        means2d_offset=per_g["means2d_offset"],
+        absgrad_sink=per_g["absgrad_sink"],
+        active_mask=per_g["active_mask"],
         tile_x=tile_x, tile_y=tile_y, tight_rect=tight_rect)
+    if model_axis is not None:
+        ag = lambda x: jax.lax.all_gather(x, model_axis, axis=0, tiled=True)
+        fs = fs._replace(
+            fields=ag(fs.fields), rect_min=ag(fs.rect_min),
+            rect_max=ag(fs.rect_max), radii=ag(fs.radii),
+            depths=ag(fs.depths), sink=ag(fs.sink), means2d=ag(fs.means2d))
     return blend_fields(fs, width=camera.width, height=camera.height,
                         bg_color=bg_color, capacity=capacity,
                         train_mode=train_mode, interpret=interpret,

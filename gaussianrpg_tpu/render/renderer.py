@@ -67,6 +67,12 @@ class RenderOptions:
     # emission slots per gaussian (None = ops/binning.EMIT_K); the probe
     # picks per scene from the measured area stats
     emit_k: int | None = struct.field(pytree_node=False, default=None)
+    # primitive ('model') sharding: inside a shard_map over a mesh carrying
+    # `model_axis`, the O(N) primitive stage runs on each shard's
+    # N/model_shards slice and the field rows are all-gathered before the
+    # tile stage (gradients reduce-scatter back; ops/rasterize.rasterize)
+    model_axis: str | None = struct.field(pytree_node=False, default=None)
+    model_shards: int = struct.field(pytree_node=False, default=1)
 
 
 def render_until_fit(render_once, options: "RenderOptions"):
@@ -222,6 +228,8 @@ def render_scene(
         tail_cap=options.tail_cap,
         big_cap=options.big_cap,
         emit_k=options.emit_k,
+        model_axis=options.model_axis,
+        model_shards=options.model_shards,
     )
 
     rgb = out.color

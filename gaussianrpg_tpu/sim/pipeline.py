@@ -77,11 +77,21 @@ def topk_candidates(pred: jax.Array, k: int,
 def make_fused_step(render_rgb: Callable[..., jax.Array], spec, params,
                     image_hw: tuple[int, int], size: tuple[int, int] =
                     (384, 640), k: int = 256,
-                    classes: Sequence[int] | None = COCO_VEHICLE_PERSON):
+                    classes: Sequence[int] | None = COCO_VEHICLE_PERSON,
+                    predict_fn: Callable[..., jax.Array] | None = None):
     """Build (jitted_step, gain, pad): jitted_step(camera, *scene_args) ->
     [K, 6] candidates. `render_rgb(camera, *scene_args)` must return a
     [3, H, W] image and is traced INTO the same executable as the YOLO
-    graph — one dispatch for the whole inline-perception frame."""
+    graph — one dispatch for the whole inline-perception frame.
+
+    `predict_fn(spec, params, imgs) -> [B, A, 5+nc]` defaults to the
+    YOLOv5 graph (sim/yolo.forward). A deterministic predictor can be
+    substituted at the same contract point — everything downstream
+    (top-K prefilter, host NMS, unletterbox) is the production path
+    either way; tests/test_sim.py uses this to drive a real braking
+    event through the fused pipeline without shipping YOLO weights."""
+    if predict_fn is None:
+        predict_fn = yolo_forward
     h, w = image_hw
     # static letterbox geometry (probe once with an empty trace)
     gain = min(size[0] / h, size[1] / w)
@@ -93,7 +103,7 @@ def make_fused_step(render_rgb: Callable[..., jax.Array], spec, params,
     def step(camera, params_, *scene_args):
         img = render_rgb(camera, *scene_args)
         boxed, _, _ = letterbox_device(img, size)
-        pred = yolo_forward(spec, params_, boxed[None])[0]
+        pred = predict_fn(spec, params_, boxed[None])[0]
         return topk_candidates(pred, k, classes)
 
     def run(camera, *scene_args):

@@ -157,7 +157,11 @@ def test_vgg16_taps_match_torch_functional():
     assert len(got) == len(taps) == 5
     for g, t in zip(got, taps):
         assert g.shape == t.shape, (g.shape, t.shape)
-        np.testing.assert_allclose(np.asarray(g), t, atol=2e-5)
+        # atol headroom over same-machine runs: XLA-CPU/torch conv
+        # reduction order varies with thread load (flaked at 2e-5 under a
+        # full -n 8 suite); a pooling-geometry bug shows up as a shape
+        # mismatch or O(1) value error, far above this
+        np.testing.assert_allclose(np.asarray(g), t, atol=1e-4)
 
 
 def test_metrics_app_lpips_wiring(tmp_path):

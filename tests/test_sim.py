@@ -108,3 +108,149 @@ def test_closed_loop_brakes_before_collision():
     assert any(e["brake"] != 0.0 for e in result.log), \
         "AEB never braked"
     assert result.min_gt_distance > 4.0
+
+
+@pytest.mark.slow
+def test_braking_event_through_fused_pipeline():
+    """A REAL braking event driven end-to-end by the fused
+    inline-perception path (`sim/pipeline.py`): render -> device letterbox
+    -> predictor -> top-K prefilter -> host NMS/unletterbox ->
+    ground-plane ranging -> tiered AEB -> dynamics, with the evaluation
+    node's verdict. YOLO weights cannot ship here, so a deterministic
+    red-blob predictor substitutes at the `predict_fn` contract point
+    (same [A, 5+nc] prediction tensor feeding `topk_candidates`); every
+    other stage is the production fused path — NOT BoxProjectionDetector's
+    separate branch. A control run with empty perception must COLLIDE,
+    proving the save is caused by the perception chain.
+    Reference contract: `AEB_controller.py:52-87` + `evaluation.py:48-56`.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gaussianrpg_tpu.sim.detector import VEHICLE_CLASSES
+    from gaussianrpg_tpu.sim.loop import run_closed_loop
+    from gaussianrpg_tpu.sim.pipeline import (finish_detections,
+                                              make_fused_step)
+
+    H, W = 80, 128
+    # same scenario geometry as apps/simulate._synthetic_setup, but the
+    # scene is repainted so the lead vehicle is unambiguous: gray
+    # background, pure-red actor (dc-only SH; color = C0*dc + 0.5)
+    from gaussianrpg_tpu.render.camera import make_camera
+    from gaussianrpg_tpu.render.renderer import RenderOptions, render_scene
+    from gaussianrpg_tpu.utils.synthetic import make_scene
+    from gaussianrpg_tpu.sim.tape import build_tape_from_cameras
+    import math as _math
+
+    ego_speed, lead_world_z, n_frames = 8.0, 30.0, 40
+    models, meta, arrays = make_scene(
+        n_background=8000, bkgd_capacity=16384, n_actors=1,
+        actor_capacity=1024, n_frames=n_frames, opt_track=False)
+    C0 = 0.28209479177387814
+    red_dc = jnp.asarray([0.5 / C0, -0.5 / C0, -0.5 / C0])
+    bk = models.background
+    ac = models.actors
+    models = models.replace(
+        background=bk.replace(
+            features_dc=jnp.zeros_like(bk.features_dc),
+            features_rest=jnp.zeros_like(bk.features_rest),
+            # near-transparent background: the random scatter blobs of
+            # make_scene would otherwise occlude the lead vehicle
+            opacity=jnp.full_like(bk.opacity, -5.0)),
+        actors=ac.replace(
+            features_dc=jnp.broadcast_to(
+                red_dc, ac.features_dc.shape).astype(jnp.float32),
+            features_rest=jnp.zeros_like(ac.features_rest)))
+    ts = np.arange(n_frames) / 10.0
+    trans = np.zeros((n_frames, 1, 3), np.float32)
+    trans[:, 0, 1] = 0.5
+    trans[:, 0, 2] = lead_world_z - ego_speed * ts
+    models = models.replace(actor_pose=models.actor_pose.replace(
+        input_trans=jnp.asarray(trans),
+        timestamps=jnp.asarray(ts.astype(np.float32))))
+    arrays = arrays.replace(
+        actor_start_ts=jnp.zeros(1),
+        actor_end_ts=jnp.full(1, (n_frames - 1) / 10.0))
+    fovx = _math.radians(60.0)
+    fovy = 2 * _math.atan(_math.tan(fovx / 2) * H / W)
+    cams = []
+    for i in range(n_frames):
+        c2w = np.eye(4)
+        c2w[2, 3] = ego_speed * ts[i]
+        w2c = np.linalg.inv(c2w)
+        cams.append(make_camera(
+            R=w2c[:3, :3].T, T=w2c[:3, 3], K=None, width=W, height=H,
+            fovx=fovx, fovy=fovy, ego_pose=c2w.astype(np.float32),
+            timestamp=float(ts[i]), frame=i, image_id=i))
+    tape = {"frames": build_tape_from_cameras(cams, upsample_rate=5),
+            "image_freq": 10, "dynamic_freq": 50}
+    gt = {i: (lead_world_z, 0.0, 0.0) for i in range(n_frames)}
+    # synthetic vehicle frame: forward = +z_cam, left = -x_cam, up = -y_cam
+    v2c = np.array([[0., -1., 0., 0.], [0., 0., -1., 0.],
+                    [1., 0., 0., 0.], [0., 0., 0., 1.]])
+
+    options = RenderOptions(capacity=1 << 17)
+    render_jit = jax.jit(
+        render_scene,
+        static_argnames=("active_sh_degree", "options", "train_mode",
+                         "include_background", "include_objects"))
+
+    def render_rgb(cam):
+        return render_jit(models, meta, arrays, cam, active_sh_degree=0,
+                          options=options).rgb
+
+    n_anchor = 8
+
+    def red_blob_predict(spec, params, imgs):
+        """Deterministic stand-in for the YOLO graph: bbox of the
+        red-dominant blob in the letterboxed frame, emitted as one
+        high-confidence 'car' row of a [1, A, 85] prediction tensor."""
+        img = imgs[0]                                  # [h, w, 3]
+        h, w = img.shape[0], img.shape[1]
+        r, g, b = img[..., 0], img[..., 1], img[..., 2]
+        mask = (r > 0.55) & (r - jnp.maximum(g, b) > 0.25)
+        ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+        xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+        big = jnp.float32(1e9)
+        x0 = jnp.min(jnp.where(mask, xs, big))
+        x1 = jnp.max(jnp.where(mask, xs, -big))
+        y0 = jnp.min(jnp.where(mask, ys, big))
+        y1 = jnp.max(jnp.where(mask, ys, -big))
+        ok = (jnp.sum(mask) >= 3) & (x1 > x0) & (y1 > y0)
+        okf = ok.astype(jnp.float32)
+        row = jnp.concatenate([
+            jnp.stack([(x0 + x1) / 2, (y0 + y1) / 2,
+                       (x1 - x0) + 1.0, (y1 - y0) + 1.0]) * okf,
+            okf[None],                                  # objectness
+            jnp.zeros(2), jnp.ones(1), jnp.zeros(77),   # class 2 = car
+        ])
+        pred = jnp.zeros((n_anchor, 85)).at[0].set(row)
+        return pred[None]
+
+    size = (48, 80)
+    fused, gain, pad = make_fused_step(
+        render_rgb, None, None, (H, W), size=size, k=n_anchor,
+        classes=VEHICLE_CLASSES, predict_fn=red_blob_predict)
+
+    def perceive(cam):
+        cand = np.asarray(fused(cam))
+        det = finish_detections(cand, gain, pad, (H, W), conf_thres=0.4)
+        return [np.array([(x0 + x1) / 2 / W, (y0 + y1) / 2 / H,
+                          (x1 - x0) / W, (y1 - y0) / H])
+                for x0, y0, x1, y1, conf, cls in det]
+
+    kw = dict(brake_distance=15.0, collision_threshold=5.0,
+              simulation_time=3.5, ranger_extrinsic=v2c, cam_height=1.3)
+    result = run_closed_loop(tape, None, None, cams[0], gt,
+                             perceive_fn=perceive, **kw)
+    assert any(e["n_det"] > 0 for e in result.log), "no fused detections"
+    assert any(e["brake"] != 0.0 for e in result.log), \
+        "fused pipeline never triggered the AEB brake"
+    assert result.verdict == "success", result.verdict
+    assert result.min_gt_distance > 5.0
+    assert result.log[-1]["velocity"] < 0.5, "ego did not stop"
+
+    # control: no perception -> the same scenario must collide
+    control = run_closed_loop(tape, None, None, cams[0], gt,
+                              perceive_fn=lambda cam: [], **kw)
+    assert control.verdict == "collision", control.verdict

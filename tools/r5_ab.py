@@ -1,0 +1,115 @@
+"""Round-5 A/B on the frozen bench scene: streamed eval FPS and chained
+train-step ms across (sub_chunks, emit_k) configs in ONE process (PERF.md
+measurement rules: same-process ratios only; streamed depth-2 for eval,
+chained-jit (t_K - t_1)/(K-1) for train)."""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from bench import build_frozen_scene, setup_cache
+    setup_cache()
+    from gaussianrpg_tpu.ops.rasterize import (primitive_fields, rasterize,
+                                               suggest_binning_sizes)
+
+    cam, args, H, W = build_frozen_scene()
+    tx, ty = 64, 32
+    fs0 = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+
+    modes = []
+    for sub in (1, 2):
+        for train in (False, True):
+            sz = suggest_binning_sizes(fs0, width=W, height=H, slack=1.03,
+                                       quantum=8192, sub_chunks=sub,
+                                       train=train)
+            modes.append((sub, train, sz))
+            print(f"sub={sub} train={train} sizes={sz}", flush=True)
+
+    def make_render(sub, sz):
+        @jax.jit
+        def render(cam, m, op, c, s, r):
+            out = rasterize(m, op, colors=c, scales=s, rotations=r,
+                            camera=cam, bg_color=jnp.zeros(3),
+                            capacity=sz.capacity, tile_x=tx, tile_y=ty,
+                            sub_chunks=sub, tail_cap=sz.tail_cap,
+                            big_cap=sz.big_cap, emit_k=sz.emit_k)
+            return jnp.sum(out.color) + 1e9 * out.overflow.astype(jnp.float32)
+        return render
+
+    def streamed(fn, reps=12):
+        varied = [args[2] * (1.0 + 1e-6 * (i + 1)) for i in range(reps)]
+        jax.block_until_ready(varied)
+        float(fn(cam, args[0], args[1], varied[0], *args[3:]))
+        t0 = time.time()
+        pending = []
+        for v in varied:
+            pending.append(fn(cam, args[0], args[1], v, *args[3:]))
+            if len(pending) >= 2:
+                float(pending.pop(0))
+        for s in pending:
+            float(s)
+        return (time.time() - t0) / reps * 1e3
+
+    def make_train(sub, sz):
+        n_g = args[0].shape[0]
+
+        def train_step(cam, m, op, c, s, r):
+            def loss(c_, off, sink):
+                out = rasterize(m, op, colors=c_, scales=s, rotations=r,
+                                camera=cam, bg_color=jnp.zeros(3),
+                                capacity=sz.capacity, means2d_offset=off,
+                                absgrad_sink=sink, tile_x=tx, tile_y=ty,
+                                sub_chunks=sub, tail_cap=sz.tail_cap,
+                                big_cap=sz.big_cap, emit_k=sz.emit_k)
+                return jnp.sum(out.color ** 2) + jnp.sum(out.depth ** 2)
+            l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                c, jnp.zeros((n_g, 2)), jnp.zeros((n_g,)))
+            return l + sum(jnp.sum(x) for x in g)
+
+        def chained(k):
+            @jax.jit
+            def run(cam, m, op, c, s, r):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    acc += train_step(cam, m, op,
+                                      c * (1.0 + 1e-6 * (i + 1)), s, r)
+                return acc
+            return run
+        return chained
+
+    K = 4
+    out = {}
+    for sub, train, sz in modes:
+        if not train:
+            fn = make_render(sub, sz)
+            # warm
+            ms = streamed(fn)
+            ms = streamed(fn)
+            out[f"eval_sub{sub}_k{sz.emit_k}"] = round(ms, 2)
+            print(f"eval sub={sub} k={sz.emit_k}: {ms:.2f} ms/frame "
+                  f"({1e3/ms:.2f} FPS)", flush=True)
+        else:
+            ch = make_train(sub, sz)
+            r1, rk = ch(1), ch(K)
+            float(r1(cam, *args)); float(rk(cam, *args))
+            t1s, tks = [], []
+            for rep in range(3):
+                c2 = args[2] * (1.0 + 1e-7 * rep)
+                a2 = (args[0], args[1], c2) + args[3:]
+                t0 = time.time(); float(r1(cam, *a2))
+                t1s.append(time.time() - t0)
+                t0 = time.time(); float(rk(cam, *a2))
+                tks.append(time.time() - t0)
+            ms = (float(np.median(tks)) - float(np.median(t1s))) / (K - 1) * 1e3
+            out[f"train_sub{sub}_k{sz.emit_k}"] = round(ms, 2)
+            print(f"train sub={sub} k={sz.emit_k}: {ms:.2f} ms/step",
+                  flush=True)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Round-5 eval A/B #2: streamed frame ms for (sub_chunks, emit_k) crosses
+in ONE process, with per-config right-sized tails."""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from bench import build_frozen_scene, setup_cache
+    setup_cache()
+    from gaussianrpg_tpu.ops.rasterize import (primitive_fields, rasterize,
+                                               suggest_binning_sizes)
+
+    cam, args, H, W = build_frozen_scene()
+    tx, ty = 64, 32
+    fs0 = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+
+    # per-k tail sizes from the same stats path suggest uses
+    vis = np.asarray(fs0.radii > 0)
+    rw = np.maximum(np.asarray(fs0.rect_max[:, 0] - fs0.rect_min[:, 0]), 0)
+    rh = np.maximum(np.asarray(fs0.rect_max[:, 1] - fs0.rect_min[:, 1]), 0)
+    area = np.where(vis, rw * rh, 0)
+
+    def tails(k, slack=1.03):
+        tt = int(np.maximum(area - k, 0).sum())
+        nb = int((area > k).sum())
+        tc = max(8192, int(tt * slack) + (-int(tt * slack) % 8192))
+        bc = max(1024, int(nb * slack) + (-int(nb * slack) % 1024))
+        return tc, bc
+
+    def render_fn(sub, cap, k, tc, bc):
+        @jax.jit
+        def render(cam, m, op, c, s, r):
+            out = rasterize(m, op, colors=c, scales=s, rotations=r,
+                            camera=cam, bg_color=jnp.zeros(3),
+                            capacity=cap, tile_x=tx, tile_y=ty,
+                            sub_chunks=sub, tail_cap=tc, big_cap=bc,
+                            emit_k=k)
+            return jnp.sum(out.color) + 1e9 * out.overflow.astype(jnp.float32)
+        return render
+
+    def streamed(fn, reps=12):
+        varied = [args[2] * (1.0 + 1e-6 * (i + 1)) for i in range(reps)]
+        jax.block_until_ready(varied)
+        float(fn(cam, args[0], args[1], varied[0], *args[3:]))
+        t0 = time.time()
+        pending = []
+        for v in varied:
+            pending.append(fn(cam, args[0], args[1], v, *args[3:]))
+            if len(pending) >= 2:
+                float(pending.pop(0))
+        for s in pending:
+            float(s)
+        return (time.time() - t0) / reps * 1e3
+
+    caps = {1: 1114112, 2: 1187840}
+    out = {}
+    for sub in (1, 2):
+        for k in (4, 2):
+            tc, bc = tails(k)
+            fn = render_fn(sub, caps[sub], k, tc, bc)
+            streamed(fn)                      # warm/compile
+            ms = streamed(fn)
+            out[f"sub{sub}_k{k}"] = round(ms, 2)
+            print(f"eval sub={sub} k={k} tail={tc} big={bc}: "
+                  f"{ms:.2f} ms/frame", flush=True)
+    # repeat first config to detect process drift
+    tc, bc = tails(4)
+    ms = streamed(render_fn(1, caps[1], 4, tc, bc))
+    out["sub1_k4_repeat"] = round(ms, 2)
+    print(f"repeat sub=1 k=4: {ms:.2f}", flush=True)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
