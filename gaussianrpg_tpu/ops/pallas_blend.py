@@ -111,6 +111,12 @@ BWD_ABLATE = None  # timing-only ablation of the backward kernel
                    # p_incl cumsum, "note" skips the e contraction.
                    # Results are WRONG under any non-None value.
 
+MM_PRECISION = "highest"  # contraction precision for the kernel dots
+                          # ("highest" = 6-pass bf16 = f32-faithful;
+                          # "high" = 3-pass — A/B knob, tools/r5_bwd_prec;
+                          # read at TRACE time: clear _blend_fns/_make_blend
+                          # caches after changing)
+
 
 def _tril(strict: bool) -> jnp.ndarray:
     r = jax.lax.broadcasted_iota(jnp.int32, (G_CHUNK, G_CHUNK), 0)
@@ -167,14 +173,14 @@ def _mm(a, b):
     measured fast for small M/N, catastrophic for square shapes)."""
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=MM_PRECISION)
 
 
 def _mm_cg(a, b):
     """a [G, C] x b [G, P] contract G -> [C, P] (C tiny)."""
     return jax.lax.dot_general(
         a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=MM_PRECISION)
 
 
 def _mm_pp(a, b):
@@ -187,7 +193,7 @@ def _mm_pp(a, b):
     (tools/mm_orient.py on v5e)."""
     return jax.lax.dot_general(
         a, b, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
+        precision=MM_PRECISION)
 
 
 def _cols(gdata_ref, s_ch):

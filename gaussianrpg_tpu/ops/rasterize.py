@@ -634,13 +634,14 @@ def suggest_binning_sizes(
     its own measured need is exactly the CUDA resize-closure semantics
     (`rasterizer_impl.cu:155-193` sizes geom/binning/img independently).
 
-    emit_k: the keyed sort's cost is stepwise in the next-pow2 row bucket
-    (PERF.md sort scaling), so for EVAL renders a narrower emission that
-    drops the bucket wins ~1.3 ms minus some extra tail machinery
-    (measured net ~-0.8 ms on the bench scene at k=2). For TRAIN
-    (`train=True`) the module default EMIT_K stays: the gm-riding tail
-    machinery scales with big_cap and a narrow emission measured +16 ms
-    on the full train step. Returns python values — call outside jit."""
+    emit_k: a sort-bucket-minimizing narrow emission was MEASURED AND
+    REJECTED twice — r4's k=2 cost +16 ms on the train step, and the r5
+    re-test WITH right-sized tails cost +7.2 ms even on eval
+    (tools/r5_ab2.py, same-process: k=4 36.5 ms vs k=2 43.7 ms/frame —
+    the 260k-pair tail machinery far outweighs the sort's pow2-bucket
+    drop). The module default EMIT_K stays for both modes; `train` is
+    kept for callers that may want mode-dependent sizing later. Returns
+    python values — call outside jit."""
     cap = suggest_capacity(fs, width=width, height=height, slack=slack,
                            sub_chunks=sub_chunks, quantum=quantum)
     n = fs.radii.shape[0]
@@ -668,17 +669,8 @@ def suggest_binning_sizes(
                              + (-int(n_big * slack) % 1024)))
         return tail_cap, big_cap, n * k + tail_cap
 
-    spare = ntx * nty * binning.G_CHUNK * sub_chunks
-    bucket = lambda m: 1 << max(m - 1, 1).bit_length()
-
     emit_k = binning.EMIT_K
-    tail_cap, big_cap, m_rows = sizes_for(emit_k)
-    if not train:
-        for k in (2, 3):
-            t_k, b_k, m_k = sizes_for(k)
-            if bucket(max(m_k + spare, cap)) < bucket(max(m_rows + spare,
-                                                          cap)):
-                return BinningSizes(cap, t_k, b_k, k)
+    tail_cap, big_cap, _ = sizes_for(emit_k)
     return BinningSizes(cap, tail_cap, big_cap, emit_k)
 
 

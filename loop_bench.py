@@ -8,7 +8,7 @@ machinery (`sim/loop.run_closed_loop`: 50 Hz CarDynamics, AEB controller,
 ground-truth + evaluation nodes) over the frozen bench scene with the
 FUSED inline-perception path (`sim/pipeline.py`: render + device letterbox
 + YOLOv5s + top-K prefilter in ONE dispatch; greedy NMS + ground-plane
-ranging on host), and writes LOOP_r04.json.
+ranging on host), and writes LOOP_r05.json.
 
 YOLO weights: the real yolov5s.pt is not shippable in this environment, so
 the graph runs with random-initialized parameters — identical FLOPs/layout,
@@ -23,7 +23,7 @@ import numpy as np
 
 from bench import _require_backend, build_frozen_scene, setup_cache
 
-OUT = "LOOP_r04.json"
+OUT = "LOOP_r05.json"
 
 
 def main():

@@ -161,3 +161,46 @@ def test_viewspace_gradient_hook():
     g_off = jax.grad(loss_with_offset)(jnp.zeros((n, 2)))
     assert np.isfinite(np.asarray(g_off)).all()
     assert np.abs(np.asarray(g_off)).max() > 0.0
+
+
+def test_vectorized_oracle_matches_scalar():
+    """The bench-scale vectorized oracle (preprocess_np_vec +
+    blend_pixels_np, used by parity_tpu.py's composite section) must
+    reproduce the scalar CUDA transliteration exactly on a small scene."""
+    from .np_reference import blend_pixels_np, preprocess_np_vec
+
+    rng = np.random.default_rng(11)
+    n = 400
+    W, H = 64, 48
+    cam = make_test_camera(width=W, height=H)
+    means, scales, q, opac, colors = random_gaussians(n, rng)
+    sem = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+    bg = np.asarray([0.1, 0.2, 0.3])
+
+    ref = rasterize_np(means, opac, colors, np.asarray(cam.viewmatrix),
+                       np.asarray(cam.projmatrix), W, H,
+                       float(cam.tan_fovx), float(cam.tan_fovy), bg,
+                       scales=scales, rotations=q, semantics=sem,
+                       tile_x=32, tile_y=16)
+
+    pre = preprocess_np_vec(means, np.asarray(cam.viewmatrix),
+                            np.asarray(cam.projmatrix), W, H,
+                            float(cam.tan_fovx), float(cam.tan_fovy),
+                            scales=scales, rotations=q,
+                            tile_x=32, tile_y=16)
+    np.testing.assert_array_equal(pre["radii"], ref["radii"])
+
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pix = np.stack([xs.ravel(), ys.ravel()], -1)
+    out = blend_pixels_np(pix, pre, opac, colors, None, bg,
+                          semantics=sem, tile_x=32, tile_y=16)
+    np.testing.assert_allclose(
+        out["color"].reshape(H, W, 3).transpose(2, 0, 1), ref["color"],
+        atol=1e-6)
+    np.testing.assert_allclose(
+        out["depth"].reshape(H, W), ref["depth"][0], atol=1e-6)
+    np.testing.assert_allclose(
+        out["alpha"].reshape(H, W), ref["alpha"][0], atol=1e-6)
+    np.testing.assert_allclose(
+        out["semantic"].reshape(H, W, 2).transpose(2, 0, 1),
+        ref["semantic"], atol=1e-6)

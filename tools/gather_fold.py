@@ -1,0 +1,108 @@
+"""Feasibility experiment for r2/r3/r4 judge item: fold the pair-field
+gather into the blend kernel's chunk DMA (scalar-prefetch pair_src, gather
+field rows in-kernel) instead of materializing gdata [P,16] via XLA take.
+
+The only Pallas mechanism for an arbitrary-row gather from HBM is one
+`make_async_copy` PER ROW (there is no indexed/gather DMA primitive, and
+in-kernel `jnp.take` on a traced index vector is unsupported on VMEM refs;
+a 600kx16 f32 table is 38 MB — 2.4x VMEM — so it cannot be staged and
+indexed locally either). This microbench measures that per-row-DMA rate
+against XLA's take on the same [600k, 16] -> [1.18M, 16] workload, and
+records the verdict in PERF.md.
+"""
+import sys, time
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from bench import setup_cache
+    setup_cache()
+
+    N, NF = 600_000, 16
+    P = 1_179_648
+    G = 128
+    n_chunks = P // G
+    rng = np.random.default_rng(0)
+    fields = jnp.asarray(rng.normal(0, 1, (N, NF)).astype(np.float32))
+    src = jnp.asarray(rng.integers(0, N, P).astype(np.int32))
+
+    # --- XLA take baseline ---------------------------------------------
+    def xla_take(f, s):
+        return jnp.sum(jnp.take(f, s, axis=0))
+
+    # --- Pallas per-row-DMA gather -------------------------------------
+    def kernel(src_ref, f_hbm, out_ref):
+        # src_ref: this chunk's 128 row ids in SMEM (a full [P] i32
+        # scalar-prefetch operand would be 4.7 MB — over the ~1 MB SMEM)
+        def body(scratch, sem):
+            def start(i, _):
+                pltpu.make_async_copy(
+                    f_hbm.at[src_ref[i]], scratch.at[i], sem).start()
+                return 0
+
+            jax.lax.fori_loop(0, G, start, 0)
+
+            def wait(i, _):
+                pltpu.make_async_copy(
+                    f_hbm.at[src_ref[i]], scratch.at[i], sem).wait()
+                return 0
+
+            jax.lax.fori_loop(0, G, wait, 0)
+            out_ref[...] = scratch[...]
+
+        pl.run_scoped(
+            body,
+            scratch=pltpu.VMEM((G, NF), jnp.float32),
+            sem=pltpu.SemaphoreType.DMA(()),
+        )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((G,), lambda c: (c,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((G, NF), lambda c: (c, 0)),
+        out_shape=jax.ShapeDtypeStruct((P, NF), jnp.float32),
+    )
+
+    def pallas_gather(f, s):
+        return jnp.sum(call(s, f))
+
+    for name, inner in (("xla_take", xla_take),
+                        ("pallas_row_dma", pallas_gather)):
+        def mk(k, inner=inner):
+            @jax.jit
+            def run(f, s):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    acc += inner(f * (1.0 + 1e-6 * i), s)
+                return acc
+            return run
+
+        K = 4
+        r1, rk = mk(1), mk(K)
+        try:
+            float(r1(fields, src)); float(rk(fields, src))
+        except Exception as e:
+            print(f"{name}: FAILED TO COMPILE/RUN: {type(e).__name__}: "
+                  f"{str(e)[:500]}", flush=True)
+            continue
+        t1s, tks = [], []
+        for _ in range(3):
+            t0 = time.time(); float(r1(fields, src)); t1s.append(time.time() - t0)
+            t0 = time.time(); float(rk(fields, src)); tks.append(time.time() - t0)
+        ms = (float(np.median(tks)) - float(np.median(t1s))) / (K - 1) * 1e3
+        print(f"{name}: {ms:.2f} ms for {P} rows "
+              f"({ms * 1e6 / P:.2f} ns/row)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

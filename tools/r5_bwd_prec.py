@@ -1,0 +1,103 @@
+"""A/B: kernel dot precision HIGHEST (6-pass, f32-faithful) vs HIGH
+(3-pass) on the bench train step + gradient-error impact vs the oracle."""
+import sys, time, json, math
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from bench import build_frozen_scene, setup_cache
+    setup_cache()
+    from gaussianrpg_tpu.ops import pallas_blend as PB
+    from gaussianrpg_tpu.ops.rasterize import (primitive_fields, rasterize,
+                                               suggest_binning_sizes)
+
+    cam, args, H, W = build_frozen_scene()
+    tx, ty = 64, 32
+    fs0 = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+    sz = suggest_binning_sizes(fs0, width=W, height=H, slack=1.03,
+                               quantum=8192, train=True)
+    n_g = args[0].shape[0]
+
+    def make_chain(k):
+        def train_step(cam, m, op, c, s, r):
+            def loss(c_, off, sink):
+                out = rasterize(m, op, colors=c_, scales=s, rotations=r,
+                                camera=cam, bg_color=jnp.zeros(3),
+                                capacity=sz.capacity, means2d_offset=off,
+                                absgrad_sink=sink, tile_x=tx, tile_y=ty,
+                                tail_cap=sz.tail_cap, big_cap=sz.big_cap,
+                                emit_k=sz.emit_k)
+                return jnp.sum(out.color ** 2) + jnp.sum(out.depth ** 2)
+            l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
+                c, jnp.zeros((n_g, 2)), jnp.zeros((n_g,)))
+            return l + sum(jnp.sum(x) for x in g)
+
+        @jax.jit
+        def run(cam, m, op, c, s, r):
+            acc = jnp.float32(0)
+            for i in range(k):
+                acc += train_step(cam, m, op, c * (1.0 + 1e-6 * (i + 1)),
+                                  s, r)
+            return acc
+        return run
+
+    # small-scene grad reference for the precision-error readout
+    from gaussianrpg_tpu.ops.oracle import rasterize_oracle
+    from gaussianrpg_tpu.render.camera import make_camera
+    jax.config.update("jax_default_matmul_precision", "highest")
+    Ws, Hs, ns = 256, 192, 2000
+    rng = np.random.default_rng(7)
+    sm = np.stack([rng.uniform(-3, 3, ns), rng.uniform(-2, 2, ns),
+                   rng.uniform(1, 8, ns)], -1).astype(np.float32)
+    ss = np.exp(rng.uniform(-3.5, -1, (ns, 3))).astype(np.float32)
+    sq = rng.standard_normal((ns, 4)).astype(np.float32)
+    sq /= np.linalg.norm(sq, axis=-1, keepdims=True)
+    so = rng.uniform(0.05, 0.95, ns).astype(np.float32)
+    sc = rng.uniform(0, 1, (ns, 3)).astype(np.float32)
+    fovx = math.radians(60.0)
+    fovy = 2 * math.atan(math.tan(fovx / 2) * Hs / Ws)
+    scam = make_camera(R=np.eye(3), T=np.zeros(3), K=None, width=Ws,
+                       height=Hs, fovx=fovx, fovy=fovy)
+    sargs = tuple(map(jnp.asarray, (sm, so, sc, ss, sq)))
+
+    def sloss(fn, m, op, c, s, r, **extra):
+        out = fn(m, op, colors=c, scales=s, rotations=r, camera=scam,
+                 bg_color=jnp.asarray([0.1, 0.2, 0.3]), **extra)
+        return jnp.sum(out.color ** 2) + 0.3 * jnp.sum(out.depth)
+
+    g_o = jax.jit(jax.grad(lambda *a: sloss(rasterize_oracle, *a),
+                           argnums=(0, 1, 2, 3, 4)))(*sargs)
+
+    out = {}
+    K = 4
+    for prec in ("highest", "high", "highest_again"):
+        PB.MM_PRECISION = prec.replace("_again", "")
+        PB._blend_fns.cache_clear()
+        PB._make_blend.cache_clear()
+        r1, rk = make_chain(1), make_chain(K)
+        float(r1(cam, *args)); float(rk(cam, *args))
+        t1s, tks = [], []
+        for rep in range(3):
+            c2 = args[2] * (1.0 + 1e-7 * rep)
+            a2 = (args[0], args[1], c2) + args[3:]
+            t0 = time.time(); float(r1(cam, *a2)); t1s.append(time.time() - t0)
+            t0 = time.time(); float(rk(cam, *a2)); tks.append(time.time() - t0)
+        ms = (float(np.median(tks)) - float(np.median(t1s))) / (K - 1) * 1e3
+        g_p = jax.jit(jax.grad(
+            lambda *a: sloss(rasterize, *a, capacity=262144),
+            argnums=(0, 1, 2, 3, 4)))(*sargs)
+        rel = max(float(np.abs(np.asarray(a) - np.asarray(b)).max()
+                        / (np.abs(np.asarray(b)).max() + 1e-8))
+                  for a, b in zip(g_p, g_o))
+        out[prec] = dict(train_ms=round(ms, 2), grad_rel=rel)
+        print(f"{prec}: train {ms:.2f} ms, grad rel err {rel:.2e}",
+              flush=True)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
