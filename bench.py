@@ -355,6 +355,12 @@ def _stage_breakdown(cam, args, H, W, tile_x, tile_y, capacity, tail_cap,
             out[name] = round(cum - prev, 2)
             prev = cum
 
+        # the final cumulative prefix IS the device-side frame cost with
+        # the tunnel's fixed per-dispatch overhead cancelled — on a local
+        # chip (no tunnel) the streamed rate converges to this
+        out["device_frame_ms"] = round(prev, 2)
+        out["device_fps"] = round(1e3 / prev, 2)
+
         # static binning structure (free, catches layout regressions)
         _, lists = jax.jit(_lists)(cam, *args)
         out["raw_pairs"] = int(lists.raw_total)

@@ -74,10 +74,15 @@ def main():
 
     out = {}
     K = 4
+    from gaussianrpg_tpu.ops import rasterize as R
+
     for prec in ("highest", "high", "highest_again"):
         PB.MM_PRECISION = prec.replace("_again", "")
         PB._blend_fns.cache_clear()
         PB._make_blend.cache_clear()
+        # the self-jitting rasterize entry caches executables across the
+        # knob flip (MM_PRECISION is not a jit key) — clear it too
+        R._rasterize_jit.clear_cache()
         r1, rk = make_chain(1), make_chain(K)
         float(r1(cam, *args)); float(rk(cam, *args))
         t1s, tks = [], []

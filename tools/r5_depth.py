@@ -1,0 +1,63 @@
+"""Stream-depth sensitivity of the bench render on the axon tunnel: the
+chained-jit device total (~33 ms today) is lower than the streamed depth-2
+rate (~38 ms), so some per-dispatch overhead is not hidden at depth 2.
+Measures depth 1..4 in one process; if deeper pipelining recovers the gap,
+the bench's pipeline depth (a real simulator's knob) is leaving headline
+FPS on the table."""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from bench import build_frozen_scene, setup_cache
+    setup_cache()
+    from gaussianrpg_tpu.ops.rasterize import (primitive_fields, rasterize,
+                                               suggest_binning_sizes)
+
+    cam, args, H, W = build_frozen_scene()
+    tx, ty = 64, 32
+    fs0 = jax.jit(lambda m, op, c, s, r: primitive_fields(
+        m, op, camera=cam, colors=c, scales=s, rotations=r,
+        tile_x=tx, tile_y=ty))(*args)
+    sz = suggest_binning_sizes(fs0, width=W, height=H, slack=1.03,
+                               quantum=8192)
+
+    @jax.jit
+    def render(cam, m, op, c, s, r):
+        out = rasterize(m, op, colors=c, scales=s, rotations=r,
+                        camera=cam, bg_color=jnp.zeros(3),
+                        capacity=sz.capacity, tile_x=tx, tile_y=ty,
+                        tail_cap=sz.tail_cap, big_cap=sz.big_cap,
+                        emit_k=sz.emit_k)
+        return jnp.sum(out.color) + 1e9 * out.overflow.astype(jnp.float32)
+
+    def streamed(depth, reps=16):
+        varied = [args[2] * (1.0 + 1e-6 * (i + 1)) for i in range(reps)]
+        jax.block_until_ready(varied)
+        float(render(cam, args[0], args[1], varied[0], *args[3:]))
+        t0 = time.time()
+        pending = []
+        for v in varied:
+            pending.append(render(cam, args[0], args[1], v, *args[3:]))
+            if len(pending) >= depth:
+                float(pending.pop(0))
+        for s in pending:
+            float(s)
+        return (time.time() - t0) / reps * 1e3
+
+    out = {}
+    streamed(2)  # warm
+    for depth in (1, 2, 3, 4, 2):
+        ms = streamed(depth)
+        key = f"depth{depth}" if f"depth{depth}" not in out \
+            else f"depth{depth}_repeat"
+        out[key] = round(ms, 2)
+        print(f"depth {depth}: {ms:.2f} ms/frame ({1e3/ms:.2f} FPS)",
+              flush=True)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
