@@ -1,0 +1,178 @@
+"""Round-5 intra-binning breakdown: chained-jit prefixes cut inside the
+CURRENT `_build_pair_lists_emit` (transposed emission) via a stage knob
+monkeypatched into a copy of the module function's body. To avoid a stale
+transliteration (the r4 tool froze the old layout), this measures the
+REAL module by truncating its graph at named outputs:
+
+  prep      : rect/area/rank math (primitive_fields + rank included)
+  counts    : + indicator-matmul tile counts
+  chunkpad  : + chunk metadata
+  emit      : + transposed head emission keys
+  tail      : + compacted big-rect tail keys
+  spare     : + per-tile padding keys
+  sort      : + the keyed sort (full build_pair_lists)
+"""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+import numpy as np
+
+
+def main():
+    import jax, jax.numpy as jnp
+    from bench import build_frozen_scene, setup_cache
+    setup_cache()
+    from gaussianrpg_tpu.ops import binning
+    from gaussianrpg_tpu.ops.binning import (_EMIT_GB, _EMIT_SENT,
+                                             _EMIT_SPARE, _chunk_and_pad,
+                                             _emit_decode, EMIT_K, G_CHUNK)
+    from gaussianrpg_tpu.ops.rasterize import primitive_fields
+
+    cam, args, H, W = build_frozen_scene()
+    tx, ty = 64, 32
+    cap = 1_114_112
+    tail_cap, big_cap = 16384, 6144
+    ntx, nty = binning.tile_grid_dims(W, H, tx, ty)
+    n_tiles = ntx * nty
+    align = G_CHUNK
+    max_chunks = cap // G_CHUNK
+    K = EMIT_K
+
+    def prefix(stage):
+        def fn(cam, m, op, c, s, r):
+            fs = primitive_fields(m, op, camera=cam, colors=c, scales=s,
+                                  rotations=r, tile_x=tx, tile_y=ty)
+            visible = fs.radii > 0
+            key = jnp.where(visible, fs.depths, jnp.inf)
+            rank = jnp.argsort(jnp.argsort(key, stable=True))
+            rmin = jnp.where(visible[:, None], fs.rect_min, 0)
+            rmax = jnp.where(visible[:, None], fs.rect_max, 0)
+            x0, y0 = rmin[:, 0], rmin[:, 1]
+            rw = jnp.maximum(rmax[:, 0] - x0, 0)
+            area = jnp.where(visible,
+                             rw * jnp.maximum(rmax[:, 1] - y0, 0),
+                             0).astype(jnp.int32)
+            raw_total = jnp.sum(area)
+            n = x0.shape[0]
+            g32 = jnp.arange(n, dtype=jnp.int32)
+            base0 = (y0 * ntx + x0).astype(jnp.int32)
+            rw_f = jnp.maximum(rw, 1).astype(jnp.float32)
+            acc = jnp.sum(rank + area).astype(jnp.float32)
+            if stage == "prep":
+                return acc
+            ix = jnp.arange(ntx, dtype=jnp.int32)[:, None]
+            iy = jnp.arange(nty, dtype=jnp.int32)[:, None]
+            x1 = (x0 + jnp.where(area > 0, rw, 0))[None, :]
+            y1 = (y0 + jnp.where(area > 0,
+                                 area // jnp.maximum(rw, 1), 0))[None, :]
+            indx = ((ix >= x0[None, :]) & (ix < x1)).astype(jnp.bfloat16)
+            indy = ((iy >= y0[None, :]) & (iy < y1)).astype(jnp.bfloat16)
+            counts = jax.lax.dot_general(
+                indy, indx, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(
+                jnp.int32).reshape(-1)
+            acc += jnp.sum(counts).astype(jnp.float32)
+            if stage == "counts":
+                return acc
+            pcounts, pstarts, padded_total, chunk_meta, tile_written = \
+                _chunk_and_pad(counts, align, cap, n_tiles, max_chunks)
+            acc += jnp.sum(chunk_meta).astype(jnp.float32)
+            if stage == "chunkpad":
+                return acc
+            kk = jnp.arange(K, dtype=jnp.int32)[:, None]
+            tile_e = _emit_decode(kk, rw_f[None, :], base0[None, :], ntx)
+            valid_e = kk < area[None, :]
+            key_e = jnp.where(valid_e, (tile_e << _EMIT_GB)
+                              | rank[None, :], _EMIT_SENT)
+            src_e = jnp.broadcast_to(g32[None, :], (K, n))
+            acc += jnp.sum(key_e).astype(jnp.float32)
+            if stage == "emit":
+                return acc
+            area_t = jnp.maximum(area - K, 0)
+            big = area_t > 0
+            order_b = jnp.argsort(
+                jnp.where(big, g32, jnp.int32(0x7FFFFFFF)))[:big_cap]
+            b_at = jnp.take(area_t, order_b) * jnp.take(big, order_b)
+            b_offs_t = jnp.cumsum(b_at) - b_at
+            tail_total = b_offs_t[-1] + b_at[-1]
+            offs = jnp.cumsum(area) - area
+            b_tab = jnp.stack(
+                [jnp.take(base0, order_b), jnp.take(offs, order_b),
+                 jnp.maximum(jnp.take(rw, order_b), 1),
+                 jnp.take(g32, order_b), b_offs_t,
+                 jnp.take(rank, order_b)], axis=1)
+            markb = jnp.zeros((tail_cap,), jnp.int32).at[b_offs_t].max(
+                jnp.arange(1, order_b.shape[0] + 1, dtype=jnp.int32),
+                mode="drop", indices_are_sorted=True)
+            fillb = jax.lax.cummax(markb) - 1
+            rows_b = jnp.take(b_tab, jnp.maximum(fillb, 0), axis=0,
+                              indices_are_sorted=True)
+            t_idx = jnp.arange(tail_cap, dtype=jnp.int32)
+            k_t = K + (t_idx - rows_b[:, 4])
+            tile_t = _emit_decode(k_t, rows_b[:, 2].astype(jnp.float32),
+                                  rows_b[:, 0], ntx)
+            ok_t = (t_idx < tail_total) & (fillb >= 0)
+            key_t = jnp.where(ok_t, (tile_t << _EMIT_GB) | rows_b[:, 5],
+                              _EMIT_SENT)
+            src_t = rows_b[:, 3]
+            acc += jnp.sum(key_t).astype(jnp.float32)
+            if stage == "tail":
+                return acc
+            spare_cap = n_tiles * align
+            pad_needed = pcounts - counts
+            cum_pad_excl = jnp.cumsum(pad_needed) - pad_needed
+            spare_marks = jnp.zeros((spare_cap,), jnp.int32).at[
+                cum_pad_excl].max(
+                jnp.arange(1, n_tiles + 1, dtype=jnp.int32), mode="drop",
+                indices_are_sorted=True)
+            spare_fill = jax.lax.cummax(spare_marks) - 1
+            s_idx = jnp.arange(spare_cap, dtype=jnp.int32)
+            ok_s = (s_idx < padded_total - raw_total) & (spare_fill >= 0)
+            key_s = jnp.where(ok_s, (spare_fill << _EMIT_GB) | _EMIT_SPARE,
+                              _EMIT_SENT)
+            acc += jnp.sum(key_s).astype(jnp.float32)
+            if stage == "spare":
+                return acc
+            keys = jnp.concatenate([key_e.reshape(-1), key_t, key_s])
+            srcs = jnp.concatenate([src_e.reshape(-1), src_t,
+                                    jnp.full((spare_cap,), -1, jnp.int32)])
+            srcs = jnp.where(keys == _EMIT_SENT, -1, srcs)
+            sorted_keys, pair_src = jax.lax.sort_key_val(
+                keys, srcs, is_stable=False)
+            acc += jnp.sum(pair_src[:cap]).astype(jnp.float32)
+            return acc
+        return fn
+
+    stages = ["prep", "counts", "chunkpad", "emit", "tail", "spare",
+              "sort"]
+    Kc = 5
+    prev = 0.0
+    out = {}
+    for name in stages:
+        fn = prefix(name)
+
+        def mk(k, fn=fn):
+            @jax.jit
+            def run(cam, m, op, c, s, r):
+                acc = jnp.float32(0)
+                for i in range(k):
+                    acc += fn(cam, m * (1.0 + 1e-6 * (i + 1)), op, c, s, r)
+                return acc
+            return run
+        r1, rk = mk(1), mk(Kc)
+        float(r1(cam, *args)); float(rk(cam, *args))
+        t1s, tks = [], []
+        for rep in range(3):
+            c2 = args[2] * (1.0 + 1e-7 * rep)
+            a2 = (args[0], args[1], c2) + args[3:]
+            t0 = time.time(); float(r1(cam, *a2)); t1s.append(time.time() - t0)
+            t0 = time.time(); float(rk(cam, *a2)); tks.append(time.time() - t0)
+        cum = (float(np.median(tks)) - float(np.median(t1s))) / (Kc - 1) * 1e3
+        out[name] = round(cum - prev, 2)
+        print(f"{name:9s} cum {cum:7.2f} stage {cum - prev:7.2f}",
+              flush=True)
+        prev = cum
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
