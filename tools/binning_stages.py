@@ -1,4 +1,6 @@
-"""Intra-binning breakdown of _build_pair_lists_emit on the bench scene:
+"""Intra-binning breakdown (r4 SNAPSHOT of the then-current emission — the
+r5 transposed-emission layout lives in tools/r5_binstages.py; keep this
+for r4-number provenance only):
 cumulative prefixes (chained-jit), stage = prefix delta."""
 import sys, time, json
 sys.path.insert(0, "/root/repo")
