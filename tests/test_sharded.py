@@ -61,7 +61,10 @@ def test_sharded_gradients_match():
     g2 = jax.grad(loss_sharded, argnums=(0, 1, 2))(*args)
     for a, b in zip(g1, g2):
         scale = np.abs(np.asarray(a)).max() + 1e-8
-        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-5
+        # 1e-4: psum/all-gather reassociation is not bitwise on current
+        # XLA CPU (measured ~1e-5-5e-5 drift, identical on pre-r5 code
+        # with a fresh compile cache); a sharding bug shows as O(1)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-4
 
 
 def test_production_train_step_on_mesh_matches_single():
@@ -178,7 +181,7 @@ def test_sharded_2d_gradients_match():
     g2 = jax.grad(loss_sharded, argnums=(0, 2))(*args)
     for a, b in zip(g1, g2):
         scale = np.abs(np.asarray(a)).max() + 1e-8
-        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-5
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() / scale < 1e-4
 
 
 @pytest.mark.slow
