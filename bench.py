@@ -143,12 +143,12 @@ def main():
     # right-size ALL THREE binning buffers (capacity + emission tail):
     # the capacity-derived tail defaults (147k/18k here) cost ~1.2 ms of
     # per-frame tail machinery against a measured 10k-pair tail
+    # one sizing for eval AND train: suggest_binning_sizes returns the
+    # same EMIT_K for both modes (the eval/train split was measured and
+    # rejected — a narrow eval emission lost 7.2 ms to tail machinery,
+    # PERF.md r5)
     capacity, tail_cap, big_cap, emit_k = suggest_binning_sizes(
         fs0, width=W, height=H, slack=1.03, quantum=8192)
-    # train sizes separately: the sort-bucket-minimizing eval emit_k
-    # would blow up the gm-riding tail machinery in the backward
-    tcapacity, ttail_cap, tbig_cap, temit_k = suggest_binning_sizes(
-        fs0, width=W, height=H, slack=1.03, quantum=8192, train=True)
     del fs0
 
     # NOTE: the camera must be an ARGUMENT, not a closure capture — jitted
@@ -198,10 +198,10 @@ def main():
         def loss(c_, off, sink):
             out = rasterize(m, op, colors=c_, scales=s, rotations=r,
                             camera=cam, bg_color=jnp.zeros(3),
-                            capacity=tcapacity, means2d_offset=off,
+                            capacity=capacity, means2d_offset=off,
                             absgrad_sink=sink, tile_x=tile_x, tile_y=tile_y,
-                            tail_cap=ttail_cap, big_cap=tbig_cap,
-                            emit_k=temit_k)
+                            tail_cap=tail_cap, big_cap=big_cap,
+                            emit_k=emit_k)
             return jnp.sum(out.color ** 2) + jnp.sum(out.depth ** 2)
         l, g = jax.value_and_grad(loss, argnums=(0, 1, 2))(
             c, jnp.zeros((n_g, 2)), jnp.zeros((n_g,)))
@@ -269,6 +269,10 @@ def _stage_breakdown(cam, args, H, W, tile_x, tile_y, capacity, tail_cap,
         from gaussianrpg_tpu.ops.pallas_blend import blend_pairs
         from gaussianrpg_tpu.ops.rasterize import _take8, primitive_fields
 
+        # NOTE: the stage cuts below mirror ops.rasterize.blend_fields'
+        # eval emission branch (visible/key/rank construction, rect
+        # zeroing, build_pair_lists args) — keep them in sync when that
+        # branch changes, or the `stages` artifact times a stale pipeline
         args = args[1:] if len(args) == 6 else args  # (cam,)+args callers
 
         def p_fields(cam, m, op, c, s, r):

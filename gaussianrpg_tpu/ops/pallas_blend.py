@@ -111,11 +111,13 @@ BWD_ABLATE = None  # timing-only ablation of the backward kernel
                    # p_incl cumsum, "note" skips the e contraction.
                    # Results are WRONG under any non-None value.
 
-MM_PRECISION = "highest"  # contraction precision for the kernel dots
-                          # ("highest" = 6-pass bf16 = f32-faithful;
-                          # "high" = 3-pass — A/B knob, tools/r5_bwd_prec;
-                          # read at TRACE time: clear _blend_fns/_make_blend
-                          # caches after changing)
+MM_PRECISION = "highest"  # contraction precision for the kernel dots.
+                          # Mosaic lowers only DEFAULT/HIGHEST in-kernel
+                          # ("high" raises NotImplementedError —
+                          # tools/r5_bwd_prec.py); DEFAULT (1-pass bf16)
+                          # would break the f32 parity contract, so this
+                          # stays "highest". Read at TRACE time: clear
+                          # _blend_fns/_make_blend caches after changing.
 
 
 def _tril(strict: bool) -> jnp.ndarray:

@@ -390,6 +390,10 @@ def value_and_grad_psum_overlapped(
 
     `explicit_psum=False` runs the same split computation with ONE psum
     at the end (the A/B reference for the equivalence test)."""
+    assert len(mesh.axis_names) == 1, (
+        "value_and_grad_psum_overlapped expects a 1-axis mesh; a 2-axis "
+        "mesh would shard the sub-strip stack across BOTH axes and "
+        "silently drop strips from the loss")
     n_dev = mesh.devices.size
     axis = mesh.axis_names[0]
     strips = strip_cameras(camera, n_dev * n_sub)

@@ -86,6 +86,20 @@ def main():
             m, op, colors=c, scales=s, rotations=r, capacity=262144,
             **kw, **extra))(*args)
 
+    def clear_exec_caches():
+        """Module knobs (EMIT_PAIRS/TAKE_ROWS/DERIVE_GM/...) are NOT jit
+        cache keys: without this, every knob A/B below silently re-runs
+        the cached default-path executable and certifies nothing (the
+        'identical outputs are the tell' failure — caught by the r5
+        review; tools/r5_bwd_prec.py hit the same trap)."""
+        from gaussianrpg_tpu.ops import pallas_blend as PB
+        from gaussianrpg_tpu.ops import rasterize as R
+
+        R._rasterize_jit.clear_cache()
+        PB._blend_fns.cache_clear()
+        PB._make_blend.cache_clear()
+        R._pair_gather_derive_fn.cache_clear()
+
     base_color = np.asarray(p.color)
     knobs = {}
     knobs["tight_rect_off"] = float(np.abs(
@@ -99,18 +113,22 @@ def main():
         and not binning.SCATTER_COLS
     try:
         binning.EMIT_PAIRS = False
+        clear_exec_caches()
         knobs["marker_take_rows"] = float(np.abs(
             np.asarray(fwd_with().color) - base_color).max())
         binning.TAKE_ROWS = False
+        clear_exec_caches()
         knobs["legacy_packed_markers"] = float(np.abs(
             np.asarray(fwd_with().color) - base_color).max())
         binning.SCATTER_COLS = True
+        clear_exec_caches()
         knobs["legacy_scatter_cols"] = float(np.abs(
             np.asarray(fwd_with().color) - base_color).max())
     finally:
         binning.EMIT_PAIRS = True
         binning.TAKE_ROWS = True
         binning.SCATTER_COLS = False
+        clear_exec_caches()
 
     # --- bench-tiling certification: the configuration BENCH_r*.json is
     # measured at (large tiles + sub-chunked grid) vs the numpy scalar
@@ -167,9 +185,11 @@ def main():
     gb_default = grad_bench()
     try:
         binning.EMIT_PAIRS = False
+        clear_exec_caches()
         gb_legacy = grad_bench()
     finally:
         binning.EMIT_PAIRS = True
+        clear_exec_caches()
     for name, gd, gl in zip(names, gb_default, gb_legacy):
         gd, gl = np.asarray(gd), np.asarray(gl)
         scale = np.abs(gd).max() + 1e-8
@@ -346,9 +366,21 @@ def composite_bench_scale(jax, jnp):
     def rel(a, b):
         return float(np.abs(a - b).max() / (np.abs(a).max() + 1e-8))
 
+    def clear_exec_caches():
+        # knob flips are invisible to the jit caches (see the fwd knob
+        # section) — without clearing, both A/Bs below would re-run the
+        # cached default-path executable and compare it to itself
+        from gaussianrpg_tpu.ops import pallas_blend as PB
+
+        R._rasterize_jit.clear_cache()
+        PB._blend_fns.cache_clear()
+        PB._make_blend.cache_clear()
+        R._pair_gather_derive_fn.cache_clear()
+
     paths = {}
     try:
         R.DERIVE_GM = False
+        clear_exec_caches()
         g_ride = [np.asarray(x) for x in
                   jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
                       dc0, off0, sink0)]
@@ -356,8 +388,10 @@ def composite_bench_scale(jax, jnp):
             rel(a, b) for a, b in zip(g_default, g_ride))
     finally:
         R.DERIVE_GM = True
+        clear_exec_caches()
     try:
         binning.EMIT_PAIRS = False
+        clear_exec_caches()
         g_marker = [np.asarray(x) for x in
                     jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(
                         dc0, off0, sink0)]
@@ -365,6 +399,7 @@ def composite_bench_scale(jax, jnp):
             rel(a, b) for a, b in zip(g_default, g_marker))
     finally:
         binning.EMIT_PAIRS = True
+        clear_exec_caches()
     err["grad_path_max_rel"] = paths
     err["grad_norms"] = {
         "features_dc": float(np.linalg.norm(g_default[0])),
@@ -375,6 +410,7 @@ def composite_bench_scale(jax, jnp):
                    and err["rgb_p99_abs"] < 2e-3
                    and err["acc_max_abs"] < 1e-2
                    and err["sem_max_abs"] < 2e-2
+                   and err["depth_max_rel"] < 1e-2
                    and err["radii_mismatches"] < n_total * 1e-3
                    and max(paths.values()) < 1e-3
                    and all(v > 0 for v in err["grad_norms"].values()))
