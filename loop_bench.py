@@ -46,8 +46,12 @@ def main():
     cam0, args, H, W = build_frozen_scene()
     tile_x, tile_y = 64, 32
 
-    # --- ego trajectory: drive forward at 8 m/s for 5 s (10 Hz imaging) ---
-    ego_speed, sim_time = 8.0, 5.0
+    # --- ego trajectory: drive forward at 8 m/s for 10 s (10 Hz imaging).
+    # 10 s (~101 frames) rather than 5: the tunnel throws ~one multi-second
+    # transient stall per run regardless of length, so a longer window
+    # halves its distortion of the WALL-CLOCK rate (the sequential median
+    # is insensitive either way) ---
+    ego_speed, sim_time = 8.0, 10.0
     n_img = int(sim_time * 10) + 1
     ts = np.arange(n_img) / 10.0
     fovx = math.radians(50.0)
@@ -115,8 +119,11 @@ def main():
     _ = perceive(cams[1])
 
     # --- the measured closed loop -----------------------------------------
-    # virtual CIPV parked 70 m ahead: GT distance shrinks as ego approaches
-    gt_tracklets = {i: (70.0, 0.0, 0.0) for i in range(len(tape["frames"]))}
+    # virtual CIPV parked 150 m ahead: GT distance shrinks as ego
+    # approaches (still >60 m at sim end -> verdict 'success'; braking
+    # EVENTS are exercised by tests/test_sim.py, not this timing run)
+    gt_tracklets = {i: (150.0, 0.0, 0.0)
+                    for i in range(len(tape["frames"]))}
     v2c = np.array([[0., -1., 0., 0.], [0., 0., -1., 0.],
                     [1., 0., 0., 0.], [0., 0., 0., 1.]])
     res = run_closed_loop(
