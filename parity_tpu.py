@@ -18,6 +18,21 @@ import sys
 import numpy as np
 
 
+def clear_exec_caches():
+    """Module knobs (EMIT_PAIRS/TAKE_ROWS/DERIVE_GM/...) are NOT jit cache
+    keys: without this, every knob A/B in this file silently re-runs the
+    cached default-path executable and certifies nothing (the 'identical
+    outputs are the tell' failure — caught by the r5 review;
+    tools/r5_bwd_prec.py hit the same trap)."""
+    from gaussianrpg_tpu.ops import pallas_blend as PB
+    from gaussianrpg_tpu.ops import rasterize as R
+
+    R._rasterize_jit.clear_cache()
+    PB._blend_fns.cache_clear()
+    PB._make_blend.cache_clear()
+    R._pair_gather_derive_fn.cache_clear()
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -85,20 +100,6 @@ def main():
         return jax.jit(lambda m, op, c, s, r: rasterize(
             m, op, colors=c, scales=s, rotations=r, capacity=262144,
             **kw, **extra))(*args)
-
-    def clear_exec_caches():
-        """Module knobs (EMIT_PAIRS/TAKE_ROWS/DERIVE_GM/...) are NOT jit
-        cache keys: without this, every knob A/B below silently re-runs
-        the cached default-path executable and certifies nothing (the
-        'identical outputs are the tell' failure — caught by the r5
-        review; tools/r5_bwd_prec.py hit the same trap)."""
-        from gaussianrpg_tpu.ops import pallas_blend as PB
-        from gaussianrpg_tpu.ops import rasterize as R
-
-        R._rasterize_jit.clear_cache()
-        PB._blend_fns.cache_clear()
-        PB._make_blend.cache_clear()
-        R._pair_gather_derive_fn.cache_clear()
 
     base_color = np.asarray(p.color)
     knobs = {}
@@ -365,17 +366,6 @@ def composite_bench_scale(jax, jnp):
 
     def rel(a, b):
         return float(np.abs(a - b).max() / (np.abs(a).max() + 1e-8))
-
-    def clear_exec_caches():
-        # knob flips are invisible to the jit caches (see the fwd knob
-        # section) — without clearing, both A/Bs below would re-run the
-        # cached default-path executable and compare it to itself
-        from gaussianrpg_tpu.ops import pallas_blend as PB
-
-        R._rasterize_jit.clear_cache()
-        PB._blend_fns.cache_clear()
-        PB._make_blend.cache_clear()
-        R._pair_gather_derive_fn.cache_clear()
 
     paths = {}
     try:
